@@ -1,0 +1,251 @@
+"""Deterministic synthetic Common-Crawl-style corpus (BASELINE input_hint).
+
+Generates hash-partitioned Parquet shards of web pages
+``(url, warc_ts, html, text, lang)`` plus golden extraction columns and
+the broadcast enrichment lookup tables (FIXTURES.md F1/F2).  Seeded; no
+external data.  The ``text`` column and every golden column are produced
+by RUNNING the pure-Python reference extractor on the generated ``html``
+bytes, so the goldens are oracle output by construction.
+
+Cache layout (generate-once, then reused by tests/queries/bench):
+
+    /tmp/graft_corpus_v1/<tag>/pages/shard_00000.parquet ...
+    /tmp/graft_corpus_v1/<tag>/lookups/{lang_locale,site_meta,host_geo}.parquet
+    /tmp/graft_corpus_v1/<tag>/_SUCCESS
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .reference import extract_document, url_host
+from ..functions.textops import host_bucket
+
+GEN_VERSION = "v1"
+CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
+SEED = 20240817
+
+LANGS = ["en", "de", "fr", "es", "ja", "und"]
+LANG_W = [0.45, 0.15, 0.12, 0.12, 0.10, 0.06]
+
+_SYL = ["ba", "co", "da", "el", "fi", "go", "ha", "in", "jo", "ka", "lu",
+        "mo", "na", "or", "pa", "qui", "ra", "sa", "tu", "ve", "wi", "xo",
+        "ya", "zu", "ster", "net", "hub", "lab", "works", "press"]
+
+
+def _wordlist(rng: np.random.Generator, n: int) -> list[str]:
+    words = []
+    for _ in range(n):
+        k = rng.integers(2, 5)
+        words.append("".join(rng.choice(_SYL) for _ in range(k)))
+    return words
+
+
+def _hosts(rng: np.random.Generator, n: int = 200) -> tuple[list[str], np.ndarray]:
+    tlds = ["com", "org", "net", "io", "de", "fr", "jp"]
+    hosts = []
+    for i in range(n):
+        name = "".join(rng.choice(_SYL) for _ in range(rng.integers(2, 4)))
+        hosts.append(f"{name}{i}.{rng.choice(tlds)}")
+    # Zipf-skewed popularity: a few hot domains (exercises skew handling)
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    w = 1.0 / ranks**1.2
+    return hosts, w / w.sum()
+
+
+def n_rows_for_tag(tag: str) -> int:
+    """sf0.001 -> 2_000, sf0.01 -> 6_000, sf0.1 -> 60_000."""
+    try:
+        sf = float(tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    return max(2_000, int(600_000 * sf))
+
+
+def corpus_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(CACHE_ROOT, tag)
+
+
+def _build_html(rng, words, lang, host, hot_words) -> bytes:
+    title_words = list(rng.choice(words, rng.integers(3, 8)))
+    if rng.random() < 0.15:
+        title_words.insert(1, "&amp;")
+    title = " ".join(title_words)
+
+    parts = [b"<!DOCTYPE html><html><head>",
+             b"<title>" + title.encode() + b"</title>"]
+    if lang != "und" or rng.random() < 0.5:
+        parts.append(
+            f'<meta http-equiv="content-language" content="{lang if lang != "und" else "en"}">'.encode())
+    if rng.random() < 0.3:
+        junk = " ".join(rng.choice(words, 10))
+        parts.append(f"<script>var x = '{junk}';</script>".encode())
+    parts.append(b'</head><body class="page">')
+
+    if rng.random() < 0.7:
+        ip = f"{rng.integers(1,254)}.{rng.integers(0,255)}.{rng.integers(0,255)}.{rng.integers(1,254)}"
+        ts = f"2024-03-{rng.integers(1,28):02d}T{rng.integers(0,24):02d}:{rng.integers(0,60):02d}:{rng.integers(0,60):02d}Z"
+        meth = rng.choice(["GET", "POST", "PUT", "HEAD"])
+        path = f"/{rng.choice(words)}/{rng.choice(words)}"
+        status = int(rng.choice([200, 200, 200, 301, 404, 500]))
+        nb = int(rng.integers(100, 900000))
+        parts.append(
+            f'<!-- access: {ip} - - [{ts}] "{meth} {path} HTTP/1.1" {status} {nb} -->'.encode())
+
+    n_par = int(rng.integers(1, 11))
+    for _ in range(n_par):
+        n_words = int(rng.integers(20, 80))
+        ws = list(rng.choice(words, n_words))
+        # sprinkle searchable hot words, inline tags, entities
+        if rng.random() < 0.4:
+            ws[rng.integers(0, n_words)] = rng.choice(hot_words)
+        if rng.random() < 0.3:
+            i = int(rng.integers(0, n_words))
+            ws[i] = f"<b>{ws[i]}</b>"
+        if rng.random() < 0.1:
+            ws[int(rng.integers(0, n_words))] = "&lt;tag&gt;"
+        parts.append(b"<p>" + " ".join(ws).encode() + b"</p>")
+    parts.append(b"</body></html>")
+    html = b"\n".join(parts)
+
+    # ~2% truncated documents: cut inside the body (parse-error path P11)
+    if rng.random() < 0.02:
+        bpos = html.find(b"<body")
+        cut = int(rng.integers(bpos + 40, max(bpos + 41, len(html) - 10)))
+        html = html[:cut]
+    return html
+
+
+HOT_WORDS = ["kernel", "pipeline", "tensor", "shard", "replica",
+             "checkpoint", "gradient", "tokenizer"]
+
+
+def generate(sf_dir: str, force: bool = False) -> str:
+    """Generate (or reuse cached) corpus for the tag of ``sf_dir``.
+    Returns the corpus directory."""
+    out = corpus_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return out
+    tag = os.path.basename(out)
+    n = n_rows_for_tag(tag)
+    num_shards = max(4, min(64, n // 2000))
+    rng = np.random.default_rng(SEED)
+    words = _wordlist(rng, 500)
+    hosts, host_w = _hosts(rng)
+
+    host_idx = rng.choice(len(hosts), size=n, p=host_w)
+    lang_idx = rng.choice(len(LANGS), size=n, p=LANG_W)
+    base_ts = int(datetime(2024, 3, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
+    ts_us = base_ts + np.cumsum(rng.integers(1, 2_000_000, size=n))
+
+    rows: dict[str, list] = {k: [] for k in (
+        "url", "warc_ts", "html", "text", "lang", "host", "host_bucket",
+        "title", "lang_meta", "log_ip", "log_ts", "log_method", "log_path",
+        "log_status", "log_bytes", "text_bytes")}
+    htmls: list[bytes] = []
+    for i in range(n):
+        host = hosts[host_idx[i]]
+        lang = LANGS[lang_idx[i]]
+        url = f"https://{host}/{rng.choice(words)}-{rng.choice(words)}/{i}"
+        if i > 100 and rng.random() < 0.03:
+            html = htmls[int(rng.integers(0, i - 1))]  # content duplicate
+        else:
+            html = _build_html(rng, words, lang, host, HOT_WORDS)
+        htmls.append(html)
+        r = extract_document(html)
+        rows["url"].append(url)
+        rows["warc_ts"].append(int(ts_us[i]))
+        rows["html"].append(html)
+        rows["text"].append(r.text)
+        rows["lang"].append(lang)
+        rows["host"].append(host)
+        rows["host_bucket"].append(host_bucket(host))
+        rows["title"].append(r.title)
+        rows["lang_meta"].append(r.lang_meta)
+        rows["log_ip"].append(r.log_ip)
+        rows["log_ts"].append(r.log_ts)
+        rows["log_method"].append(r.log_method)
+        rows["log_path"].append(r.log_path)
+        rows["log_status"].append(r.log_status)
+        rows["log_bytes"].append(r.log_bytes)
+        rows["text_bytes"].append(len(r.text.encode()))
+
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("host", pa.string()),
+        ("host_bucket", pa.int32()),
+        ("title", pa.string()),
+        ("lang_meta", pa.string()),
+        ("log_ip", pa.string()),
+        ("log_ts", pa.string()),
+        ("log_method", pa.string()),
+        ("log_path", pa.string()),
+        ("log_status", pa.int64()),
+        ("log_bytes", pa.int64()),
+        ("text_bytes", pa.int64()),
+    ])
+    table = pa.Table.from_pydict(
+        {k: (pa.array(v, type=schema.field(k).type)) for k, v in rows.items()},
+        schema=schema)
+
+    # hash-partitioned shards on url (FIXTURES F1)
+    shard_of = np.array([zlib.crc32(u.encode()) % num_shards for u in rows["url"]],
+                        dtype=np.int32)
+    tmp = out + ".tmp"
+    pages = os.path.join(tmp, "pages")
+    os.makedirs(pages, exist_ok=True)
+    for s in range(num_shards):
+        mask = pa.array(shard_of == s)
+        pq.write_table(table.filter(mask), os.path.join(pages, f"shard_{s:05d}.parquet"))
+
+    _write_lookups(os.path.join(tmp, "lookups"), hosts)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.exists(out):
+        import shutil
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+    with open(marker, "w") as f:
+        f.write(f"{tag} rows={n} shards={num_shards}\n")
+    return out
+
+
+def _write_lookups(d: str, hosts: list[str]) -> None:
+    os.makedirs(d, exist_ok=True)
+    locales = {"en": ("en_US", "germanic"), "de": ("de_DE", "germanic"),
+               "fr": ("fr_FR", "romance"), "es": ("es_ES", "romance"),
+               "ja": ("ja_JP", "japonic"), "und": ("und", "unknown")}
+    pq.write_table(pa.table({
+        "lang": list(locales),
+        "locale": [v[0] for v in locales.values()],
+        "lang_family": [v[1] for v in locales.values()],
+    }), os.path.join(d, "lang_locale.parquet"))
+
+    rng = np.random.default_rng(SEED + 1)
+    cats = ["news", "blog", "shop", "docs", "forum"]
+    tiers = ["gold", "silver", "bronze"]
+    covered = [h for h in hosts if rng.random() < 0.9]  # ~90% coverage (F2)
+    pq.write_table(pa.table({
+        "host": covered,
+        "site_id": np.arange(len(covered), dtype=np.int64),
+        "category": rng.choice(cats, len(covered)).tolist(),
+        "tier": rng.choice(tiers, len(covered)).tolist(),
+    }), os.path.join(d, "site_meta.parquet"))
+
+    countries = ["US", "DE", "FR", "JP", "BR", "IN", "GB"]
+    pq.write_table(pa.table({
+        "host": hosts,
+        "country": rng.choice(countries, len(hosts)).tolist(),
+        "asn": rng.integers(1000, 65000, len(hosts)).astype(np.int64),
+    }), os.path.join(d, "host_geo.parquet"))
