@@ -1,0 +1,208 @@
+"""Flagship pipeline: parse -> enrich -> route -> aggregate (north rule).
+
+Reference analog: the `index` command's source->parse->segment-commit loop
+(/root/reference src/commands/index.go:280-299,86-231) re-expressed as a
+streaming Ray Data pipeline:
+
+  read_parquet(shards, columns pruned)          # S2 source
+    -> map_batches(HtmlExtractor, actor pool)   # P1-P11 parse/extract
+    -> map_batches(derive_host)                 # route-key derivation
+    -> map_batches(Enricher, actor pool)        # broadcast lookups (2.5)
+    -> write_parquet(partition_cols=[lang,host_bucket])   # K1 fan-out sinks
+    -> read-back pruned cols -> sink_counts()   # A1 per-sink aggregates
+
+Scale notes (100 TB design):
+* ``html`` (the heavy payload) is dropped right after extraction, so the
+  object store only moves the ~10x smaller routed rows downstream.
+* only 4 input columns leave storage (columns= pushdown).
+* the aggregate is computed from the files actually written (read-back of
+  3 narrow columns), so the reported per-sink counts describe durable
+  output, not in-flight data -- and the read-back is column-pruned.
+* exactly-once: partition directories + atomic manifest commit
+  (state/manifest.py); an uncommitted partition's directory is wiped
+  before re-processing, so task retries / resumed runs cannot
+  double-write.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.extract import HtmlExtractor, derive_host
+from ..stages.enrich import Enricher, broadcast_lookups
+from ..stages.aggregate import sink_counts_table, SINK_KEYS
+from ..state.manifest import Manifest
+
+INPUT_COLUMNS = ["url", "warc_ts", "html", "lang"]
+ROUTED_COLUMNS = [
+    "url", "warc_ts", "lang", "host", "host_bucket", "text", "title",
+    "lang_meta", "log_ip", "log_ts", "log_method", "log_path", "log_status",
+    "log_bytes", "text_bytes", "locale", "lang_family", "site_id",
+    "category", "tier", "country", "asn",
+]
+
+
+@dataclass
+class PipelineConfig:
+    corpus_dir: str
+    out_dir: str
+    num_partitions: int = 8
+    batch_size: int = 512
+    salt: int = 0                      # >1 => salted final fold
+    resume: bool = True
+    extract_concurrency: tuple | int | None = None
+    enrich_concurrency: tuple | int | None = None
+    extra_metrics: dict = field(default_factory=dict)
+
+
+def _default_concurrency() -> tuple[int, int]:
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(2, cpus))
+
+
+def shard_files(corpus_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(corpus_dir, "pages", "*.parquet")))
+
+
+def build_routed_dataset(
+    corpus_dir: str,
+    files: list[str] | None = None,
+    batch_size: int = 512,
+    extract_concurrency=None,
+    enrich_concurrency=None,
+    lookups_ref=None,
+    drop_html: bool = True,
+) -> ray.data.Dataset:
+    """The lazy parse->enrich plan over the given shard files."""
+    files = files if files is not None else shard_files(corpus_dir)
+    if lookups_ref is None:
+        lookups_ref = broadcast_lookups(os.path.join(corpus_dir, "lookups"))
+    ds = ray.data.read_parquet(files, columns=INPUT_COLUMNS)
+    ds = ds.map_batches(
+        HtmlExtractor,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=extract_concurrency or _default_concurrency(),
+    )
+    if drop_html:
+        ds = ds.drop_columns(["html"])
+    ds = ds.map_batches(derive_host, batch_format="pyarrow")
+    ds = ds.map_batches(
+        Enricher,
+        fn_constructor_args=(lookups_ref,),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=enrich_concurrency or _default_concurrency(),
+    )
+    return ds
+
+
+def _read_back_counts(sink_dir: str) -> pa.Table:
+    back = ray.data.read_parquet(sink_dir, columns=["text_bytes", *SINK_KEYS])
+    back = back.map_batches(_cast_partition_cols, batch_format="pyarrow")
+    return sink_counts_table(back)
+
+
+def _cast_partition_cols(b: pa.Table) -> pa.Table:
+    """Hive partition values read back as strings -> restore types."""
+    i = b.column_names.index("host_bucket")
+    return b.set_column(i, "host_bucket", b.column("host_bucket").cast(pa.int32()))
+
+
+def run_pipeline(cfg: PipelineConfig) -> dict:
+    """Run (or resume) the flagship pipeline.  Returns summary with the
+    global per-sink aggregate."""
+    manifest = Manifest(cfg.out_dir)
+    files = shard_files(cfg.corpus_dir)
+    if not files:
+        raise FileNotFoundError(f"no shards under {cfg.corpus_dir}/pages")
+    nparts = min(cfg.num_partitions, len(files))
+    parts: dict[int, list[str]] = {i: [] for i in range(nparts)}
+    for i, f in enumerate(files):
+        parts[i % nparts].append(f)
+
+    lookups_ref = broadcast_lookups(os.path.join(cfg.corpus_dir, "lookups"))
+    done = manifest.committed_ids() if cfg.resume else set()
+    if not cfg.resume:
+        manifest.drop()
+        manifest = Manifest(cfg.out_dir)
+
+    t0 = time.perf_counter()
+    processed = 0
+    for pid in range(nparts):
+        if pid in done:
+            continue
+        sink_dir = os.path.join(cfg.out_dir, "sinks", f"p{pid:05d}")
+        if os.path.isdir(sink_dir):
+            # uncommitted leftovers from a crashed run: invisible garbage,
+            # wipe before rewriting (idempotent re-processing)
+            shutil.rmtree(sink_dir)
+        tp = time.perf_counter()
+        ds = build_routed_dataset(
+            cfg.corpus_dir, files=parts[pid], batch_size=cfg.batch_size,
+            extract_concurrency=cfg.extract_concurrency,
+            enrich_concurrency=cfg.enrich_concurrency,
+            lookups_ref=lookups_ref,
+        )
+        ds.write_parquet(sink_dir, partition_cols=SINK_KEYS)
+        agg = _read_back_counts(sink_dir)
+        sinks = {
+            f"lang={r['lang']}/host_bucket={r['host_bucket']}":
+                {"rows": r["doc_count"], "bytes": r["byte_count"]}
+            for r in agg.to_pylist()
+        }
+        rows = sum(m["rows"] for m in sinks.values())
+        manifest.commit(pid, {
+            "shard_files": [os.path.basename(f) for f in parts[pid]],
+            "row_count": rows,
+            "sinks": sinks,
+            "metrics": {"wall_s": time.perf_counter() - tp},
+        })
+        processed += rows
+
+    total = manifest.total_sink_counts()
+    return {
+        "partitions": nparts,
+        "resumed_skipped": sorted(done),
+        "rows_processed_this_run": processed,
+        "total_rows": sum(m["rows"] for m in total.values()),
+        "sink_counts": total,
+        "wall_s": time.perf_counter() - t0,
+    }
+
+
+def _read_committed(out_dir: str, columns: list[str] | None) -> ray.data.Dataset:
+    """Union of per-partition-directory reads: a list of DIRECTORIES can't
+    be passed to read_parquet directly (it treats list elements as files,
+    losing hive partition inference)."""
+    dirs = Manifest(out_dir).committed_sink_dirs()
+    if not dirs:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    parts = [ray.data.read_parquet(d, columns=columns) for d in dirs]
+    ds = parts[0]
+    if len(parts) > 1:
+        ds = ds.union(*parts[1:])
+    return ds
+
+
+def global_sink_counts(out_dir: str) -> pa.Table:
+    """Per-sink aggregate over all COMMITTED partitions, recomputed from
+    the durable sink files (not the manifest) -- used by equality tests."""
+    back = _read_committed(out_dir, columns=["text_bytes", *SINK_KEYS])
+    back = back.map_batches(_cast_partition_cols, batch_format="pyarrow")
+    return sink_counts_table(back)
+
+
+def routed_rows(out_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    ds = _read_committed(out_dir, columns)
+    if columns is None or "host_bucket" in columns:
+        ds = ds.map_batches(_cast_partition_cols, batch_format="pyarrow")
+    return ds
