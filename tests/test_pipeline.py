@@ -1,0 +1,121 @@
+"""End-to-end flagship pipeline: per-sink aggregate equality, routed-row
+set equality, enrichment correctness, and kill-and-resume exactly-once."""
+
+import glob
+import os
+import shutil
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from go_distributed_log_search_ray.pipelines.ingest import (
+    PipelineConfig, run_pipeline, global_sink_counts, routed_rows,
+)
+from go_distributed_log_search_ray.state.manifest import Manifest
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ingest"))
+    res = run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                      num_partitions=4, resume=False))
+    return out, res
+
+
+def _oracle_sink_counts(corpus_dir):
+    return duckdb.connect().execute(f"""
+        SELECT lang, host_bucket, count(*) AS doc_count,
+               sum(text_bytes) AS byte_count
+        FROM read_parquet('{corpus_dir}/pages/*.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2""").arrow().to_pylist()
+
+
+def test_sink_count_equality(corpus_dir, pipeline_out):
+    out, _ = pipeline_out
+    mine = global_sink_counts(out).to_pylist()
+    ref = _oracle_sink_counts(corpus_dir)
+    assert len(mine) == len(ref)
+    for a, b in zip(mine, ref):
+        assert (a["lang"], int(a["host_bucket"]), a["doc_count"], a["byte_count"]) == \
+               (b["lang"], int(b["host_bucket"]), b["doc_count"], b["byte_count"])
+
+
+def test_routed_row_set_equality(corpus_dir, pipeline_out):
+    out, _ = pipeline_out
+    mine = sorted(r["url"] for r in routed_rows(out, columns=["url"]).take_all())
+    gold = sorted(u for f in glob.glob(f"{corpus_dir}/pages/*.parquet")
+                  for u in pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    assert mine == gold
+
+
+def test_routed_text_byte_identical(corpus_dir, pipeline_out):
+    out, _ = pipeline_out
+    mine = {r["url"]: r["text"]
+            for r in routed_rows(out, columns=["url", "text"]).take_all()}
+    for f in glob.glob(f"{corpus_dir}/pages/*.parquet"):
+        t = pq.read_table(f, columns=["url", "text"])
+        for u, txt in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
+            assert mine[u] == txt
+
+
+def test_enrichment_joins(corpus_dir, pipeline_out):
+    out, _ = pipeline_out
+    got = {r["url"]: r for r in routed_rows(
+        out, columns=["url", "lang", "locale", "host", "site_id", "country"]).take_all()}
+    oracle = duckdb.connect().execute(f"""
+        SELECT p.url, l.locale, s.site_id, g.country
+        FROM read_parquet('{corpus_dir}/pages/*.parquet') p
+        LEFT JOIN read_parquet('{corpus_dir}/lookups/lang_locale.parquet') l USING (lang)
+        LEFT JOIN read_parquet('{corpus_dir}/lookups/site_meta.parquet') s ON p.host = s.host
+        LEFT JOIN read_parquet('{corpus_dir}/lookups/host_geo.parquet') g ON p.host = g.host
+    """).arrow().to_pylist()
+    assert len(oracle) == len(got)
+    misses = 0
+    for r in oracle:
+        m = got[r["url"]]
+        assert m["locale"] == r["locale"]
+        assert m["site_id"] == r["site_id"]
+        assert m["country"] == r["country"]
+        if r["site_id"] is None:
+            misses += 1
+    assert misses > 0  # lookup-miss (left-join-null) path exercised
+
+
+def test_resume_skips_committed_and_is_exactly_once(corpus_dir, tmp_path):
+    out = str(tmp_path / "resume")
+    # run only partitions 0..1 then "crash" (simulated by a partial driver
+    # loop): run full pipeline but then delete manifest entries >=2 and
+    # their sink dirs to emulate a crash after 2 commits...
+    res1 = run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                       num_partitions=4, resume=False))
+    m = Manifest(out)
+    # emulate crash: partition 2 fully written but UNCOMMITTED (entry gone),
+    # partition 3 half-written garbage + uncommitted
+    os.remove(m.entry_path(2))
+    os.remove(m.entry_path(3))
+    p3 = os.path.join(out, "sinks", "p00003")
+    for root, _, fs in os.walk(p3):
+        for f in fs[: len(fs) // 2]:
+            os.remove(os.path.join(root, f))
+
+    res2 = run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                       num_partitions=4, resume=True))
+    assert res2["resumed_skipped"] == [0, 1]
+    # exactly-once: routed rows equal an uninterrupted run's
+    mine = sorted(r["url"] for r in routed_rows(out, columns=["url"]).take_all())
+    gold = sorted(u for f in glob.glob(f"{corpus_dir}/pages/*.parquet")
+                  for u in pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    assert mine == gold
+    assert res1["total_rows"] == res2["total_rows"] == len(gold)
+
+
+def test_manifest_drop(corpus_dir, tmp_path):
+    out = str(tmp_path / "drop")
+    run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                num_partitions=2, resume=False))
+    m = Manifest(out)
+    assert len(m.committed_ids()) == 2
+    m.drop()
+    assert m.committed_ids() == set()
+    assert not os.path.isdir(os.path.join(out, "sinks"))
