@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse->enrich->route->aggregate pipeline on
+the deterministic synthetic web-page corpus derived from sf0.001.
+``queries()``/``oracle_sql()`` expose the operator surface from
+SURVEY.md section 2 plus the training-data-pipeline operators (dedup,
+ANN, text analysis); each SQL-expressible one has a DuckDB oracle.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import: nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +15,363 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_CORPUS_SF001 = None  # cached path of the sf0.01-tagged corpus for oracles
+
+
+def _corpus(sf_dir: str) -> str:
+    from go_distributed_log_search_ray.corpus.generator import generate
+    return generate(sf_dir)
+
+
+def _corpus_glob(sf_dir: str) -> str:
+    """DuckDB glob over the corpus shards (oracle side)."""
+    import os
+    return os.path.join(_corpus(sf_dir), "pages", "*.parquet")
+
+
+def _corpus_pages_dir(sf_dir: str) -> str:
+    """Directory form for ray.data.read_parquet (no glob support)."""
+    import os
+    return os.path.join(_corpus(sf_dir), "pages")
+
+
+# Oracle SQL is static text: it must point at the sf0.01 corpus the driver
+# compares against.  Path is deterministic; generation is idempotent.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001; returns the per-sink aggregate."""
+    import shutil
+    import tempfile
+    from go_distributed_log_search_ray.pipelines.ingest import (
+        PipelineConfig, run_pipeline, global_sink_counts)
+
+    corpus = _corpus("/root/testdata/sf0.001")
+    out = tempfile.mkdtemp(prefix="graft_entry_")
+    try:
+        run_pipeline(PipelineConfig(corpus_dir=corpus, out_dir=out,
+                                    num_partitions=4, resume=False))
+        return global_sink_counts(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _routed(sf_dir: str):
+    from go_distributed_log_search_ray.pipelines.ingest import build_routed_dataset
+    return build_routed_dataset(_corpus(sf_dir))
+
+
+def _pages_extract(sf_dir: str):
+    import ray.data
+    from go_distributed_log_search_ray.stages.extract import HtmlExtractor
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(HtmlExtractor, batch_size=512, batch_format="pyarrow",
+                        concurrency=(1, 8))
+    return ds.select_columns(["url", "text"])
+
+
+def _pages_grok(sf_dir: str):
+    import ray.data
+    from go_distributed_log_search_ray.stages.extract import HtmlExtractor
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(HtmlExtractor, batch_size=512, batch_format="pyarrow",
+                        concurrency=(1, 8))
+    return ds.select_columns(["url", "lang_meta", "log_ip", "log_method",
+                              "log_path", "log_status", "log_bytes"])
+
+
+def _pages_sink_agg(sf_dir: str):
+    from go_distributed_log_search_ray.stages.aggregate import sink_counts_table
+    return sink_counts_table(_routed(sf_dir))
+
+
+def _pages_enrich_agg(sf_dir: str):
+    from ray.data.aggregate import Sum
+    ds = _routed(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cat = pc.fill_null(b.column("category"), "<none>")
+        t = pa.table({"locale": b.column("locale"), "category": cat,
+                      "text_bytes": b.column("text_bytes")})
+        g = t.group_by(["locale", "category"])
+        out = g.aggregate([("text_bytes", "count"), ("text_bytes", "sum")])
+        return out.rename_columns(["locale", "category", "doc_count", "byte_count"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["locale", "category"]).aggregate(
+            Sum("doc_count", alias_name="doc_count"),
+            Sum("byte_count", alias_name="byte_count"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    t = t.set_column(t.column_names.index("doc_count"), "doc_count",
+                     t.column("doc_count").cast(pa.int64()))
+    t = t.set_column(t.column_names.index("byte_count"), "byte_count",
+                     t.column("byte_count").cast(pa.int64()))
+    return t
+
+
+def _pages_exact_dedup(sf_dir: str):
+    import ray.data
+    from go_distributed_log_search_ray.stages.dedup import exact_dedup
+    from go_distributed_log_search_ray.stages.extract import HtmlExtractor
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(HtmlExtractor, batch_size=512, batch_format="pyarrow",
+                        concurrency=(1, 8))
+    return exact_dedup(ds, id_col="url", text_col="text")
+
+
+def _doc_exact_dedup(sf_dir: str):
+    import ray.data
+    from go_distributed_log_search_ray.stages.dedup import exact_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return exact_dedup(ds, id_col="doc_id")
+
+
+def _doc_token_count(sf_dir: str):
+    import ray.data
+    from go_distributed_log_search_ray.stages.textstats import token_count_batch
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "n_tokens"])
+
+
+def _doc_quality_features(sf_dir: str):
+    import ray.data
+    from go_distributed_log_search_ray.stages.textstats import quality_features_batch
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(quality_features_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "n_upper", "n_digit", "n_space",
+                              "n_punct", "n_chars_calc"])
+
+
+def _doc_fingerprint(sf_dir: str):
+    import ray.data
+    from go_distributed_log_search_ray.stages.textstats import fingerprint_batch
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "fingerprint"])
+
+
+def _doc_lang_agg(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="doc_count"), Sum("n_chars", alias_name="sum_chars"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table({"lang": t.column("lang"),
+                     "doc_count": t.column("doc_count").cast(pa.int64()),
+                     "sum_chars": t.column("sum_chars").cast(pa.int64())})
+
+
+def _doc_search_topk(sf_dir: str):
+    import ray.data
+    from go_distributed_log_search_ray.stages.search import topk_search
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+    top = topk_search(ds, term="spark", fields=["text", "source", "lang"],
+                      k=20, id_col="doc_id")
+    return top.select_columns(["doc_id", "score"])
+
+
+def _doc_minhash_keep(sf_dir: str):
+    """Near-dup dedup (MinHash+LSH): kept doc ids.  Non-SQL-expressible:
+    rows-only driver check; exactness covered in pytest."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.dedup import minhash_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    res = minhash_dedup(ds, id_col="doc_id", threshold=0.8)
+    return pa.table({"doc_id": pa.array(res["keep"], type=pa.int64())})
+
+
+def _knn_bruteforce(sf_dir: str):
+    import ray.data
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.stages.similarity import knn_bruteforce
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+          .filter(pc.equal(pc.field("vec_id"), 0)) \
+          .column("embedding").to_pylist()[0]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    t = knn_bruteforce(ds, np.asarray(q, dtype=np.float64), k=10)
+    return t.select(["vec_id", "rank"]).set_column(
+        1, "rank", t.column("rank").cast(pa.int64()))
+
+
+def _knn_ivf(sf_dir: str):
+    """IVF ANN (approximate by design): rows-only driver check; recall
+    vs brute force asserted in pytest."""
+    import ray.data
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.stages.similarity import knn_ivf
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+          .filter(pc.equal(pc.field("vec_id"), 0)) \
+          .column("embedding").to_pylist()[0]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    t = knn_ivf(ds, np.asarray(q, dtype=np.float64), k=10)
+    return t.select(["vec_id", "rank"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from go_distributed_log_search_ray.pipelines import relational as R
+    return {
+        # flagship web-page pipeline (corpus synthesized per BASELINE input_hint)
+        "pages_extract": _pages_extract,
+        "pages_grok": _pages_grok,
+        "pages_sink_agg": _pages_sink_agg,
+        "pages_enrich_agg": _pages_enrich_agg,
+        "pages_exact_dedup": _pages_exact_dedup,
+        # relational / windowed operators over driver tables
+        "q1_pricing": R.q1_pricing,
+        "revenue_filter": R.revenue_filter,
+        "top_orders": R.top_orders,
+        "orders_by_segment": R.orders_by_segment,
+        "events_route_agg": R.events_route_agg,
+        "events_hourly": R.events_hourly,
+        "events_sessions": R.events_sessions,
+        # training-data text ops
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_token_count": _doc_token_count,
+        "doc_quality_features": _doc_quality_features,
+        "doc_fingerprint": _doc_fingerprint,
+        "doc_lang_agg": _doc_lang_agg,
+        "doc_search_topk": _doc_search_topk,
+        "doc_minhash_keep": _doc_minhash_keep,
+        # similarity search
+        "knn_bruteforce": _knn_bruteforce,
+        "knn_ivf": _knn_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pages = _corpus_glob(_ORACLE_SF_DIR)  # ensure corpus exists for DuckDB
+    import os
+    lookups = os.path.join(os.path.dirname(os.path.dirname(pages)), "lookups")
+    return {
+        "pages_extract": f"""
+            SELECT url, text FROM read_parquet('{pages}')""",
+        "pages_grok": f"""
+            SELECT url, lang_meta, log_ip, log_method, log_path,
+                   log_status, log_bytes
+            FROM read_parquet('{pages}')""",
+        "pages_sink_agg": f"""
+            SELECT lang, CAST(host_bucket AS BIGINT) AS host_bucket, count(*) AS doc_count,
+                   CAST(sum(text_bytes) AS BIGINT) AS byte_count
+            FROM read_parquet('{pages}') GROUP BY lang, host_bucket""",
+        "pages_enrich_agg": f"""
+            SELECT l.locale AS locale,
+                   coalesce(s.category, '<none>') AS category,
+                   count(*) AS doc_count, CAST(sum(p.text_bytes) AS BIGINT) AS byte_count
+            FROM read_parquet('{pages}') p
+            LEFT JOIN read_parquet('{lookups}/lang_locale.parquet') l USING (lang)
+            LEFT JOIN read_parquet('{lookups}/site_meta.parquet') s ON p.host = s.host
+            GROUP BY 1, 2""",
+        "pages_exact_dedup": f"""
+            SELECT md5(text) AS fingerprint, min(url) AS url
+            FROM read_parquet('{pages}') GROUP BY md5(text)""",
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   count(*) AS row_count
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "revenue_filter": """
+            SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100)
+                                     AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+                   count(*) AS row_count
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24""",
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+        "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   count(*) AS order_count
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""",
+        "events_route_agg": """
+            SELECT event_type, user_id % 8 AS user_bucket,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   count(*) AS event_count
+            FROM events GROUP BY event_type, user_id % 8""",
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   count(*) AS event_count
+            FROM events GROUP BY 1""",
+        "events_sessions": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM d GROUP BY user_id""",
+        "doc_exact_dedup": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)""",
+        "doc_token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '[\t\n\f\r ]+'))
+                   END AS n_tokens
+            FROM documents""",
+        "doc_quality_features": r"""
+            SELECT doc_id,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(text) - length(replace(text, ' ', '')) AS n_space,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars_calc
+            FROM documents""",
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "doc_lang_agg": """
+            SELECT lang, count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang""",
+        "doc_search_topk": """
+            SELECT doc_id, CAST(score AS BIGINT) AS score FROM (
+              SELECT doc_id,
+                     (CASE WHEN lower(text) LIKE '%spark%' THEN 10 ELSE 0 END
+                    + CASE WHEN lower(source) LIKE '%spark%' THEN 2 ELSE 0 END
+                    + CASE WHEN lower(lang) LIKE '%spark%' THEN 2 ELSE 0 END)
+                     AS score
+              FROM documents) s
+            WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "knn_bruteforce": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, rank FROM (
+              SELECT e.vec_id,
+                     CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                       e.vec_id ASC) AS BIGINT) AS rank
+              FROM embeddings e, q) r
+            WHERE rank <= 10""",
+        # doc_minhash_keep, knn_ivf: intentionally no oracle (approximate /
+        # non-SQL-expressible); pytest covers them.
+    }

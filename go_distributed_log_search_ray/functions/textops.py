@@ -55,6 +55,6 @@ def bucket_array(hosts: pa.Array, n: int = NUM_HOST_BUCKETS) -> pa.Array:
     uniq = d.dictionary.to_pylist()
     lut = pa.array(
         [None if u is None else (zlib.crc32(u.encode()) & 0xFFFFFFFF) % n for u in uniq],
-        type=pa.int32(),
+        type=pa.int64(),
     )
     return pc.take(lut, d.indices)

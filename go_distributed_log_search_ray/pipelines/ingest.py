@@ -114,7 +114,7 @@ def _read_back_counts(sink_dir: str) -> pa.Table:
 def _cast_partition_cols(b: pa.Table) -> pa.Table:
     """Hive partition values read back as strings -> restore types."""
     i = b.column_names.index("host_bucket")
-    return b.set_column(i, "host_bucket", b.column("host_bucket").cast(pa.int32()))
+    return b.set_column(i, "host_bucket", b.column("host_bucket").cast(pa.int64()))
 
 
 def run_pipeline(cfg: PipelineConfig) -> dict:

@@ -1,0 +1,207 @@
+"""Relational/windowed operators over the driver's TPC-H-ish tables --
+the oracle-checked query surface (groupby-aggregate, sort-limit,
+broadcast join, filter, tumbling windows, sessionization).
+
+Numeric rule for exact oracle equality: any SUM over doubles is summed as
+``floor(x * 100)`` int64 "cents" so Ray and DuckDB agree bit-exactly
+regardless of float summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum, Min, Max
+
+from ..stages.aggregate import SINK_KEYS
+
+
+def _read(sf_dir: str, table: str, columns=None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.floor(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def _sorted_table(ds: Dataset, keys: list[str]) -> pa.Table:
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return t.take(pc.sort_indices(t, sort_keys=[(k, "ascending") for k in keys]))
+
+
+# -- Q1-style pricing summary ---------------------------------------------
+
+def q1_pricing(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.append_column("qty_cents", _cents(b.column("l_quantity")))
+        b = b.append_column("price_cents", _cents(b.column("l_extendedprice")))
+        g = b.select(["l_returnflag", "l_linestatus", "qty_cents", "price_cents"]) \
+             .group_by(["l_returnflag", "l_linestatus"])
+        out = g.aggregate([("qty_cents", "sum"), ("price_cents", "sum"),
+                           ("qty_cents", "count")])
+        return out.rename_columns(["l_returnflag", "l_linestatus",
+                                   "sum_qty_cents", "sum_price_cents", "row_count"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("row_count", alias_name="row_count"))
+    return _sorted_table(agg, ["l_returnflag", "l_linestatus"])
+
+
+# -- revenue filter (Q6-style) ---------------------------------------------
+
+def revenue_filter(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from datetime import datetime
+        sd = b.column("l_shipdate")
+        lo = pa.scalar(datetime(1995, 1, 1), type=sd.type)
+        hi = pa.scalar(datetime(1996, 1, 1), type=sd.type)
+        mask = pc.and_(pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi)),
+                       pc.and_(pc.greater_equal(b.column("l_discount"), pa.scalar(0.05)),
+                               pc.and_(pc.less_equal(b.column("l_discount"), pa.scalar(0.07)),
+                                       pc.less(b.column("l_quantity"), pa.scalar(24.0)))))
+        f = b.filter(mask)
+        rev = _cents(pc.multiply(f.column("l_extendedprice"), f.column("l_discount")))
+        return pa.table({
+            "revenue_cents": pa.array([pc.sum(rev).as_py() or 0], type=pa.int64()),
+            "row_count": pa.array([f.num_rows], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    t = pa.Table.from_pandas(partials.to_pandas(), preserve_index=False)
+    return pa.table({
+        "revenue_cents": pa.array([pc.sum(t.column("revenue_cents")).as_py() or 0]),
+        "row_count": pa.array([pc.sum(t.column("row_count")).as_py() or 0]),
+    })
+
+
+# -- sort-limit -------------------------------------------------------------
+
+def top_orders(sf_dir: str, k: int = 10) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(key=["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(k)
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+# -- broadcast hash join ----------------------------------------------------
+
+class SegmentLookup:
+    """Broadcast small-side join: customer dict resolved once per actor
+    (reference lookup pattern, SURVEY 2.5)."""
+
+    def __init__(self, cust_ref) -> None:
+        c = ray.get(cust_ref) if isinstance(cust_ref, ray.ObjectRef) else cust_ref
+        self.seg = c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        d = keys.dictionary_encode()
+        lut = pa.array([self.seg.get(k) for k in d.dictionary.to_pylist()],
+                       type=pa.string())
+        seg = pc.take(lut, d.indices)
+        return batch.append_column("c_mktsegment", seg)
+
+
+def orders_by_segment(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg = dict(zip(cust.column("c_custkey").to_pylist(),
+                   cust.column("c_mktsegment").to_pylist()))
+    ref = ray.put(seg)
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(SegmentLookup, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=(1, 8))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.append_column("price_cents", _cents(b.column("o_totalprice")))
+        g = b.select(["c_mktsegment", "price_cents"]).group_by(["c_mktsegment"])
+        out = g.aggregate([("price_cents", "sum"), ("price_cents", "count")])
+        return out.rename_columns(["c_mktsegment", "sum_price_cents", "order_count"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("order_count", alias_name="order_count"))
+    return _sorted_table(agg, ["c_mktsegment"])
+
+
+# -- events: routing aggregate, tumbling window, sessions -------------------
+
+def events_route_agg(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.bit_wise_and(b.column("user_id"), pa.scalar(7)),
+                         pa.int64())  # user_id % 8 (non-negative ids)
+        b = b.append_column("user_bucket", bucket)
+        b = b.append_column("value_cents", _cents(b.column("value")))
+        g = b.select(["event_type", "user_bucket", "value_cents"]) \
+             .group_by(["event_type", "user_bucket"])
+        out = g.aggregate([("value_cents", "sum"), ("value_cents", "count")])
+        return out.rename_columns(["event_type", "user_bucket",
+                                   "sum_value_cents", "event_count"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "user_bucket"]).aggregate(
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Sum("event_count", alias_name="event_count"))
+    return _sorted_table(agg, ["event_type", "user_bucket"])
+
+
+def events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling 1h processing-window counts (reference commit-interval
+    analog, SURVEY 2.10) keyed by integer epoch-hour for exact compare."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.multiply(pc.divide(epoch_us, pa.scalar(3_600_000_000)),
+                           pa.scalar(3600))  # int floor-div for us -> s
+        b = pa.table({"hour_epoch": pc.cast(hour, pa.int64()),
+                      "value_cents": _cents(b.column("value"))})
+        g = b.group_by(["hour_epoch"])
+        out = g.aggregate([("value_cents", "sum"), ("value_cents", "count")])
+        return out.rename_columns(["hour_epoch", "sum_value_cents", "event_count"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hour_epoch").aggregate(
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+            Sum("event_count", alias_name="event_count"))
+    return _sorted_table(agg, ["hour_epoch"])
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Gap-based sessionization per user: groupby(user).map_groups with a
+    vectorized per-group diff (hash shuffle on user_id -- each group is
+    tiny; skew across users is bounded by per-user event counts)."""
+    import pandas as pd
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(df["ts"].to_numpy())
+        n_sessions = int(1 + (np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(ts)]})
+
+    out = ds.groupby("user_id").map_groups(sessions)
+    t = _sorted_table(out, ["user_id"])
+    return pa.table({"user_id": t.column("user_id"),
+                     "n_sessions": t.column("n_sessions").cast(pa.int64()),
+                     "n_events": t.column("n_events").cast(pa.int64())})

@@ -1,0 +1,309 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+* exact: md5-fingerprint -> hash-partitioned groupby -> keep min id
+  (the reference's upsert-by-doc-id last-write-wins semantics,
+  /root/reference src/commands/index.go:174, made deterministic
+  first-write-wins on a stable key).
+* minhash_lsh: char-shingle MinHash signatures -> banded LSH buckets ->
+  groupby band -> candidate pairs -> exact-verify.  The shuffle moves
+  only (band_key, doc_id) pairs, never documents.
+* simhash: 64-bit SimHash -> 4x16-bit band buckets -> hamming verify.
+* ngram_jaccard: exact Jaccard verification on candidate pairs (used as
+  the verify step of minhash; also exposed directly).
+* embedding near-dup: random-hyperplane LSH buckets -> within-bucket
+  cosine -> pairs above threshold.
+
+Scale notes: signatures are computed once per doc in an actor-pool
+map_batches (numpy inner loops); candidate-pair sets are tiny relative to
+the corpus so the union-find fold is driver-side; at 10^12 docs the
+band-bucket groupby is the only all-to-all and it carries ~100 bytes/doc.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from .textstats import fingerprint_batch
+
+_MERSENNE = (1 << 61) - 1
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(ds: Dataset, id_col: str, text_col: str = "text") -> Dataset:
+    """One kept id per distinct text: (fingerprint, kept id)."""
+    fp = ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col).select(["fingerprint", id_col]),
+        batch_format="pyarrow")
+    return fp.groupby("fingerprint").aggregate(Min(id_col, alias_name=id_col))
+
+
+# -- minhash ---------------------------------------------------------------
+
+def _shingle_hashes(data: bytes, k: int) -> np.ndarray:
+    """crc32 of every k-byte window, vectorized via a rolling polynomial
+    proxy: we use numpy stride tricks over the byte buffer."""
+    if len(data) < k:
+        return np.array([zlib.crc32(data) & 0xFFFFFFFF], dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # polynomial rolling hash base 257 mod 2^61-1, windows of length k
+    powers = np.power(np.uint64(257), np.arange(k, dtype=np.uint64),
+                      dtype=np.uint64)  # mod 2^64 wraparound is fine/deterministic
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+    return (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation coefficients drawn ONCE per actor in
+    __init__ from a fixed seed (same across actors => consistent sigs)."""
+
+    def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = k
+
+    def signature(self, data: bytes) -> np.ndarray:
+        h = np.unique(_shingle_hashes(data, self.k))
+        # (P, S) affine transforms mod 2^64 (deterministic wraparound)
+        vals = self.a[:, None] * h[None, :] + self.b[:, None]
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").cast(pa.binary()).to_pylist()
+        sigs = np.stack([
+            self.signature(t if t is not None else b"") for t in texts
+        ])
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.astype(np.int64).ravel()), self.num_perm)
+        return batch.append_column("minhash", sig_col)
+
+
+def band_rows(batch: pa.Table, num_perm: int = 64, bands: int = 16,
+              id_col: str = "doc_id") -> pa.Table:
+    """Explode signatures into (band, band_key, id) rows -- the only data
+    that enters the LSH shuffle."""
+    r = num_perm // bands
+    sigs = np.asarray(batch.column("minhash").combine_chunks().flatten()) \
+        .reshape(-1, num_perm).astype(np.uint64)
+    n = sigs.shape[0]
+    grouped = sigs.reshape(n, bands, r)
+    mix = np.uint64(0)
+    key = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(r):
+        key = key * np.uint64(1099511628211) + grouped[:, :, j]
+    ids = np.asarray(batch.column(id_col)).repeat(bands)
+    band = np.tile(np.arange(bands, dtype=np.int32), n)
+    return pa.table({
+        "band": pa.array(band),
+        "band_key": pa.array(key.ravel().astype(np.int64)),
+        id_col: pa.array(ids),
+    })
+
+
+def _candidate_pairs(g: "pa.Table") -> "pa.Table":  # used via map_groups
+    raise NotImplementedError  # placeholder, see lsh_candidate_pairs
+
+
+def lsh_candidate_pairs(banded: Dataset, id_col: str = "doc_id") -> list[tuple]:
+    """groupby (band, band_key) -> emit unordered id pairs from buckets
+    with >1 member.  Bucket sizes are tiny (r rows of agreement is rare),
+    so pair expansion is safe."""
+    import pandas as pd
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    res = banded.groupby(["band", "band_key"]).map_groups(pairs)
+    seen = set()
+    for row in res.take_all():
+        seen.add((row["a"], row["b"]))
+    return sorted(seen)
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact char-k-gram Jaccard (verification kernel)."""
+    sa = {a[i:i + k] for i in range(max(1, len(a) - k + 1))}
+    sb = {b[i:i + k] for i in range(max(1, len(b) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_dedup(ds: Dataset, id_col: str = "doc_id",
+                  threshold: float = 0.8, num_perm: int = 64,
+                  bands: int = 16) -> dict:
+    """Full near-dup pipeline.  Returns {'pairs': verified dup pairs,
+    'keep': sorted kept ids, 'drop': sorted dropped ids}."""
+    sigged = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
+                            batch_format="pyarrow", concurrency=(1, 8))
+    banded = sigged.map_batches(
+        lambda b: band_rows(b, num_perm=num_perm, bands=bands, id_col=id_col),
+        batch_format="pyarrow")
+    cands = lsh_candidate_pairs(banded, id_col=id_col)
+    if not cands:
+        all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
+        return {"pairs": [], "keep": all_ids, "drop": []}
+
+    # fetch texts for candidate ids only (tiny targeted read)
+    need = sorted({x for p in cands for x in p})
+    need_set = set(need)
+    texts = {}
+    for row in ds.select_columns([id_col, "text"]) \
+                 .filter(lambda r: r[id_col] in need_set).take_all():
+        texts[row[id_col]] = row["text"]
+    verified = [(a, b) for a, b in cands
+                if ngram_jaccard(texts[a], texts[b]) >= threshold]
+
+    # union-find fold (driver-side; |pairs| << |docs|)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
+    drop = sorted(x for x in {p for pair in verified for p in pair}
+                  if find(x) != x)
+    keep = [x for x in all_ids if x not in set(drop)]
+    return {"pairs": verified, "keep": keep, "drop": drop}
+
+
+# -- simhash ---------------------------------------------------------------
+
+class SimHasher:
+    """64-bit SimHash over whitespace tokens; token hash = crc32-based
+    splitmix.  Per-actor state: the bit-weight table."""
+
+    def __init__(self, seed: int = 11) -> None:
+        self.seed = np.uint64(seed)
+
+    @staticmethod
+    def _mix(h: np.ndarray) -> np.ndarray:
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+    def simhash(self, text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        hs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+        hs = self._mix(hs + self.seed)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int(((v > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self.simhash(t or "") for t in batch.column("text").to_pylist()]
+        return batch.append_column(
+            "simhash", pa.array(np.array(out, dtype=np.uint64).astype(np.int64)))
+
+
+def simhash_near_dups(ds: Dataset, id_col: str = "doc_id",
+                      max_hamming: int = 3) -> list[tuple]:
+    """Band 64 bits into 4x16; pigeonhole: any pair within hamming<=3
+    agrees on >=1 band.  Verify candidates exactly."""
+    sigged = ds.map_batches(SimHasher, batch_format="pyarrow",
+                            concurrency=(1, 8))
+
+    def bands(b: pa.Table) -> pa.Table:
+        sh = np.asarray(b.column("simhash")).astype(np.uint64)
+        n = len(sh)
+        rows = []
+        parts = [(sh >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)]
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        key = np.stack(parts, axis=1).ravel().astype(np.int64)
+        ids = np.asarray(b.column(id_col)).repeat(4)
+        full = np.asarray(b.column("simhash")).repeat(4)
+        return pa.table({"band": band, "band_key": key, id_col: ids,
+                         "simhash": full})
+
+    banded = sigged.map_batches(bands, batch_format="pyarrow")
+    import pandas as pd
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df[[id_col, "simhash"]].drop_duplicates().sort_values(id_col)
+        ids = rows[id_col].tolist()
+        shs = rows["simhash"].tolist()
+        a, b_, ha, hb = [], [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b_.append(ids[j])
+                ha.append(shs[i]); hb.append(shs[j])
+        return pd.DataFrame({"a": a, "b": b_, "ha": ha, "hb": hb})
+
+    out = set()
+    for r in banded.groupby(["band", "band_key"]).map_groups(pairs).take_all():
+        d = bin(np.uint64(r["ha"]) ^ np.uint64(r["hb"])).count("1")
+        if d <= max_hamming:
+            out.add((r["a"], r["b"]))
+    return sorted(out)
+
+
+# -- embedding cosine near-dup --------------------------------------------
+
+class HyperplaneLSH:
+    """Random-hyperplane bucketing: planes drawn once per actor from a
+    fixed seed."""
+
+    def __init__(self, dim: int, num_planes: int = 12, seed: int = 5) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, num_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column("embedding").combine_chunks()
+                         .flatten()).reshape(len(batch), -1).astype(np.float64)
+        proj = emb @ self.planes
+        bits = (proj > 0).astype(np.uint64)
+        key = (bits << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        return batch.append_column("lsh_bucket",
+                                   pa.array(key.astype(np.int64)))
+
+
+def embedding_near_dups(ds: Dataset, id_col: str = "vec_id",
+                        threshold: float = 0.95, dim: int = 64) -> list[tuple]:
+    bucketed = ds.map_batches(HyperplaneLSH, fn_constructor_kwargs={"dim": dim},
+                              batch_format="pyarrow", concurrency=(1, 8))
+    import pandas as pd
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col)
+        ids = df[id_col].tolist()
+        embs = np.stack(df["embedding"].tolist()).astype(np.float64)
+        norm = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
+        sims = norm @ norm.T
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a.append(ids[i]); b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b})
+
+    out = set()
+    for r in bucketed.groupby("lsh_bucket").map_groups(pairs).take_all():
+        out.add((r["a"], r["b"]))
+    return sorted(out)

