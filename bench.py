@@ -1,0 +1,131 @@
+"""Benchmark harness.
+
+Default: runs the headline flagship pipeline (parse->enrich->route->
+aggregate over the synthetic web-page corpus tagged after $GRAFT_SF_DIR)
+plus representative operator pipelines over the driver tables, and prints
+ONE JSON line.
+
+--scaling: runs the headline job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughput at
+both plus scaling efficiency = (T32/T8)/4 (the sandbox stand-in for the
+N-vs-4N-node cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import logging
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def run_headline(num_cpus: int) -> dict:
+    """Flagship pipeline; returns {'sec':..., 'rows':..., 'docs_per_sec':...}."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from go_distributed_log_search_ray.corpus.generator import generate
+    from go_distributed_log_search_ray.pipelines.ingest import (
+        PipelineConfig, run_pipeline)
+
+    corpus = generate(SF_DIR)           # cached after first call
+    out = f"/tmp/bench_out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    _init_ray(num_cpus)
+    t0 = time.perf_counter()
+    res = run_pipeline(PipelineConfig(
+        corpus_dir=corpus, out_dir=out, num_partitions=8, resume=False))
+    sec = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return {"sec": sec, "rows": res["total_rows"],
+            "docs_per_sec": res["total_rows"] / sec}
+
+
+def run_queries() -> dict:
+    """Representative operator timings over $GRAFT_SF_DIR tables."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+    qs = E.queries()
+    picks = ["q1_pricing", "events_route_agg", "events_sessions",
+             "doc_exact_dedup", "doc_token_count", "doc_search_topk",
+             "knn_bruteforce", "doc_minhash_keep",
+             "pages_extract", "pages_sink_agg"]
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # force execution for lazy Datasets
+        import ray.data
+        if isinstance(res, ray.data.Dataset):
+            res = res.materialize()
+            _ = res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
+                capture_output=True, text=True, timeout=3600)
+            line = [l for l in p.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            results[n] = json.loads(line)
+        t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "throughput_8cpu_docs_per_sec": round(t8, 1),
+            "throughput_32cpu_docs_per_sec": round(t32, 1),
+            "speedup": round(t32 / t8, 3),
+            "scaling_efficiency": round((t32 / t8) / 4.0, 3),
+            "sf_dir": SF_DIR,
+        }))
+        return
+
+    if "--headline-only" in sys.argv:
+        h = run_headline(NUM_CPUS)
+        print(json.dumps({"metric": "headline_pipeline_sec",
+                          "value": round(h["sec"], 3), "unit": "sec",
+                          "docs_per_sec": round(h["docs_per_sec"], 1),
+                          "rows": h["rows"], "num_cpus": NUM_CPUS}))
+        import ray
+        ray.shutdown()
+        return
+
+    h = run_headline(NUM_CPUS)
+    queries = run_queries()
+    try:
+        sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(json.dumps({
+        "metric": "flagship_parse_enrich_route_aggregate_sec",
+        "value": round(h["sec"], 3),
+        "unit": "sec",
+        "docs_per_sec": round(h["docs_per_sec"], 1),
+        "rows": h["rows"],
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""JSONL source + SchemaParser over the reference's HDFS-log shape (F5:
+mirrors /root/reference tests/hdfs-logs-multitenants-10000.jsonl +
+tests/config.yaml)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from go_distributed_log_search_ray.config.schema import (
+    PipelineSchema, FieldSpec, NUMBER, DATETIME, STATIC_OBJECT,
+    DYNAMIC_FIELD)
+from go_distributed_log_search_ray.sources.jsonl import SchemaParser, read_jsonl
+
+HDFS_ROWS = [
+    {"attributes": {"class": "org.apache.hadoop.DataNode.clienttrace"},
+     "body": "src: /10.10.34.30:33078, dest: /10.10.34.11:50010, bytes: 234",
+     "resource": {"service": "datanode/01"},
+     "severity_text": "INFO", "tenant_id": 61,
+     "timestamp": "2016-04-13T06:46:54Z",
+     "unexpected_key": "kept-in-dynamic"},
+    {"attributes": {"class": "org.apache.hadoop.FSNamesystem"},
+     "body": "BLOCK* allocate blk_123",
+     "resource": {"service": "namenode/02"},
+     "severity_text": "WARN", "tenant_id": -5,      # u64 parse -> null (P11)
+     "timestamp": "1460530014"},                    # epoch-string form
+]
+
+SCHEMA = PipelineSchema("hdfs-logs", [
+    FieldSpec("tenant_id", NUMBER, number_type="u64"),
+    FieldSpec("timestamp", DATETIME, formats=("rfc3339", "timestamp")),
+    FieldSpec("severity_text"),
+    FieldSpec("body"),
+    FieldSpec("attributes", STATIC_OBJECT, fields=[FieldSpec("class")]),
+    FieldSpec("resource", STATIC_OBJECT, fields=[FieldSpec("service")]),
+])
+
+
+@pytest.fixture(scope="module")
+def jsonl_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("jsonl") / "hdfs.jsonl"
+    with open(p, "w") as f:
+        for r in HDFS_ROWS:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def test_schema_parser_direct():
+    batch = pa.Table.from_pylist(HDFS_ROWS)
+    out = SchemaParser(SCHEMA)(batch)
+    assert out.column("tenant_id").to_pylist() == [61, None]  # P11 skip
+    assert out.column("attributes.class").to_pylist() == [
+        "org.apache.hadoop.DataNode.clienttrace",
+        "org.apache.hadoop.FSNamesystem"]
+    assert out.column("resource.service").to_pylist() == [
+        "datanode/01", "namenode/02"]
+    ts = out.column("timestamp").to_pylist()
+    assert ts[0] == ts[1]  # rfc3339 and epoch forms parse to same instant
+    dyn = out.column(DYNAMIC_FIELD).to_pylist()
+    assert ("unexpected_key", "kept-in-dynamic") in dyn[0]
+    assert dyn[1] == []
+
+
+def test_read_jsonl_end_to_end(jsonl_path):
+    ds = read_jsonl(jsonl_path, SCHEMA, concurrency=1)
+    rows = ds.take_all()
+    assert len(rows) == 2
+    assert rows[0]["severity_text"] == "INFO"
+
+
+def test_mixed_type_timestamp_column(jsonl_path):
+    """read_json may unify the mixed str/int timestamp column to string;
+    the cascade still parses both forms."""
+    ds = read_jsonl(jsonl_path, SCHEMA, concurrency=1)
+    ts = [r["timestamp"] for r in ds.take_all()]
+    assert ts[0] is not None and ts[1] is not None

@@ -1,0 +1,111 @@
+"""textstats, weighted search, compaction, multimodal stubs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from go_distributed_log_search_ray.stages.textstats import (
+    token_count_batch, quality_features_batch, quality_score_batch,
+    fingerprint_batch, LangId)
+from go_distributed_log_search_ray.stages.search import (
+    topk_search, score_batch, field_weight)
+from go_distributed_log_search_ray.stages.multimodal import (
+    ImageDecode, ImageEmbed, FrameSample, recommended_batch_size)
+
+
+def test_token_count():
+    t = pa.table({"text": ["a b  c", "", "  ", None, "one"]})
+    out = token_count_batch(t)
+    assert out.column("n_tokens").to_pylist() == [3, 0, 0, 0, 1]
+
+
+def test_quality_features_and_score():
+    t = pa.table({"text": ["Hello World 123!", "x" * 500]})
+    out = quality_features_batch(t)
+    assert out.column("n_upper").to_pylist() == [2, 0]
+    assert out.column("n_digit").to_pylist() == [3, 0]
+    s = quality_score_batch(t).column("quality_score").to_pylist()
+    assert all(0 <= v <= 1 for v in s)
+
+
+def test_fingerprint_md5():
+    import hashlib
+    t = pa.table({"text": ["hello", None]})
+    out = fingerprint_batch(t)
+    assert out.column("fingerprint").to_pylist() == [
+        hashlib.md5(b"hello").hexdigest(), None]
+
+
+def test_langid_heuristic():
+    t = pa.table({"text": [
+        "the cat is in the house and it is happy",
+        "der Hund ist nicht in das Haus und der Garten",
+        "le chat est dans la maison et les jardins",
+        ""]})
+    out = LangId()(t)
+    assert out.column("lang_pred").to_pylist()[:3] == ["en", "de", "fr"]
+    assert out.column("lang_pred").to_pylist()[3] == "und"
+
+
+def test_field_weight_table():
+    # reference weight table (search.go:225-254)
+    assert field_weight("title") == 10
+    assert field_weight("severity_text") == 8
+    assert field_weight("service") == 6
+    assert field_weight("tags") == 4
+    assert field_weight("author") == 3
+    assert field_weight("anything_else") == 2
+    assert field_weight("attributes.class") == 3  # nested
+
+
+def test_weighted_topk_search():
+    rows = [
+        {"doc_id": 1, "text": "has KERNEL inside", "severity_text": "INFO"},
+        {"doc_id": 2, "text": "nothing", "severity_text": "kernel panic"},
+        {"doc_id": 3, "text": "kernel", "severity_text": "kernel"},
+        {"doc_id": 4, "text": "nope", "severity_text": "none"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = topk_search(ds, "kernel", ["text", "severity_text"], k=3,
+                      id_col="doc_id").take_all()
+    assert [r["doc_id"] for r in out] == [3, 1, 2]
+    assert [r["score"] for r in out] == [18, 10, 8]
+
+
+def test_compaction(corpus_dir, tmp_path):
+    from go_distributed_log_search_ray.pipelines.ingest import (
+        PipelineConfig, run_pipeline, global_sink_counts)
+    from go_distributed_log_search_ray.pipelines.compact import compact
+    out = str(tmp_path / "c")
+    run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                num_partitions=4, resume=False))
+    before = global_sink_counts(out).to_pylist()
+    res = compact(out, target_partitions=1)
+    after = global_sink_counts(out).to_pylist()
+    assert before == after            # compaction preserves content
+    assert res["merged"] == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        compact(out)                  # needs >=2 partitions (merge.go:37-40)
+
+
+def test_multimodal_stubs():
+    payloads = [b"\x89PNG" + bytes(range(200)), b"xx", None]
+    t = pa.table({"media_id": ["a", "b", "c"],
+                  "payload": pa.array(payloads, type=pa.large_binary())})
+    d = ImageDecode()(t)
+    assert d.column("decode_err").to_pylist() == [None, "truncated", "truncated"]
+    assert d.column("width").to_pylist()[0] >= 64
+    e = ImageEmbed(dim=16)(t)
+    emb = e.column("embedding").to_pylist()
+    assert len(emb[0]) == 16
+    assert abs(np.linalg.norm(emb[0]) - 1.0) < 1e-5
+    f = FrameSample(k=2)(t)
+    assert f.column("frame_offsets").to_pylist()[0] == [0, 102]
+    with pytest.raises(NotImplementedError):
+        ImageDecode(strict=True)(t)
+    assert recommended_batch_size(1 << 20) == 64
+    # actor-pool plumbing end-to-end
+    ds = ray.data.from_arrow(t).map_batches(
+        ImageDecode, batch_format="pyarrow", batch_size=2, concurrency=1)
+    assert ds.count() == 3
