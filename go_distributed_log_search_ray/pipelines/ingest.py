@@ -60,7 +60,28 @@ class PipelineConfig:
     resume: bool = True
     extract_concurrency: tuple | int | None = None
     enrich_concurrency: tuple | int | None = None
+    # concurrent partition jobs on the driver: overlaps per-partition
+    # fixed costs (actor-pool spinup, read-back) across partitions while
+    # keeping partition-granular commit/resume
+    driver_parallelism: int = 4
     extra_metrics: dict = field(default_factory=dict)
+
+
+def _stub_fsspec_http() -> None:
+    """Ray Data's read path lazy-imports fsspec.implementations.http and
+    only tolerates ModuleNotFoundError; in this env the module exists but
+    fails on ``import aiohttp``, and CONCURRENT first-imports from driver
+    threads surface as plain ImportError, crashing the read.  Pre-seed a
+    stub so the import is deterministic (the class is only used in an
+    isinstance check -- never instantiated locally)."""
+    import sys
+    import types
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        mod = types.ModuleType("fsspec.implementations.http")
+        mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = mod
 
 
 def _default_concurrency() -> tuple[int, int]:
@@ -136,10 +157,15 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         manifest = Manifest(cfg.out_dir)
 
     t0 = time.perf_counter()
-    processed = 0
-    for pid in range(nparts):
-        if pid in done:
-            continue
+    todo = [pid for pid in range(nparts) if pid not in done]
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    # each concurrent partition job needs headroom for its two actor pools
+    # PLUS read/write task slots; more jobs than cpus//4 starves the task
+    # pools and livelocks the concurrent executors
+    dp = max(1, min(cfg.driver_parallelism, len(todo), cpus // 4))
+    per_part = (1, max(2, cpus // dp))
+
+    def run_one(pid: int) -> int:
         sink_dir = os.path.join(cfg.out_dir, "sinks", f"p{pid:05d}")
         if os.path.isdir(sink_dir):
             # uncommitted leftovers from a crashed run: invisible garbage,
@@ -148,8 +174,8 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         tp = time.perf_counter()
         ds = build_routed_dataset(
             cfg.corpus_dir, files=parts[pid], batch_size=cfg.batch_size,
-            extract_concurrency=cfg.extract_concurrency,
-            enrich_concurrency=cfg.enrich_concurrency,
+            extract_concurrency=cfg.extract_concurrency or per_part,
+            enrich_concurrency=cfg.enrich_concurrency or per_part,
             lookups_ref=lookups_ref,
         )
         ds.write_parquet(sink_dir, partition_cols=SINK_KEYS)
@@ -166,7 +192,15 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
             "sinks": sinks,
             "metrics": {"wall_s": time.perf_counter() - tp},
         })
-        processed += rows
+        return rows
+
+    if dp == 1:
+        processed = sum(run_one(pid) for pid in todo)
+    else:
+        _stub_fsspec_http()
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=dp) as pool:
+            processed = sum(pool.map(run_one, todo))
 
     total = manifest.total_sink_counts()
     return {

@@ -193,14 +193,26 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(df["ts"].to_numpy())
-        n_sessions = int(1 + (np.diff(ts) > gap).sum()) if len(ts) else 0
-        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "n_events": [len(ts)]})
+    # shuffle on a COARSE bucket (64 groups), then a single vectorized
+    # pandas pass per bucket handles all its users -- per-user map_groups
+    # would pay one Python call per user (slow at millions of users)
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ubucket", pc.cast(pc.bit_wise_and(b.column("user_id"),
+                                               pa.scalar(63)), pa.int32()))
 
-    out = ds.groupby("user_id").map_groups(sessions)
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap_break = (df["ts"] - df["ts"].shift()) > gap
+        starts = (new_user | gap_break)
+        out = df.assign(s=starts.astype("int64")).groupby(
+            "user_id", sort=True).agg(n_sessions=("s", "sum"),
+                                      n_events=("s", "count"))
+        return out.reset_index()
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("ubucket").map_groups(sessions)
     t = _sorted_table(out, ["user_id"])
     return pa.table({"user_id": t.column("user_id"),
                      "n_sessions": t.column("n_sessions").cast(pa.int64()),

@@ -88,51 +88,74 @@ class MinHasher:
 
 def band_rows(batch: pa.Table, num_perm: int = 64, bands: int = 16,
               id_col: str = "doc_id") -> pa.Table:
-    """Explode signatures into (band, band_key, id) rows -- the only data
-    that enters the LSH shuffle."""
+    """Explode signatures into (band_key, id) rows -- the only data that
+    enters the LSH shuffle.  The band index is folded into the key so a
+    single int64 column is the bucket identity."""
     r = num_perm // bands
     sigs = np.asarray(batch.column("minhash").combine_chunks().flatten()) \
         .reshape(-1, num_perm).astype(np.uint64)
     n = sigs.shape[0]
     grouped = sigs.reshape(n, bands, r)
-    mix = np.uint64(0)
-    key = np.zeros((n, bands), dtype=np.uint64)
+    key = np.tile((np.arange(bands, dtype=np.uint64) + np.uint64(1))
+                  * np.uint64(0x9E3779B97F4A7C15), (n, 1))
     for j in range(r):
         key = key * np.uint64(1099511628211) + grouped[:, :, j]
     ids = np.asarray(batch.column(id_col)).repeat(bands)
-    band = np.tile(np.arange(bands, dtype=np.int32), n)
     return pa.table({
-        "band": pa.array(band),
         "band_key": pa.array(key.ravel().astype(np.int64)),
         id_col: pa.array(ids),
     })
 
 
-def _candidate_pairs(g: "pa.Table") -> "pa.Table":  # used via map_groups
-    raise NotImplementedError  # placeholder, see lsh_candidate_pairs
+def _hot_bucket_members(banded: Dataset, id_col: str) -> "pa.Table":
+    """Members of buckets with >1 occupant, WITHOUT per-group Python:
+
+    1. per-batch partial count per band_key (vectorized pa group_by),
+    2. tiny global groupby-sum -> bucket multiplicities,
+    3. hot keys (count>1) pulled to the driver (rare agreement => small),
+    4. broadcast isin-filter of the banded rows down to hot buckets.
+
+    The earlier map_groups-per-bucket formulation called pandas once per
+    bucket (~1 bucket per doc per band) and was 100x slower.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["band_key"]).group_by(["band_key"])
+        out = g.aggregate([("band_key", "count")])
+        return out.rename_columns(["band_key", "cnt"])
+
+    counts = banded.map_batches(partial, batch_format="pyarrow") \
+        .groupby("band_key").aggregate(Sum("cnt", alias_name="cnt"))
+    hot = counts.filter(expr="cnt > 1").select_columns(["band_key"])
+    hot_keys = np.asarray([r["band_key"] for r in hot.take_all()],
+                          dtype=np.int64)
+    if len(hot_keys) == 0:
+        return pa.table({"band_key": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64())})
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        mask = np.isin(np.asarray(b.column("band_key")), hot_keys)
+        return b.filter(pa.array(mask))
+
+    survivors = banded.map_batches(keep_hot, batch_format="pyarrow")
+    return pa.Table.from_pandas(survivors.to_pandas(), preserve_index=False)
 
 
 def lsh_candidate_pairs(banded: Dataset, id_col: str = "doc_id") -> list[tuple]:
-    """groupby (band, band_key) -> emit unordered id pairs from buckets
-    with >1 member.  Bucket sizes are tiny (r rows of agreement is rare),
-    so pair expansion is safe."""
+    """Unordered id pairs sharing at least one LSH bucket.  Only hot-bucket
+    members reach the driver (tiny vs corpus)."""
+    t = _hot_bucket_members(banded, id_col)
+    if t.num_rows == 0:
+        return []
     import pandas as pd
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        out_a, out_b = [], []
+    df = t.to_pandas()
+    seen = set()
+    for _, g in df.groupby("band_key")[id_col]:
+        ids = sorted(set(g.tolist()))
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
-
-    res = banded.groupby(["band", "band_key"]).map_groups(pairs)
-    seen = set()
-    for row in res.take_all():
-        seen.add((row["a"], row["b"]))
+                seen.add((ids[i], ids[j]))
     return sorted(seen)
 
 
@@ -233,34 +256,30 @@ def simhash_near_dups(ds: Dataset, id_col: str = "doc_id",
     def bands(b: pa.Table) -> pa.Table:
         sh = np.asarray(b.column("simhash")).astype(np.uint64)
         n = len(sh)
-        rows = []
-        parts = [(sh >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)]
-        band = np.tile(np.arange(4, dtype=np.int32), n)
-        key = np.stack(parts, axis=1).ravel().astype(np.int64)
+        parts = np.stack(
+            [(sh >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)],
+            axis=1)
+        # fold band index into the key (distinct band -> distinct keyspace)
+        key = (parts + (np.arange(4, dtype=np.uint64) + 1)[None, :]
+               * np.uint64(1 << 20)).ravel().astype(np.int64)
         ids = np.asarray(b.column(id_col)).repeat(4)
-        full = np.asarray(b.column("simhash")).repeat(4)
-        return pa.table({"band": band, "band_key": key, id_col: ids,
-                         "simhash": full})
+        full = sh.astype(np.int64).repeat(4)
+        return pa.table({"band_key": key, id_col: ids, "simhash": full})
 
     banded = sigged.map_batches(bands, batch_format="pyarrow")
-    import pandas as pd
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df[[id_col, "simhash"]].drop_duplicates().sort_values(id_col)
-        ids = rows[id_col].tolist()
-        shs = rows["simhash"].tolist()
-        a, b_, ha, hb = [], [], [], []
+    t = _hot_bucket_members(banded, id_col)
+    out = set()
+    if t.num_rows == 0:
+        return []
+    df = t.to_pandas()
+    for _, g in df.groupby("band_key"):
+        rows = g[[id_col, "simhash"]].drop_duplicates().sort_values(id_col)
+        ids, shs = rows[id_col].tolist(), rows["simhash"].tolist()
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b_.append(ids[j])
-                ha.append(shs[i]); hb.append(shs[j])
-        return pd.DataFrame({"a": a, "b": b_, "ha": ha, "hb": hb})
-
-    out = set()
-    for r in banded.groupby(["band", "band_key"]).map_groups(pairs).take_all():
-        d = bin(np.uint64(r["ha"]) ^ np.uint64(r["hb"])).count("1")
-        if d <= max_hamming:
-            out.add((r["a"], r["b"]))
+                d = bin(np.uint64(shs[i]) ^ np.uint64(shs[j])).count("1")
+                if d <= max_hamming:
+                    out.add((ids[i], ids[j]))
     return sorted(out)
 
 
@@ -288,22 +307,25 @@ def embedding_near_dups(ds: Dataset, id_col: str = "vec_id",
                         threshold: float = 0.95, dim: int = 64) -> list[tuple]:
     bucketed = ds.map_batches(HyperplaneLSH, fn_constructor_kwargs={"dim": dim},
                               batch_format="pyarrow", concurrency=(1, 8))
-    import pandas as pd
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col)
-        ids = df[id_col].tolist()
-        embs = np.stack(df["embedding"].tolist()).astype(np.float64)
-        norm = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
+    banded = bucketed.map_batches(
+        lambda b: pa.table({"band_key": b.column("lsh_bucket"),
+                            id_col: b.column(id_col),
+                            "embedding": b.column("embedding")}),
+        batch_format="pyarrow")
+    t = _hot_bucket_members(banded, id_col)
+    if t.num_rows == 0:
+        return []
+    out = set()
+    df = t.to_pandas()
+    for _, g in df.groupby("band_key"):
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].tolist()
+        embs = np.stack(g["embedding"].tolist()).astype(np.float64)
+        norm = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True),
+                                 1e-12)
         sims = norm @ norm.T
-        a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 if sims[i, j] >= threshold:
-                    a.append(ids[i]); b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
-
-    out = set()
-    for r in bucketed.groupby("lsh_bucket").map_groups(pairs).take_all():
-        out.add((r["a"], r["b"]))
+                    out.add((ids[i], ids[j]))
     return sorted(out)
