@@ -33,9 +33,19 @@ def _init_ray(num_cpus: int) -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
-def run_headline(num_cpus: int) -> dict:
+def _warmup(num_cpus: int) -> None:
+    """Spawn the worker-process pool before timing: steady-state
+    throughput, not Python process cold-start, is what scales with
+    cluster size."""
+    import ray.data
+    ray.data.range(num_cpus * 8, override_num_blocks=num_cpus) \
+        .map_batches(lambda b: b, batch_format="pyarrow").count()
+
+
+def run_headline(num_cpus: int, repeat_input: int = 1) -> dict:
     """Flagship pipeline; returns {'sec':..., 'rows':..., 'docs_per_sec':...}."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
     from go_distributed_log_search_ray.corpus.generator import generate
     from go_distributed_log_search_ray.pipelines.ingest import (
         PipelineConfig, run_pipeline)
@@ -44,9 +54,11 @@ def run_headline(num_cpus: int) -> dict:
     out = f"/tmp/bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
     _init_ray(num_cpus)
+    _warmup(num_cpus)
     t0 = time.perf_counter()
     res = run_pipeline(PipelineConfig(
-        corpus_dir=corpus, out_dir=out, num_partitions=8, resume=False))
+        corpus_dir=corpus, out_dir=out, num_partitions=8, resume=False,
+        repeat_input=repeat_input))
     sec = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
     return {"sec": sec, "rows": res["total_rows"],

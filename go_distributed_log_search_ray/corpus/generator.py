@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document, url_host
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v1"
+GEN_VERSION = "v2"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 

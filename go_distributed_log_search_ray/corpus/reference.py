@@ -19,11 +19,8 @@ from ..functions import patterns as P
 from ..functions.textops import host_bucket
 
 _TITLE = re.compile(P.TITLE_RE.encode())
-_BODY_CLOSED = re.compile(P.BODY_CLOSED_RE.encode())
-_BODY_OPEN = re.compile(P.BODY_OPEN_RE.encode())
-_COMMENT = re.compile(P.COMMENT_RE.encode())
-_SCRIPT = re.compile(P.SCRIPT_RE.encode())
-_TAG = re.compile(P.TAG_RE.encode())
+_BODY = re.compile(P.BODY_RE.encode())
+_STRIP = re.compile(P.STRIP_RE.encode())
 _WS = re.compile(P.WS_RE.encode())
 _ACCESS = re.compile(P.ACCESS_LOG_RE.encode())
 _META_LANG = re.compile(P.META_LANG_RE.encode())
@@ -32,9 +29,7 @@ _HOST = re.compile(P.HOST_RE)
 
 def _clean(raw: bytes, strip_blocks: bool) -> bytes:
     if strip_blocks:
-        raw = _COMMENT.sub(b" ", raw)
-        raw = _SCRIPT.sub(b" ", raw)
-        raw = _TAG.sub(b" ", raw)
+        raw = _STRIP.sub(b" ", raw)
     for ent, ch in P.ENTITY_ORDER:
         raw = raw.replace(ent.encode(), ch.encode())
     raw = _WS.sub(b" ", raw).strip()
@@ -58,10 +53,10 @@ def extract_document(html: bytes) -> ExtractResult:
     """The executable extraction spec (see functions/patterns.py)."""
     m = _TITLE.search(html)
     title_raw = m.group(1) if m else b""
-    m = _BODY_CLOSED.search(html)
-    if m is None:
-        m = _BODY_OPEN.search(html)
-    body_raw = m.group(1) if m else b""
+    m = _BODY.search(html)
+    body_raw = b""
+    if m:
+        body_raw = m.group("g") if m.group("g") is not None else m.group("g2")
 
     title_c = _clean(title_raw, strip_blocks=False)
     body_c = _clean(body_raw, strip_blocks=True)

@@ -22,10 +22,18 @@ TITLE_RE = r"(?s)<title>(?P<g>.*?)</title>"
 BODY_CLOSED_RE = r"(?s)<body[^>]*>(?P<g>.*?)</body>"
 # fallback for truncated documents (no closing </body>): greedy to EOF
 BODY_OPEN_RE = r"(?s)<body[^>]*>(?P<g>.*)"
+# one-pass combined form: closed-body alternative first (leftmost-first
+# alternation in both engines), open-body fallback second
+BODY_RE = r"(?s)<body[^>]*>(?P<g>.*?)</body>|<body[^>]*>(?P<g2>.*)"
 
 COMMENT_RE = r"(?s)<!--.*?-->"
 SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
 TAG_RE = r"<[^>]*>"
+# ONE combined strip pass (comment | script | tag, leftmost-first
+# alternation -- same semantics in Python re and RE2 with default
+# non-longest matching).  Memory-bandwidth matters: the extractor is the
+# hot stage and each separate replace pass re-reads+rewrites every byte.
+STRIP_RE = rf"(?s){COMMENT_RE[4:]}|{SCRIPT_RE[4:]}|{TAG_RE}"
 WS_RE = r"[\t\n\f\r ]+"
 
 # HTML entity unescape, applied IN THIS ORDER (amp last, so "&amp;lt;"

@@ -40,7 +40,7 @@ def compact(out_dir: str, target_partitions: int = 1) -> dict:
     ds = ds.map_batches(_cast_partition_cols, batch_format="pyarrow")
     if target_partitions:
         ds = ds.repartition(target_partitions)
-    ds.write_parquet(new_dir, partition_cols=SINK_KEYS)
+    ds.write_parquet(new_dir, partition_cols=SINK_KEYS, row_group_size=131072)
 
     agg = _read_back_counts(new_dir)
     sinks = {

@@ -55,7 +55,7 @@ class PipelineConfig:
     corpus_dir: str
     out_dir: str
     num_partitions: int = 8
-    batch_size: int = 512
+    batch_size: int = 1024
     salt: int = 0                      # >1 => salted final fold
     resume: bool = True
     extract_concurrency: tuple | int | None = None
@@ -64,6 +64,19 @@ class PipelineConfig:
     # fixed costs (actor-pool spinup, read-back) across partitions while
     # keeping partition-granular commit/resume
     driver_parallelism: int = 4
+    # throughput benches: process the shard list K times (a K-times larger
+    # corpus without K-times generation cost); correctness runs use 1
+    repeat_input: int = 1
+    # coalesce routed blocks before the fan-out write: N write tasks x
+    # |sinks| hive dirs bounds output file count (vs one file per input
+    # block per sink -- thousands of tiny files slow every later read).
+    # None -> one write task per CPU
+    write_blocks: int | None = None
+    # read blocks per partition; None -> 4 per CPU.  For throughput
+    # benches prefer equal BLOCK SIZE across cluster sizes (~60k rows):
+    # per-task overhead amortizes with block size, so unequal blocks make
+    # scaling comparisons unfair
+    num_blocks: int | None = None
     extra_metrics: dict = field(default_factory=dict)
 
 
@@ -96,17 +109,28 @@ def shard_files(corpus_dir: str) -> list[str]:
 def build_routed_dataset(
     corpus_dir: str,
     files: list[str] | None = None,
-    batch_size: int = 512,
+    batch_size: int = 1024,
     extract_concurrency=None,
     enrich_concurrency=None,
     lookups_ref=None,
     drop_html: bool = True,
+    num_blocks: int | None = None,
 ) -> ray.data.Dataset:
-    """The lazy parse->enrich plan over the given shard files."""
+    """The lazy parse->enrich plan over the given shard files.
+
+    ``num_blocks``: blocks per read.  The streaming executor dispatches
+    every block of every operator from ONE driver loop, so block count --
+    not CPU count -- becomes the serial bottleneck when shards are small
+    (measured 7x throughput loss at 1000 tiny blocks).  Default: 4 blocks
+    per CPU, floor of 8."""
     files = files if files is not None else shard_files(corpus_dir)
     if lookups_ref is None:
         lookups_ref = broadcast_lookups(os.path.join(corpus_dir, "lookups"))
-    ds = ray.data.read_parquet(files, columns=INPUT_COLUMNS)
+    if num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_blocks = min(len(files), max(8, cpus * 4))
+    ds = ray.data.read_parquet(files, columns=INPUT_COLUMNS,
+                               override_num_blocks=num_blocks)
     ds = ds.map_batches(
         HtmlExtractor,
         batch_size=batch_size,
@@ -126,10 +150,38 @@ def build_routed_dataset(
     return ds
 
 
+def _read_back_counts_local(sink_dir: str) -> pa.Table:
+    """Per-sink (doc_count, byte_count) of ONE partition's written files
+    via a pyarrow.dataset scan (C++-threaded, 3 narrow columns of 1/P of
+    the data)."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    d = pads.dataset(sink_dir, format="parquet", partitioning="hive")
+    t = d.to_table(columns=["text_bytes", *SINK_KEYS])
+    i = t.column_names.index("host_bucket")
+    t = t.set_column(i, "host_bucket", t.column("host_bucket").cast(pa.int64()))
+    g = t.group_by(SINK_KEYS).aggregate(
+        [("text_bytes", "count"), ("text_bytes", "sum")])
+    g = g.rename_columns(SINK_KEYS + ["doc_count", "byte_count"])
+    g = pa.table({
+        "lang": g.column("lang"),
+        "host_bucket": g.column("host_bucket"),
+        "doc_count": g.column("doc_count").cast(pa.int64()),
+        "byte_count": g.column("byte_count").cast(pa.int64()),
+    })
+    order = pc.sort_indices(g, sort_keys=[("lang", "ascending"),
+                                          ("host_bucket", "ascending")])
+    return g.take(order)
+
+
+# remote wrapper: read-backs run as cluster tasks (4 threads each), in
+# parallel across partitions, off the driver's CPU
+_read_back_counts_task = ray.remote(num_cpus=2)(_read_back_counts_local)
+
+
 def _read_back_counts(sink_dir: str) -> pa.Table:
-    back = ray.data.read_parquet(sink_dir, columns=["text_bytes", *SINK_KEYS])
-    back = back.map_batches(_cast_partition_cols, batch_format="pyarrow")
-    return sink_counts_table(back)
+    return ray.get(_read_back_counts_task.remote(sink_dir))
 
 
 def _cast_partition_cols(b: pa.Table) -> pa.Table:
@@ -145,6 +197,7 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     files = shard_files(cfg.corpus_dir)
     if not files:
         raise FileNotFoundError(f"no shards under {cfg.corpus_dir}/pages")
+    files = files * max(1, cfg.repeat_input)
     nparts = min(cfg.num_partitions, len(files))
     parts: dict[int, list[str]] = {i: [] for i in range(nparts)}
     for i, f in enumerate(files):
@@ -163,7 +216,14 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     # PLUS read/write task slots; more jobs than cpus//4 starves the task
     # pools and livelocks the concurrent executors
     dp = max(1, min(cfg.driver_parallelism, len(todo), cpus // 4))
-    per_part = (1, max(2, cpus // dp))
+    # extraction is the compute stage -> most of the slice; enrich is a
+    # ~ms/batch dict lookup -> tiny pool.  Pools autoscale between a
+    # pre-started minimum (fast ramp) and a cap; fully-fixed pools across
+    # dp concurrent executions would reserve every CPU and starve the
+    # read/write task operators into a livelock
+    slice_ = max(2, cpus // dp)
+    ex_conc = max(2, slice_ * 3 // 4)          # fixed pool: no ramp lag
+    en_conc = (1, max(1, slice_ // 16) or 1)
 
     def run_one(pid: int) -> int:
         sink_dir = os.path.join(cfg.out_dir, "sinks", f"p{pid:05d}")
@@ -174,11 +234,23 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         tp = time.perf_counter()
         ds = build_routed_dataset(
             cfg.corpus_dir, files=parts[pid], batch_size=cfg.batch_size,
-            extract_concurrency=cfg.extract_concurrency or per_part,
-            enrich_concurrency=cfg.enrich_concurrency or per_part,
+            extract_concurrency=cfg.extract_concurrency or ex_conc,
+            enrich_concurrency=cfg.enrich_concurrency or en_conc,
             lookups_ref=lookups_ref,
+            num_blocks=cfg.num_blocks,
         )
-        ds.write_parquet(sink_dir, partition_cols=SINK_KEYS)
+        # STREAMING coalesce before the fan-out write: bounds output
+        # file count without the memory barrier of a count-based
+        # repartition (which materializes the whole partition in the
+        # object store and spills at scale).  Block target shrinks as
+        # CPUs grow so parquet-encode parallelism scales with the
+        # cluster instead of being capped by a fixed block size.
+        ds = ds.repartition(target_num_rows_per_block=131_072)
+        # row_group_size: without it the sink emits one row group per
+        # arrow chunk (~8 rows after the partition split) and every later
+        # read pays ~50x metadata overhead
+        ds.write_parquet(sink_dir, partition_cols=SINK_KEYS,
+                         row_group_size=131072)
         agg = _read_back_counts(sink_dir)
         sinks = {
             f"lang={r['lang']}/host_bucket={r['host_bucket']}":

@@ -28,9 +28,7 @@ def _coalesce_binary(a: pa.Array, b: pa.Array, fill: bytes = b"") -> pa.Array:
 def _clean_binary(arr: pa.Array, strip_blocks: bool) -> pa.Array:
     """Shared clean() step of the extraction spec, vectorized."""
     if strip_blocks:
-        arr = pc.replace_substring_regex(arr, pattern=P.COMMENT_RE, replacement=" ")
-        arr = pc.replace_substring_regex(arr, pattern=P.SCRIPT_RE, replacement=" ")
-        arr = pc.replace_substring_regex(arr, pattern=P.TAG_RE, replacement=" ")
+        arr = pc.replace_substring_regex(arr, pattern=P.STRIP_RE, replacement=" ")
     for ent, ch in P.ENTITY_ORDER:
         arr = pc.replace_substring(arr, pattern=ent, replacement=ch)
     arr = pc.replace_substring_regex(arr, pattern=P.WS_RE, replacement=" ")
@@ -57,8 +55,7 @@ class HtmlExtractor:
         # the reference's build-parsers-once contract, index.go:70-75).
         self.patterns = {
             "title": P.TITLE_RE,
-            "body_closed": P.BODY_CLOSED_RE,
-            "body_open": P.BODY_OPEN_RE,
+            "body": P.BODY_RE,
             "access": P.ACCESS_LOG_RE,
             "meta_lang": P.META_LANG_RE,
         }
@@ -69,10 +66,14 @@ class HtmlExtractor:
             html = html.combine_chunks()
 
         title_raw = _first_group(html, self.patterns["title"])
-        body_raw = _coalesce_binary(
-            _first_group(html, self.patterns["body_closed"]),
-            _first_group(html, self.patterns["body_open"]),
-        )
+        body_st = pc.extract_regex(html, pattern=self.patterns["body"])
+        # exactly one alternative participates per match and Arrow fills
+        # the other group with b"" (not null), so concat == the match;
+        # a no-match row is null in both -> coalesced to b""
+        body_raw = pc.binary_join_element_wise(
+            pc.struct_field(body_st, ["g"]), pc.struct_field(body_st, ["g2"]),
+            pa.scalar(b"", type=pa.binary()))
+        body_raw = pc.coalesce(body_raw, pa.scalar(b"", type=pa.binary()))
         title_raw = pc.coalesce(title_raw, pa.scalar(b"", type=title_raw.type))
 
         title_c = _clean_binary(title_raw, strip_blocks=False)
