@@ -187,6 +187,20 @@ def _doc_search_topk(sf_dir: str):
     return top.select_columns(["doc_id", "score"])
 
 
+def _pages_search(sf_dir: str):
+    """Top-k weighted substring search over the extracted corpus text --
+    reference `search` command parity (A2/A3) on the flagship data."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.extract import HtmlExtractor
+    from go_distributed_log_search_ray.stages.search import topk_search
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(HtmlExtractor, batch_size=512, batch_format="pyarrow",
+                        concurrency=(1, 8))
+    top = topk_search(ds, term="kernel", fields=["text", "title"], k=50,
+                      id_col="url")
+    return top.select_columns(["url", "score"])
+
+
 def _doc_minhash_keep(sf_dir: str):
     """Near-dup dedup (MinHash+LSH): kept doc ids.  Non-SQL-expressible:
     rows-only driver check; exactness covered in pytest."""
@@ -251,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _doc_fingerprint,
         "doc_lang_agg": _doc_lang_agg,
         "doc_search_topk": _doc_search_topk,
+        "pages_search": _pages_search,
         "doc_minhash_keep": _doc_minhash_keep,
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
@@ -329,6 +344,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM d GROUP BY user_id""",
+        "pages_search": f"""
+            SELECT url, CAST(score AS BIGINT) AS score FROM (
+              SELECT url,
+                     (CASE WHEN lower(text) LIKE '%kernel%' THEN 10 ELSE 0 END
+                    + CASE WHEN lower(title) LIKE '%kernel%' THEN 10 ELSE 0 END)
+                     AS score
+              FROM read_parquet('{pages}')) s
+            WHERE score > 0 ORDER BY score DESC, url ASC LIMIT 50""",
         "doc_exact_dedup": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)""",

@@ -42,7 +42,8 @@ def _warmup(num_cpus: int) -> None:
         .map_batches(lambda b: b, batch_format="pyarrow").count()
 
 
-def run_headline(num_cpus: int, repeat_input: int = 1) -> dict:
+def run_headline(num_cpus: int, repeat_input: int = 1,
+                 scale_mode: bool = False) -> dict:
     """Flagship pipeline; returns {'sec':..., 'rows':..., 'docs_per_sec':...}."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
@@ -56,9 +57,19 @@ def run_headline(num_cpus: int, repeat_input: int = 1) -> dict:
     _init_ray(num_cpus)
     _warmup(num_cpus)
     t0 = time.perf_counter()
-    res = run_pipeline(PipelineConfig(
-        corpus_dir=corpus, out_dir=out, num_partitions=8, resume=False,
-        repeat_input=repeat_input))
+    if scale_mode:
+        # scaling criterion config: long compute-dominated job, equal
+        # 20k-row read blocks at every cluster size, big sequential
+        # partitions (SURVEY section 6 / BASELINE.md)
+        cfg = PipelineConfig(
+            corpus_dir=corpus, out_dir=out, num_partitions=2,
+            driver_parallelism=1, resume=False, repeat_input=32,
+            num_blocks=48)
+    else:
+        cfg = PipelineConfig(
+            corpus_dir=corpus, out_dir=out, num_partitions=8, resume=False,
+            repeat_input=repeat_input)
+    res = run_pipeline(cfg)
     sec = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
     return {"sec": sec, "rows": res["total_rows"],
@@ -89,11 +100,18 @@ def run_queries() -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        # N vs 4N evidence (sandbox stand-in for two cluster sizes):
+        # fresh process per size, pinned with taskset so the small size
+        # cannot free-ride on idle physical cores (see BASELINE.md for
+        # the single-node confounds this still carries)
         results = {}
         for n in (8, 32):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--headline-only", "--scale-mode"]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--headline-only"],
-                env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
+                cmd, env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
                 capture_output=True, text=True, timeout=3600)
             line = [l for l in p.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
@@ -103,6 +121,7 @@ def main() -> None:
             "metric": "scaling_efficiency",
             "throughput_8cpu_docs_per_sec": round(t8, 1),
             "throughput_32cpu_docs_per_sec": round(t32, 1),
+            "rows": results[32]["rows"],
             "speedup": round(t32 / t8, 3),
             "scaling_efficiency": round((t32 / t8) / 4.0, 3),
             "sf_dir": SF_DIR,
@@ -110,7 +129,7 @@ def main() -> None:
         return
 
     if "--headline-only" in sys.argv:
-        h = run_headline(NUM_CPUS)
+        h = run_headline(NUM_CPUS, scale_mode="--scale-mode" in sys.argv)
         print(json.dumps({"metric": "headline_pipeline_sec",
                           "value": round(h["sec"], 3), "unit": "sec",
                           "docs_per_sec": round(h["docs_per_sec"], 1),

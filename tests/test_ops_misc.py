@@ -109,3 +109,17 @@ def test_multimodal_stubs():
     ds = ray.data.from_arrow(t).map_batches(
         ImageDecode, batch_format="pyarrow", batch_size=2, concurrency=1)
     assert ds.count() == 3
+
+
+def test_salted_groupby_equals_unsalted(corpus_dir):
+    """Salted two-phase fold (skew defense) must produce identical
+    aggregates to the direct fold."""
+    import glob
+    import ray.data
+    from go_distributed_log_search_ray.pipelines.ingest import build_routed_dataset
+    from go_distributed_log_search_ray.stages.aggregate import sink_counts_table
+    files = sorted(glob.glob(f"{corpus_dir}/pages/*.parquet"))
+    plain = sink_counts_table(build_routed_dataset(corpus_dir, files=files))
+    salted = sink_counts_table(build_routed_dataset(corpus_dir, files=files),
+                               salt=4)
+    assert plain.to_pylist() == salted.to_pylist()
