@@ -222,8 +222,11 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     # dp concurrent executions would reserve every CPU and starve the
     # read/write task operators into a livelock
     slice_ = max(2, cpus // dp)
-    ex_conc = max(2, slice_ * 3 // 4)          # fixed pool: no ramp lag
-    en_conc = (1, max(1, slice_ // 16) or 1)
+    # fixed pool (no autoscale ramp lag), but ALWAYS leave >=2 task slots
+    # per pipeline: extract+enrich actors occupying every CPU slot starves
+    # the read/write task operators into a livelock
+    ex_conc = max(1, min(slice_ * 3 // 4, slice_ - 2))
+    en_conc = (1, max(1, slice_ // 16))
 
     def run_one(pid: int) -> int:
         sink_dir = os.path.join(cfg.out_dir, "sinks", f"p{pid:05d}")
