@@ -120,6 +120,11 @@ def _hot_bucket_members(banded: Dataset, id_col: str) -> "pa.Table":
     """
     from ray.data.aggregate import Sum
 
+    # consumed twice (counts, then survivor filter): pin the band rows so
+    # the signature chain doesn't re-execute.  Band rows are ~16 ints/doc;
+    # at 10^12 docs swap this for a parquet spill + re-read.
+    banded = banded.materialize()
+
     def partial(b: pa.Table) -> pa.Table:
         g = b.select(["band_key"]).group_by(["band_key"])
         out = g.aggregate([("band_key", "count")])
@@ -159,39 +164,74 @@ def lsh_candidate_pairs(banded: Dataset, id_col: str = "doc_id") -> list[tuple]:
     return sorted(seen)
 
 
+def _shingle_set(a: str, k: int = 5) -> frozenset:
+    return frozenset(a[i:i + k] for i in range(max(1, len(a) - k + 1)))
+
+
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     """Exact char-k-gram Jaccard (verification kernel)."""
-    sa = {a[i:i + k] for i in range(max(1, len(a) - k + 1))}
-    sb = {b[i:i + k] for i in range(max(1, len(b) - k + 1))}
+    sa, sb = _shingle_set(a, k), _shingle_set(b, k)
+    return _set_jaccard(sa, sb)
+
+
+def _set_jaccard(sa: frozenset, sb: frozenset) -> float:
     if not sa and not sb:
         return 1.0
-    return len(sa & sb) / len(sa | sb)
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
 
 
 def minhash_dedup(ds: Dataset, id_col: str = "doc_id",
                   threshold: float = 0.8, num_perm: int = 64,
-                  bands: int = 16) -> dict:
+                  bands: int = 8) -> dict:
     """Full near-dup pipeline.  Returns {'pairs': verified dup pairs,
-    'keep': sorted kept ids, 'drop': sorted dropped ids}."""
+    'keep': sorted kept ids, 'drop': sorted dropped ids}.
+
+    Banding default b=8/r=8 targets the 0.8 threshold
+    ((1/b)^(1/r) ~= 0.77); pairs surviving the LSH are pre-filtered by
+    vectorized signature similarity (est jaccard >= threshold - 0.15)
+    before the exact shingle-set verification, so corpora with high
+    baseline similarity don't explode the exact-verify stage.
+    """
+    # materialize the (tiny) input and band tables: every downstream
+    # consumption would otherwise re-execute the whole signature chain
+    ds = ds.materialize()
     sigged = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
-                            batch_format="pyarrow", concurrency=(1, 8))
+                            batch_format="pyarrow", concurrency=(1, 8)).materialize()
     banded = sigged.map_batches(
         lambda b: band_rows(b, num_perm=num_perm, bands=bands, id_col=id_col),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     cands = lsh_candidate_pairs(banded, id_col=id_col)
     if not cands:
         all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
         return {"pairs": [], "keep": all_ids, "drop": []}
 
-    # fetch texts for candidate ids only (tiny targeted read)
+    # signature pre-filter: est. jaccard = fraction of agreeing minhashes
+    sig_rows = sigged.select_columns([id_col, "minhash"]).take_all()
+    sig_of = {r[id_col]: np.asarray(r["minhash"]) for r in sig_rows}
+    pairs_arr = np.asarray(cands)
+    sa = np.stack([sig_of[a] for a in pairs_arr[:, 0]])
+    sb = np.stack([sig_of[b] for b in pairs_arr[:, 1]])
+    est = (sa == sb).mean(axis=1)
+    cands = [tuple(p) for p in pairs_arr[est >= threshold - 0.15]]
+    if not cands:
+        all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
+        return {"pairs": [], "keep": all_ids, "drop": []}
+
+    # fetch texts for surviving candidate ids only (vectorized isin filter)
     need = sorted({x for p in cands for x in p})
-    need_set = set(need)
-    texts = {}
+    need_arr = np.asarray(need)
+
+    def keep_needed(b: pa.Table) -> pa.Table:
+        mask = np.isin(np.asarray(b.column(id_col)), need_arr)
+        return b.filter(pa.array(mask))
+
+    shingles = {}
     for row in ds.select_columns([id_col, "text"]) \
-                 .filter(lambda r: r[id_col] in need_set).take_all():
-        texts[row[id_col]] = row["text"]
+                 .map_batches(keep_needed, batch_format="pyarrow").take_all():
+        shingles[row[id_col]] = _shingle_set(row["text"])
     verified = [(a, b) for a, b in cands
-                if ngram_jaccard(texts[a], texts[b]) >= threshold]
+                if _set_jaccard(shingles[a], shingles[b]) >= threshold]
 
     # union-find fold (driver-side; |pairs| << |docs|)
     parent: dict = {}
