@@ -201,6 +201,64 @@ def _pages_search(sf_dir: str):
     return top.select_columns(["url", "score"])
 
 
+def _pages_status_agg(sf_dir: str):
+    """Grok-extracted access-log fields -> per-(method,status) counts."""
+    import ray.data
+    from ray.data.aggregate import Count
+    from go_distributed_log_search_ray.stages.extract import HtmlExtractor
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(HtmlExtractor, batch_size=512, batch_format="pyarrow",
+                        concurrency=(1, 8))
+    ds = ds.filter(expr="log_status is not null")
+    agg = ds.groupby(["log_method", "log_status"]).aggregate(
+        Count(alias_name="hits"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return t.set_column(t.column_names.index("hits"), "hits",
+                        t.column("hits").cast(pa.int64()))
+
+
+def _doc_quality_score(sf_dir: str):
+    """Heuristic quality score (float): rows-only check; exact feature
+    counts are oracle-checked in doc_quality_features."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.textstats import quality_score_batch
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow")              .select_columns(["doc_id", "quality_score"])
+
+
+def _doc_langid(sf_dir: str):
+    """Stopword-profile language ID (rows-only; heuristic)."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.textstats import LangId
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=(1, 4))              .select_columns(["doc_id", "lang_pred"])
+
+
+def _doc_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (rows-only; verified in pytest)."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.dedup import simhash_near_dups
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pairs = simhash_near_dups(ds, max_hamming=3)
+    return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                     "b": pa.array([p[1] for p in pairs], pa.int64())})
+
+
+def _emb_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.dedup import embedding_near_dups
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups(ds, threshold=0.9, dim=64)
+    return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                     "b": pa.array([p[1] for p in pairs], pa.int64())})
+
+
 def _doc_minhash_keep(sf_dir: str):
     """Near-dup dedup (MinHash+LSH): kept doc ids.  Non-SQL-expressible:
     rows-only driver check; exactness covered in pytest."""
@@ -250,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_sink_agg": _pages_sink_agg,
         "pages_enrich_agg": _pages_enrich_agg,
         "pages_exact_dedup": _pages_exact_dedup,
+        "pages_status_agg": _pages_status_agg,
         # relational / windowed operators over driver tables
         "q1_pricing": R.q1_pricing,
         "revenue_filter": R.revenue_filter,
@@ -267,6 +326,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_topk": _doc_search_topk,
         "pages_search": _pages_search,
         "doc_minhash_keep": _doc_minhash_keep,
+        "doc_quality_score": _doc_quality_score,
+        "doc_langid": _doc_langid,
+        "doc_simhash_pairs": _doc_simhash_pairs,
+        "emb_near_dups": _emb_near_dups,
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
@@ -344,6 +407,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM d GROUP BY user_id""",
+        "pages_status_agg": f"""
+            SELECT log_method, log_status, count(*) AS hits
+            FROM read_parquet('{pages}')
+            WHERE log_status IS NOT NULL
+            GROUP BY log_method, log_status""",
         "pages_search": f"""
             SELECT url, CAST(score AS BIGINT) AS score FROM (
               SELECT url,

@@ -98,6 +98,20 @@ def run_queries() -> dict:
     return out
 
 
+def _wait_for_ray_teardown(max_wait: int = 90) -> None:
+    """Block until the previous leg's Ray processes are fully gone:
+    lingering raylet/worker processes from leg N-1 contend with leg N and
+    corrupted measurements by 3x in testing."""
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        p = subprocess.run(["pgrep", "-f", "ray::|raylet|gcs_server"],
+                           capture_output=True, text=True)
+        if not p.stdout.strip():
+            break
+        time.sleep(3)
+    time.sleep(10)  # let page cache / shm settle
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         # N vs 4N evidence (sandbox stand-in for two cluster sizes):
@@ -106,6 +120,7 @@ def main() -> None:
         # the single-node confounds this still carries)
         results = {}
         for n in (8, 32):
+            _wait_for_ray_teardown()
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--headline-only", "--scale-mode"]
             if shutil.which("taskset"):

@@ -133,12 +133,11 @@ def build_routed_dataset(
                                override_num_blocks=num_blocks)
     ds = ds.map_batches(
         HtmlExtractor,
+        fn_constructor_kwargs={"drop_html": drop_html},
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=extract_concurrency or _default_concurrency(),
     )
-    if drop_html:
-        ds = ds.drop_columns(["html"])
     ds = ds.map_batches(derive_host, batch_format="pyarrow")
     ds = ds.map_batches(
         Enricher,

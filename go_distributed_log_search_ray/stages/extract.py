@@ -49,7 +49,7 @@ class HtmlExtractor:
     batch_format="pyarrow").  Emits text/title/lang_meta/grok columns next
     to the pass-through input columns."""
 
-    def __init__(self) -> None:
+    def __init__(self, drop_html: bool = True) -> None:
         # RE2 programs are compiled inside Arrow per kernel call; what we
         # pin per-actor is the pattern set + field plan (cheap but mirrors
         # the reference's build-parsers-once contract, index.go:70-75).
@@ -59,6 +59,10 @@ class HtmlExtractor:
             "access": P.ACCESS_LOG_RE,
             "meta_lang": P.META_LANG_RE,
         }
+        # drop the heavy payload INSIDE the stage: emitting html only for
+        # a downstream drop_columns ships ~60% dead bytes through the
+        # object store per batch
+        self.drop_html = drop_html
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         html = batch.column("html")
@@ -100,6 +104,8 @@ class HtmlExtractor:
             "text_bytes": pc.binary_length(pc.cast(text, pa.binary())).cast(pa.int64()),
         }
         out = batch
+        if self.drop_html:
+            out = out.drop_columns(["html"])
         for name, arr in cols.items():
             if name in out.column_names:
                 out = out.drop_columns([name])
