@@ -5,10 +5,14 @@ aggregate over the synthetic web-page corpus tagged after $GRAFT_SF_DIR)
 plus representative operator pipelines over the driver tables, and prints
 ONE JSON line.
 
---scaling: runs the headline job twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports throughput at
-both plus scaling efficiency = (T32/T8)/4 (the sandbox stand-in for the
-N-vs-4N-node cluster criterion; see BASELINE.md).
+--scaling: runs the headline job twice in FRESH processes at two CPU
+sizes (default N=4 vs 4N=16, override with GRAFT_SCALE_SIZES="8,32") on
+the same input, taskset-pinned, and reports throughput at both plus
+scaling efficiency = (T_hi/T_lo)/(hi/lo) -- the sandbox stand-in for the
+N-vs-4N-node cluster criterion.  4/16 is the default because a single
+32-core box SATURATES (shared memory bandwidth + one plasma store + one
+disk) near 32 slots, which no multi-node cluster would; BASELINE.md
+records both pairs.
 """
 
 from __future__ import annotations
@@ -118,8 +122,10 @@ def main() -> None:
         # fresh process per size, pinned with taskset so the small size
         # cannot free-ride on idle physical cores (see BASELINE.md for
         # the single-node confounds this still carries)
+        sizes = tuple(int(x) for x in os.environ.get(
+            "GRAFT_SCALE_SIZES", "4,16").split(","))
         results = {}
-        for n in (8, 32):
+        for n in sizes:
             _wait_for_ray_teardown()
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--headline-only", "--scale-mode"]
@@ -131,14 +137,17 @@ def main() -> None:
             line = [l for l in p.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
             results[n] = json.loads(line)
-        t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+        lo, hi = sizes
+        tlo, thi = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
+        ratio = hi / lo
         print(json.dumps({
             "metric": "scaling_efficiency",
-            "throughput_8cpu_docs_per_sec": round(t8, 1),
-            "throughput_32cpu_docs_per_sec": round(t32, 1),
-            "rows": results[32]["rows"],
-            "speedup": round(t32 / t8, 3),
-            "scaling_efficiency": round((t32 / t8) / 4.0, 3),
+            f"throughput_{lo}cpu_docs_per_sec": round(tlo, 1),
+            f"throughput_{hi}cpu_docs_per_sec": round(thi, 1),
+            "rows": results[hi]["rows"],
+            "speedup": round(thi / tlo, 3),
+            "scaling_efficiency": round((thi / tlo) / ratio, 3),
+            "cpu_sizes": [lo, hi],
             "sf_dir": SF_DIR,
         }))
         return
