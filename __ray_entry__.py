@@ -209,7 +209,9 @@ def _pages_status_agg(sf_dir: str):
     ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir), columns=["url", "html"])
     ds = ds.map_batches(HtmlExtractor, batch_size=512, batch_format="pyarrow",
                         concurrency=(1, 8))
-    ds = ds.filter(expr="log_status is not null")
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("log_status"))),
+        batch_format="pyarrow")
     agg = ds.groupby(["log_method", "log_status"]).aggregate(
         Count(alias_name="hits"))
     t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -254,7 +256,7 @@ def _emb_near_dups(sf_dir: str):
     from go_distributed_log_search_ray.stages.dedup import embedding_near_dups
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    pairs = embedding_near_dups(ds, threshold=0.9, dim=64)
+    pairs = embedding_near_dups(ds, threshold=0.45, dim=64)
     return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
                      "b": pa.array([p[1] for p in pairs], pa.int64())})
 

@@ -326,32 +326,47 @@ def simhash_near_dups(ds: Dataset, id_col: str = "doc_id",
 # -- embedding cosine near-dup --------------------------------------------
 
 class HyperplaneLSH:
-    """Random-hyperplane bucketing: planes drawn once per actor from a
-    fixed seed."""
+    """Multi-table random-hyperplane LSH: L tables of k planes each,
+    drawn once per actor from a fixed seed.  A pair collides if it agrees
+    on ALL k bits of ANY table -- recall for similarity s is
+    1-(1-p^k)^L with p = 1 - arccos(s)/pi, so more tables = higher
+    recall, more planes per table = fewer false candidates."""
 
-    def __init__(self, dim: int, num_planes: int = 12, seed: int = 5) -> None:
+    def __init__(self, dim: int, num_planes: int = 8, num_tables: int = 8,
+                 seed: int = 5) -> None:
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, num_planes))
+        self.planes = rng.standard_normal((num_tables, dim, num_planes))
+        self.num_tables = num_tables
+        self.num_planes = num_planes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Emit band-style rows: one (band_key, id, embedding) row per
+        table per input row; band index folded into the key."""
         emb = np.asarray(batch.column("embedding").combine_chunks()
                          .flatten()).reshape(len(batch), -1).astype(np.float64)
-        proj = emb @ self.planes
-        bits = (proj > 0).astype(np.uint64)
-        key = (bits << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
-        return batch.append_column("lsh_bucket",
-                                   pa.array(key.astype(np.int64)))
+        n = emb.shape[0]
+        keys = np.empty((n, self.num_tables), dtype=np.uint64)
+        shifts = np.arange(self.num_planes, dtype=np.uint64)
+        for t in range(self.num_tables):
+            bits = (emb @ self.planes[t] > 0).astype(np.uint64)
+            keys[:, t] = (bits << shifts).sum(axis=1) \
+                + np.uint64(t + 1) * np.uint64(1 << 48)
+        out = {"band_key": pa.array(keys.ravel().astype(np.int64))}
+        for name in batch.column_names:
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out[name] = col.take(np.repeat(np.arange(n), self.num_tables))
+        return pa.table(out)
 
 
 def embedding_near_dups(ds: Dataset, id_col: str = "vec_id",
-                        threshold: float = 0.95, dim: int = 64) -> list[tuple]:
-    bucketed = ds.map_batches(HyperplaneLSH, fn_constructor_kwargs={"dim": dim},
-                              batch_format="pyarrow", concurrency=(1, 8))
-    banded = bucketed.map_batches(
-        lambda b: pa.table({"band_key": b.column("lsh_bucket"),
-                            id_col: b.column(id_col),
-                            "embedding": b.column("embedding")}),
-        batch_format="pyarrow")
+                        threshold: float = 0.95, dim: int = 64,
+                        num_tables: int = 8) -> list[tuple]:
+    banded = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "num_tables": num_tables},
+        batch_format="pyarrow", concurrency=(1, 8))
     t = _hot_bucket_members(banded, id_col)
     if t.num_rows == 0:
         return []
