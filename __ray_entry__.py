@@ -201,6 +201,23 @@ def _pages_search(sf_dir: str):
     return top.select_columns(["url", "score"])
 
 
+def _pages_host_count(sf_dir: str):
+    """Per-host doc counts (Zipf-skewed key: the skew-visible aggregate).
+    Partial per-batch combine keeps the shuffle at O(hosts) per block."""
+    from ray.data.aggregate import Sum
+    ds = _routed(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["host"]).group_by(["host"])
+        return g.aggregate([("host", "count")]).rename_columns(
+            ["host", "doc_count"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow")         .groupby("host").aggregate(Sum("doc_count", alias_name="doc_count"))
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return t.set_column(t.column_names.index("doc_count"), "doc_count",
+                        t.column("doc_count").cast(pa.int64()))
+
+
 def _pages_status_agg(sf_dir: str):
     """Grok-extracted access-log fields -> per-(method,status) counts."""
     import ray.data
@@ -311,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_enrich_agg": _pages_enrich_agg,
         "pages_exact_dedup": _pages_exact_dedup,
         "pages_status_agg": _pages_status_agg,
+        "pages_host_count": _pages_host_count,
         # relational / windowed operators over driver tables
         "q1_pricing": R.q1_pricing,
         "revenue_filter": R.revenue_filter,
@@ -409,6 +427,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM d GROUP BY user_id""",
+        "pages_host_count": f"""
+            SELECT host, count(*) AS doc_count
+            FROM read_parquet('{pages}') GROUP BY host""",
         "pages_status_agg": f"""
             SELECT log_method, log_status, count(*) AS hits
             FROM read_parquet('{pages}')
