@@ -51,10 +51,73 @@ def score_batch(batch: pa.Table, term: str, fields: list[str]) -> pa.Table:
     return batch.append_column("score", score)
 
 
+def score_dynamic(batch: pa.Table, term: str,
+                  dynamic_col: str = "_dynamic") -> pa.Array:
+    """Score the dynamic catch-all: each subfield value is searched as
+    text; a row scores once per matching subKEY at that key's weight
+    (reference: _dynamic subkeys indexed as text fields,
+    src/commands/mod.go:149-158 + search scoring over them).
+
+    Vectorized over the exploded map: match on flattened items, then a
+    per-row segment-sum via the map offsets."""
+    import numpy as np
+
+    col = batch.column(dynamic_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    keys = col.keys
+    items = col.items
+    offsets = np.asarray(col.offsets)
+    if len(items) == 0:
+        return pa.array([0] * batch.num_rows, type=pa.int64())
+    hit = pc.fill_null(
+        pc.match_substring(pc.utf8_lower(pc.cast(items, pa.string())),
+                           term.lower()), False)
+    w = np.array([field_weight(k2) for k2 in keys.to_pylist()],
+                 dtype=np.int64)
+    contrib = np.asarray(hit).astype(np.int64) * w
+    per_row = np.add.reduceat(
+        np.concatenate([contrib, [0]]), offsets[:-1])
+    per_row = np.where(np.diff(offsets) == 0, 0, per_row)
+    return pa.array(per_row, type=pa.int64())
+
+
 def topk_search(ds: Dataset, term: str, fields: list[str], k: int,
-                id_col: str) -> Dataset:
+                id_col: str, include_dynamic: bool = False) -> Dataset:
     """Vectorized score -> filter score>0 -> exact global top-k."""
-    scored = ds.map_batches(lambda b: score_batch(b, term, fields),
-                            batch_format="pyarrow")
+
+    def score(b: pa.Table) -> pa.Table:
+        b = score_batch(b, term, fields)
+        if include_dynamic and "_dynamic" in b.column_names:
+            total = pc.add(b.column("score"), score_dynamic(b, term))
+            b = b.set_column(b.column_names.index("score"), "score", total)
+        return b
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
     hits = scored.filter(expr="score > 0")  # vectorized Arrow filter
     return hits.sort(key=["score", id_col], descending=[True, False]).limit(k)
+
+
+def format_results(rows: list[dict], dynamic_col: str = "_dynamic") -> list[dict]:
+    """Reference result shape: _dynamic entries re-merged into the
+    document root before output (src/commands/search.go:318-326), nested
+    flattened names re-expanded (search.go:301-362)."""
+    from ..config.schema import unescape_split
+
+    out = []
+    for r in rows:
+        doc: dict = {}
+        for k2, v in r.items():
+            if k2 == dynamic_col:
+                for dk, dv in (v or []):
+                    doc[dk] = dv
+            elif "." in k2:
+                parts = unescape_split(k2)
+                cur = doc
+                for p in parts[:-1]:
+                    cur = cur.setdefault(p, {})
+                cur[parts[-1]] = v
+            else:
+                doc[k2] = v
+        out.append(doc)
+    return out

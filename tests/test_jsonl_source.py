@@ -74,3 +74,36 @@ def test_mixed_type_timestamp_column(jsonl_path):
     ds = read_jsonl(jsonl_path, SCHEMA, concurrency=1)
     ts = [r["timestamp"] for r in ds.take_all()]
     assert ts[0] is not None and ts[1] is not None
+
+
+def test_search_over_parsed_logs_with_dynamic_and_format(jsonl_path):
+    """End-to-end reference `search` parity over the parsed HDFS corpus:
+    weighted scoring incl. flattened-nested (weight 3) and _dynamic
+    subfields, then result formatting re-merges _dynamic into the root
+    (search.go:318-326)."""
+    from go_distributed_log_search_ray.stages.search import (
+        topk_search, format_results)
+    ds = read_jsonl(jsonl_path, SCHEMA, concurrency=1)
+    top = topk_search(ds, term="datanode",
+                      fields=["body", "severity_text", "attributes.class",
+                              "resource.service"],
+                      k=5, id_col="timestamp", include_dynamic=True)
+    rows = top.take_all()
+    # row 0: class contains DataNode (nested, 3) + service datanode/01 (3)
+    assert len(rows) == 1
+    assert rows[0]["score"] == 6
+    docs = format_results(rows)
+    assert docs[0]["attributes"]["class"].endswith("clienttrace")
+    assert docs[0]["unexpected_key"] == "kept-in-dynamic"  # re-merged
+
+
+def test_dynamic_scoring():
+    import pyarrow as pa
+    from go_distributed_log_search_ray.stages.search import score_dynamic
+    t = pa.table({
+        "_dynamic": pa.array(
+            [[("title", "the kernel doc")], [("x", "nothing")], []],
+            type=pa.map_(pa.string(), pa.string())),
+    })
+    s = score_dynamic(t, "kernel").to_pylist()
+    assert s == [10, 0, 0]  # subfield scored at its own field weight
