@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_route_agg": R.events_route_agg,
         "events_hourly": R.events_hourly,
         "events_sessions": R.events_sessions,
+        "events_distinct_users": R.events_distinct_users,
         # training-data text ops
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
@@ -443,6 +444,10 @@ def oracle_sql() -> dict[str, str]:
                      AS score
               FROM read_parquet('{pages}')) s
             WHERE score > 0 ORDER BY score DESC, url ASC LIMIT 50""",
+        "events_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events GROUP BY event_type""",
         "doc_exact_dedup": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)""",

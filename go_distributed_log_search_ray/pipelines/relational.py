@@ -185,6 +185,37 @@ def events_hourly(sf_dir: str) -> pa.Table:
     return _sorted_table(agg, ["hour_epoch"])
 
 
+def events_distinct_users(sf_dir: str) -> pa.Table:
+    """COUNT(DISTINCT user) per event type, shuffle-minimal: per-batch
+    unique (type, user) pairs first (the combiner shrinks the shuffle to
+    at most |types|x|users| rows per block), then a global pair dedup via
+    groupby, then a tiny per-type fold -- the standard distributed
+    distinct pattern, no per-group Python."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def uniq_pairs(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate(
+            [("user_id", "count")])
+        return g.rename_columns(["event_type", "user_id", "cnt"])
+
+    # global pair dedup: one output row per distinct (type, user)
+    pairs = ds.map_batches(uniq_pairs, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]).aggregate(
+            Sum("cnt", alias_name="cnt"))
+
+    def per_type(b: pa.Table) -> pa.Table:
+        g = b.select(["event_type"]).group_by(["event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["event_type", "distinct_users"])
+
+    agg = pairs.map_batches(per_type, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("distinct_users", alias_name="distinct_users"))
+    t = _sorted_table(agg, ["event_type"])
+    return pa.table({"event_type": t.column("event_type"),
+                     "distinct_users": t.column("distinct_users").cast(pa.int64())})
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     """Gap-based sessionization per user: groupby(user).map_groups with a
     vectorized per-group diff (hash shuffle on user_id -- each group is
