@@ -80,6 +80,30 @@ def run_headline(num_cpus: int, repeat_input: int = 1,
             "docs_per_sec": res["total_rows"] / sec}
 
 
+def sequential_reference_throughput(max_docs: int = 5000) -> float:
+    """Docs/s of the sequential pure-Python reference extractor (the
+    oracle; stands in for the reference engine's single-threaded
+    per-document parse loop, /root/reference src/commands/index.go) on
+    the same corpus -- the single-node comparison point."""
+    import glob
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.corpus.generator import generate
+    from go_distributed_log_search_ray.corpus.reference import extract_document
+
+    corpus = generate(SF_DIR)
+    files = sorted(glob.glob(os.path.join(corpus, "pages", "*.parquet")))
+    htmls = []
+    for f in files:
+        htmls.extend(pq.read_table(f, columns=["html"]).column("html").to_pylist())
+        if len(htmls) >= max_docs:
+            break
+    htmls = htmls[:max_docs]
+    t0 = time.perf_counter()
+    for h in htmls:
+        extract_document(h)
+    return len(htmls) / (time.perf_counter() - t0)
+
+
 def run_queries() -> dict:
     """Representative operator timings over $GRAFT_SF_DIR tables."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -164,6 +188,7 @@ def main() -> None:
 
     h = run_headline(NUM_CPUS)
     queries = run_queries()
+    seq = sequential_reference_throughput()
     try:
         sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))
     except ValueError:
@@ -173,6 +198,8 @@ def main() -> None:
         "value": round(h["sec"], 3),
         "unit": "sec",
         "docs_per_sec": round(h["docs_per_sec"], 1),
+        "sequential_reference_docs_per_sec": round(seq, 1),
+        "speedup_vs_sequential": round(h["docs_per_sec"] / seq, 2),
         "rows": h["rows"],
         "queries": queries,
         "sf": sf,
