@@ -187,7 +187,7 @@ def main() -> None:
         return
 
     h = run_headline(NUM_CPUS)
-    steady = run_headline(NUM_CPUS, repeat_input=8)   # amortizes fixed costs
+    steady = run_headline(NUM_CPUS, scale_mode=True)  # long job, fixed costs amortized
     queries = run_queries()
     seq = sequential_reference_throughput()
     try:
