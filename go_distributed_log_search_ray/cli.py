@@ -1,0 +1,130 @@
+"""CLI parity with the reference's five subcommands
+(/root/reference src/main.go:50-71, arg definitions src/args/args.go):
+
+    create  -> persist a pipeline config/schema into the output manifest
+    index   -> run the flagship parse->enrich->route->aggregate pipeline
+    merge   -> compact committed sink partitions
+    search  -> weighted top-k substring search over committed sinks
+    drop    -> delete manifest first, sink files best-effort
+
+Usage examples:
+    python -m go_distributed_log_search_ray.cli index \
+        --corpus /tmp/graft_corpus_v2/sf0.001 --out /tmp/idx
+    python -m go_distributed_log_search_ray.cli search \
+        --out /tmp/idx --query kernel --limit 5
+    python -m go_distributed_log_search_ray.cli merge --out /tmp/idx
+    python -m go_distributed_log_search_ray.cli drop --out /tmp/idx
+
+Owns a Ray session only when run as a script (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _ensure_ray() -> None:
+    import logging
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def cmd_create(args) -> dict:
+    """Validate + persist the pipeline schema (reference `create`:
+    validate YAML schema, store config in catalog, create.go:16-61)."""
+    from .config.schema import PipelineSchema, FieldSpec
+
+    fields = [FieldSpec(name=n) for n in
+              (args.fields.split(",") if args.fields else [])]
+    schema = PipelineSchema(args.name, fields)
+    os.makedirs(args.out, exist_ok=True)
+    cfg_path = os.path.join(args.out, "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"name": schema.name,
+                   "fields": [fs.__dict__ for fs in schema.fields]}, f)
+    return {"created": args.name, "config": cfg_path}
+
+
+def cmd_index(args) -> dict:
+    from .pipelines.ingest import PipelineConfig, run_pipeline
+    _ensure_ray()
+    res = run_pipeline(PipelineConfig(
+        corpus_dir=args.corpus, out_dir=args.out,
+        num_partitions=args.partitions, resume=not args.no_resume))
+    return {k: v for k, v in res.items() if k != "sink_counts"}
+
+
+def cmd_merge(args) -> dict:
+    from .pipelines.compact import compact
+    _ensure_ray()
+    return compact(args.out, target_partitions=args.target_partitions)
+
+
+def cmd_search(args) -> dict:
+    from .pipelines.ingest import routed_rows
+    from .stages.search import topk_search
+    _ensure_ray()
+    ds = routed_rows(args.out, columns=["url", "text", "title", "lang",
+                                       "host_bucket"])
+    top = topk_search(ds, term=args.query,
+                      fields=args.fields.split(","), k=args.limit,
+                      id_col="url")
+    return {"results": [
+        {"url": r["url"], "score": r["score"], "lang": r["lang"]}
+        for r in top.take_all()]}
+
+
+def cmd_drop(args) -> dict:
+    from .state.manifest import Manifest
+    Manifest(args.out).drop()
+    return {"dropped": args.out}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="go_distributed_log_search_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create")
+    c.add_argument("--name", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--fields", default="")
+    c.set_defaults(fn=cmd_create)
+
+    i = sub.add_parser("index")
+    i.add_argument("--corpus", required=True)
+    i.add_argument("--out", required=True)
+    i.add_argument("--partitions", type=int, default=8)
+    i.add_argument("--no-resume", action="store_true")
+    i.set_defaults(fn=cmd_index)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--out", required=True)
+    m.add_argument("--target-partitions", type=int, default=1)
+    m.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("search")
+    s.add_argument("--out", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--limit", type=int, default=1)   # reference default 1
+    s.add_argument("--fields", default="text,title")
+    s.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser("drop")
+    d.add_argument("--out", required=True)
+    d.set_defaults(fn=cmd_drop)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(json.dumps(args.fn(args), default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
