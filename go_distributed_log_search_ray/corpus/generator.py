@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .reference import extract_document, url_host
+from .reference import extract_document
 from ..functions.textops import host_bucket
 
 GEN_VERSION = "v2"

@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 import shutil
 
-import ray.data
-
 from ..state.manifest import Manifest
 from ..stages.aggregate import SINK_KEYS
 from .ingest import _read_committed, _read_back_counts

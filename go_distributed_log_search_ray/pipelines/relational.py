@@ -14,9 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum, Min, Max
-
-from ..stages.aggregate import SINK_KEYS
+from ray.data.aggregate import Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> Dataset:

@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config.schema import (
-    PipelineSchema, FieldSpec, STATIC_OBJECT, DYNAMIC_FIELD, unescape_split)
+    PipelineSchema, FieldSpec, DYNAMIC_FIELD, unescape_split)
 from ..functions.parsers import parse_column
 
 

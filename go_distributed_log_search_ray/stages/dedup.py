@@ -25,7 +25,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import ray
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
