@@ -203,7 +203,10 @@ def generate(sf_dir: str, force: bool = False) -> str:
     # hash-partitioned shards on url (FIXTURES F1)
     shard_of = np.array([zlib.crc32(u.encode()) % num_shards for u in rows["url"]],
                         dtype=np.int32)
-    tmp = out + ".tmp"
+    # per-process tmp dir: concurrent generators (driver + bench) must not
+    # interleave writes; the final os.replace is atomic and both produce
+    # identical deterministic content, so last-swap-wins is safe
+    tmp = out + f".tmp{os.getpid()}"
     pages = os.path.join(tmp, "pages")
     os.makedirs(pages, exist_ok=True)
     for s in range(num_shards):
