@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v2"
+GEN_VERSION = "v3"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -99,7 +99,12 @@ def _build_html(rng, words, lang, host, hot_words) -> bytes:
         parts.append(
             f'<!-- access: {ip} - - [{ts}] "{meth} {path} HTTP/1.1" {status} {nb} -->'.encode())
 
-    n_par = int(rng.integers(1, 11))
+    # paragraph count: 1-10 typical, ~5% long-tail docs with up to ~150
+    # paragraphs (~30-60 KB html) per FIXTURES F1's size distribution
+    if rng.random() < 0.05:
+        n_par = int(rng.integers(40, 150))
+    else:
+        n_par = int(rng.integers(1, 11))
     for _ in range(n_par):
         n_words = int(rng.integers(20, 80))
         ws = list(rng.choice(words, n_words))
