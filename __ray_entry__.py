@@ -44,6 +44,13 @@ def _corpus_pages_dir(sf_dir: str) -> str:
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
+
+def _read_table(sf_dir: str, name: str, columns=None):
+    """Driver-table read with schema-metadata strip (pandas-written
+    parquet metadata makes Ray's reduce-side schema hashing warn)."""
+    from go_distributed_log_search_ray.functions.tableops import read_clean
+    return read_clean(f"{sf_dir}/{name}.parquet", columns=columns)
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001; returns the per-sink aggregate."""
     import shutil
@@ -110,12 +117,8 @@ def _pages_enrich_agg(sf_dir: str):
         .groupby(["locale", "category"]).aggregate(
             Sum("doc_count", alias_name="doc_count"),
             Sum("byte_count", alias_name="byte_count"))
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    t = t.set_column(t.column_names.index("doc_count"), "doc_count",
-                     t.column("doc_count").cast(pa.int64()))
-    t = t.set_column(t.column_names.index("byte_count"), "byte_count",
-                     t.column("byte_count").cast(pa.int64()))
-    return t
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["doc_count", "byte_count"])
 
 
 def _pages_exact_dedup(sf_dir: str):
@@ -131,16 +134,14 @@ def _pages_exact_dedup(sf_dir: str):
 def _doc_exact_dedup(sf_dir: str):
     import ray.data
     from go_distributed_log_search_ray.stages.dedup import exact_dedup
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(ds, id_col="doc_id")
 
 
 def _doc_token_count(sf_dir: str):
     import ray.data
     from go_distributed_log_search_ray.stages.textstats import token_count_batch
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow") \
              .select_columns(["doc_id", "n_tokens"])
 
@@ -148,8 +149,7 @@ def _doc_token_count(sf_dir: str):
 def _doc_quality_features(sf_dir: str):
     import ray.data
     from go_distributed_log_search_ray.stages.textstats import quality_features_batch
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(quality_features_batch, batch_format="pyarrow") \
              .select_columns(["doc_id", "n_upper", "n_digit", "n_space",
                               "n_punct", "n_chars_calc"])
@@ -158,8 +158,7 @@ def _doc_quality_features(sf_dir: str):
 def _doc_fingerprint(sf_dir: str):
     import ray.data
     from go_distributed_log_search_ray.stages.textstats import fingerprint_batch
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
              .select_columns(["doc_id", "fingerprint"])
 
@@ -167,21 +166,18 @@ def _doc_fingerprint(sf_dir: str):
 def _doc_lang_agg(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["lang", "n_chars"])
+    ds = _read_table(sf_dir, "documents", columns=["lang", "n_chars"])
     agg = ds.groupby("lang").aggregate(
         Count(alias_name="doc_count"), Sum("n_chars", alias_name="sum_chars"))
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    return pa.table({"lang": t.column("lang"),
-                     "doc_count": t.column("doc_count").cast(pa.int64()),
-                     "sum_chars": t.column("sum_chars").cast(pa.int64())})
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["doc_count", "sum_chars"]) \
+        .select(["lang", "doc_count", "sum_chars"])
 
 
 def _doc_search_topk(sf_dir: str):
     import ray.data
     from go_distributed_log_search_ray.stages.search import topk_search
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang", "source"])
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
     top = topk_search(ds, term="spark", fields=["text", "source", "lang"],
                       k=20, id_col="doc_id")
     return top.select_columns(["doc_id", "score"])
@@ -212,10 +208,10 @@ def _pages_host_count(sf_dir: str):
         return g.aggregate([("host", "count")]).rename_columns(
             ["host", "doc_count"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow")         .groupby("host").aggregate(Sum("doc_count", alias_name="doc_count"))
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    return t.set_column(t.column_names.index("doc_count"), "doc_count",
-                        t.column("doc_count").cast(pa.int64()))
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("doc_count", alias_name="doc_count"))
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["doc_count"])
 
 
 def _pages_status_agg(sf_dir: str):
@@ -231,9 +227,8 @@ def _pages_status_agg(sf_dir: str):
         batch_format="pyarrow")
     agg = ds.groupby(["log_method", "log_status"]).aggregate(
         Count(alias_name="hits"))
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    return t.set_column(t.column_names.index("hits"), "hits",
-                        t.column("hits").cast(pa.int64()))
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["hits"])
 
 
 def _doc_quality_score(sf_dir: str):
@@ -241,8 +236,7 @@ def _doc_quality_score(sf_dir: str):
     counts are oracle-checked in doc_quality_features."""
     import ray.data
     from go_distributed_log_search_ray.stages.textstats import quality_score_batch
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(quality_score_batch, batch_format="pyarrow")              .select_columns(["doc_id", "quality_score"])
 
 
@@ -250,8 +244,7 @@ def _doc_langid(sf_dir: str):
     """Stopword-profile language ID (rows-only; heuristic)."""
     import ray.data
     from go_distributed_log_search_ray.stages.textstats import LangId
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow",
                           concurrency=(1, 4))              .select_columns(["doc_id", "lang_pred"])
 
@@ -260,8 +253,7 @@ def _doc_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (rows-only; verified in pytest)."""
     import ray.data
     from go_distributed_log_search_ray.stages.dedup import simhash_near_dups
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = simhash_near_dups(ds, max_hamming=3)
     return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
                      "b": pa.array([p[1] for p in pairs], pa.int64())})
@@ -271,8 +263,7 @@ def _emb_near_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
     import ray.data
     from go_distributed_log_search_ray.stages.dedup import embedding_near_dups
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     pairs = embedding_near_dups(ds, threshold=0.45, dim=64)
     return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
                      "b": pa.array([p[1] for p in pairs], pa.int64())})
@@ -283,8 +274,7 @@ def _doc_minhash_keep(sf_dir: str):
     rows-only driver check; exactness covered in pytest."""
     import ray.data
     from go_distributed_log_search_ray.stages.dedup import minhash_dedup
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
     res = minhash_dedup(ds, id_col="doc_id", threshold=0.8)
     return pa.table({"doc_id": pa.array(res["keep"], type=pa.int64())})
 
@@ -296,8 +286,7 @@ def _knn_bruteforce(sf_dir: str):
     q = pq.read_table(f"{sf_dir}/embeddings.parquet") \
           .filter(pc.equal(pc.field("vec_id"), 0)) \
           .column("embedding").to_pylist()[0]
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     t = knn_bruteforce(ds, np.asarray(q, dtype=np.float64), k=10)
     return t.select(["vec_id", "rank"]).set_column(
         1, "rank", t.column("rank").cast(pa.int64()))
@@ -312,8 +301,7 @@ def _knn_ivf(sf_dir: str):
     q = pq.read_table(f"{sf_dir}/embeddings.parquet") \
           .filter(pc.equal(pc.field("vec_id"), 0)) \
           .column("embedding").to_pylist()[0]
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     t = knn_ivf(ds, np.asarray(q, dtype=np.float64), k=10)
     return t.select(["vec_id", "rank"])
 

@@ -16,9 +16,11 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from ..functions.tableops import global_topk, read_clean, small_table
+
 
 def _read(sf_dir: str, table: str, columns=None) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -26,8 +28,7 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def _sorted_table(ds: Dataset, keys: list[str]) -> pa.Table:
-    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
-    return t.take(pc.sort_indices(t, sort_keys=[(k, "ascending") for k in keys]))
+    return small_table(ds, sort_keys=keys)
 
 
 # -- Q1-style pricing summary ---------------------------------------------
@@ -77,7 +78,7 @@ def revenue_filter(sf_dir: str) -> pa.Table:
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    t = pa.Table.from_pandas(partials.to_pandas(), preserve_index=False)
+    t = small_table(partials)
     return pa.table({
         "revenue_cents": pa.array([pc.sum(t.column("revenue_cents")).as_py() or 0]),
         "row_count": pa.array([pc.sum(t.column("row_count")).as_py() or 0]),
@@ -87,10 +88,12 @@ def revenue_filter(sf_dir: str) -> pa.Table:
 # -- sort-limit -------------------------------------------------------------
 
 def top_orders(sf_dir: str, k: int = 10) -> pa.Table:
+    """Distributed exact top-k: per-batch combine then an O(k x blocks)
+    fold -- NOT a global sort of the whole table (the knn_bruteforce
+    combine pattern applied to sort-limit)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    top = ds.sort(key=["o_totalprice", "o_orderkey"],
-                  descending=[True, False]).limit(k)
-    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return global_topk(ds, k, [("o_totalprice", "descending"),
+                               ("o_orderkey", "ascending")])
 
 
 # -- broadcast hash join ----------------------------------------------------
@@ -214,6 +217,20 @@ def events_distinct_users(sf_dir: str) -> pa.Table:
                      "distinct_users": t.column("distinct_users").cast(pa.int64())})
 
 
+def _session_buckets() -> int:
+    """Coarse-bucket count for the sessionization shuffle, scaled to the
+    cluster: ~8 buckets per CPU slot (power of two for the mask), so max
+    parallelism grows with the cluster instead of a constant 64, while
+    each map_groups call still amortizes one vectorized pandas pass over
+    many users.  Each group materializes ~1/P of the table, so P also
+    bounds per-task memory."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    p = 1
+    while p < cpus * 8:
+        p *= 2
+    return min(p, 1 << 15)
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     """Gap-based sessionization per user: groupby(user).map_groups with a
     vectorized per-group diff (hash shuffle on user_id -- each group is
@@ -222,13 +239,15 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    # shuffle on a COARSE bucket (64 groups), then a single vectorized
-    # pandas pass per bucket handles all its users -- per-user map_groups
-    # would pay one Python call per user (slow at millions of users)
+    # shuffle on a COARSE bucket (cluster-scaled count), then a single
+    # vectorized pandas pass per bucket handles all its users -- per-user
+    # map_groups would pay one Python call per user (slow at millions)
+    nb = _session_buckets()
+
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
             "ubucket", pc.cast(pc.bit_wise_and(b.column("user_id"),
-                                               pa.scalar(63)), pa.int32()))
+                                               pa.scalar(nb - 1)), pa.int32()))
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts"])

@@ -64,8 +64,7 @@ def sink_counts(ds: Dataset, salt: int = 0) -> Dataset:
 
 
 def sink_counts_table(ds: Dataset, salt: int = 0) -> pa.Table:
-    t = pa.Table.from_pandas(sink_counts(ds, salt=salt).to_pandas(),
-                             preserve_index=False)
-    order = pc.sort_indices(t, sort_keys=[("lang", "ascending"),
-                                          ("host_bucket", "ascending")])
-    return t.take(order).select(SINK_KEYS + ["doc_count", "byte_count"])
+    from ..functions.tableops import small_table
+    t = small_table(sink_counts(ds, salt=salt), sort_keys=SINK_KEYS,
+                    int64_cols=["doc_count", "byte_count"])
+    return t.select(SINK_KEYS + ["doc_count", "byte_count"])

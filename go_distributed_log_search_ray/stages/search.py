@@ -84,7 +84,13 @@ def score_dynamic(batch: pa.Table, term: str,
 
 def topk_search(ds: Dataset, term: str, fields: list[str], k: int,
                 id_col: str, include_dynamic: bool = False) -> Dataset:
-    """Vectorized score -> filter score>0 -> exact global top-k."""
+    """Vectorized score -> filter score>0 -> exact distributed top-k.
+
+    Per-batch combine first: each block contributes at most k candidate
+    rows, so the final sort-limit runs over O(k x blocks) rows -- never
+    an all-to-all sort of the full (filtered) dataset.  Exact because
+    the global top-k is a subset of the union of per-block top-ks."""
+    from ..functions.tableops import batch_topk
 
     def score(b: pa.Table) -> pa.Table:
         b = score_batch(b, term, fields)
@@ -93,9 +99,12 @@ def topk_search(ds: Dataset, term: str, fields: list[str], k: int,
             b = b.set_column(b.column_names.index("score"), "score", total)
         return b
 
+    sort_keys = [("score", "descending"), (id_col, "ascending")]
     scored = ds.map_batches(score, batch_format="pyarrow")
     hits = scored.filter(expr="score > 0")  # vectorized Arrow filter
-    return hits.sort(key=["score", id_col], descending=[True, False]).limit(k)
+    cands = hits.map_batches(lambda b: batch_topk(b, k, sort_keys),
+                             batch_format="pyarrow")
+    return cands.sort(key=["score", id_col], descending=[True, False]).limit(k)
 
 
 def format_results(rows: list[dict], dynamic_col: str = "_dynamic") -> list[dict]:

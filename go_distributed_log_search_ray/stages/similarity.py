@@ -66,7 +66,8 @@ def knn_bruteforce(ds: Dataset, queries: np.ndarray, k: int = 10,
     cands = ds.map_batches(
         BatchTopK, fn_constructor_args=(qref, k, id_col),
         batch_format="pyarrow", concurrency=(1, 8))
-    t = pa.Table.from_pandas(cands.to_pandas(), preserve_index=False)
+    from ..functions.tableops import small_table
+    t = small_table(cands)  # k x blocks candidate rows, no pandas hop
     # global top-k per query (candidate set is tiny: k * num_blocks)
     import pyarrow.compute as pc
     order = pc.sort_indices(t, sort_keys=[("query_id", "ascending"),
