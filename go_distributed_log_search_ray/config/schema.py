@@ -48,6 +48,17 @@ class FieldSpec:
     precision: str = "us"
     # static_object children (src/config/static_object.go:4-6)
     fields: list["FieldSpec"] = dc_field(default_factory=list)
+    # text indexing options, carried for schema parity (src/config/text.go:
+    # 14-27, tokenizer enum src/config/mod.go:54-57).  Like the reference's
+    # own query path (substring scan over stored docs, search.go:221-255)
+    # these do not change results; the reference performs no validation on
+    # the YAML values either, so none is imposed here.
+    tokenizer: str = "default"       # default | raw | en_stem | whitespace
+    record: str = "basic"            # basic | freq | pos
+    # dynamic_object option (src/config/dynamic_object.go:51,60): True ->
+    # a literal dotted key "a.b" expands to the nested path a.b; False ->
+    # the dot is escaped so the key stays one segment ("a\.b")
+    expand_dots: bool = True
 
     def arrow_type(self) -> pa.DataType:
         if self.type == TEXT:

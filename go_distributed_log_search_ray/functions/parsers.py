@@ -18,7 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config.schema import (
-    FieldSpec, NUMBER, BOOLEAN, DATETIME, IP, TEXT, NUMBER_TYPES)
+    FieldSpec, NUMBER, BOOLEAN, DATETIME, DYNAMIC_OBJECT, IP, TEXT,
+    NUMBER_TYPES, escape_name)
 
 # epoch-magnitude unit inference window: 1972-04-13..2242-03-16
 # (src/config/datetime.go:21-47,90-96)
@@ -193,6 +194,70 @@ def parse_ip_column(col: pa.Array) -> pa.Array:
     return pa.array(vals, type=pa.binary(16))
 
 
+def _flatten_dynamic(obj: dict, expand_dots: bool, prefix: str = "") -> list:
+    """Flatten a schemaless JSON object to (dotted-path, string-value)
+    pairs -- the map-column form of the reference's dynamic object
+    (src/config/dynamic_object.go:46-91).  ``expand_dots=True`` treats a
+    literal key "a.b" as the nested path a->b (tantivy JSON-field
+    semantics); False escapes the dot so the key stays one segment."""
+    import json as _json
+
+    out = []
+    for k, v in obj.items():
+        if v is None:
+            # absent key: Arrow's JSON reader unifies ragged objects into
+            # one struct with nulls for missing keys -- a null entry is
+            # "not present", never a ("k", "null") pair
+            continue
+        key = str(k) if expand_dots else escape_name(str(k))
+        path = f"{prefix}.{key}" if prefix else key
+        if isinstance(v, dict):
+            out.extend(_flatten_dynamic(v, expand_dots, path))
+        else:
+            out.append((path, v if isinstance(v, str) else _json.dumps(v)))
+    return out
+
+
+def parse_dynamic_object_column(col: pa.Array, spec: FieldSpec) -> pa.Array:
+    """Declared ``dynamic_object`` field -> map<string,string> column.
+
+    Accepts struct columns (read_json nested objects), map columns, or
+    JSON-encoded string columns.  Per-value tolerance (P11): a value
+    that isn't an object / doesn't decode nulls that ROW's map, never
+    fails the batch.  Per-row Python is inherent here -- the payload is
+    schemaless ragged JSON (the reference also walks it per document,
+    index.go:153-171); declared typed fields stay on the vectorized
+    paths above."""
+    import json as _json
+
+    target = pa.map_(pa.string(), pa.string())
+    if pa.types.is_null(col.type):
+        return pa.nulls(len(col), type=target)
+    rows = col.to_pylist()
+    out = []
+    for v in rows:
+        if v is None:
+            out.append(None)
+            continue
+        if isinstance(v, (bytes, str)):
+            try:
+                v = _json.loads(v)
+            except (ValueError, TypeError):
+                out.append(None)
+                continue
+        if isinstance(v, list):       # map column -> list of (k, v) tuples
+            try:
+                v = dict(v)
+            except (ValueError, TypeError):
+                out.append(None)
+                continue
+        if not isinstance(v, dict):
+            out.append(None)
+            continue
+        out.append(_flatten_dynamic(v, spec.expand_dots))
+    return pa.array(out, type=target)
+
+
 def parse_column(col: pa.Array, spec: FieldSpec) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -206,4 +271,6 @@ def parse_column(col: pa.Array, spec: FieldSpec) -> pa.Array:
         return parse_datetime_column(col, spec)
     if spec.type == IP:
         return parse_ip_column(col)
+    if spec.type == DYNAMIC_OBJECT:
+        return parse_dynamic_object_column(col, spec)
     raise TypeError(f"no column parser for {spec.type}")

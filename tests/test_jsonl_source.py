@@ -97,6 +97,66 @@ def test_search_over_parsed_logs_with_dynamic_and_format(jsonl_path):
     assert docs[0]["unexpected_key"] == "kept-in-dynamic"  # re-merged
 
 
+def test_declared_dynamic_object_field(tmp_path):
+    """A schema that DECLARES a dynamic_object field (the shape the
+    reference's tests/config.yaml family uses for schemaless payloads,
+    src/config/dynamic_object.go:46-91) parses end-to-end: nested objects
+    flatten to dotted paths, non-object values null the field (P11)."""
+    from go_distributed_log_search_ray.config.schema import DYNAMIC_OBJECT
+
+    rows = [
+        {"msg": "a", "ctx": {"user": "u1", "meta": {"ip": "1.2.3.4"},
+                             "n": 7, "a.b": "dotted"}},
+        {"msg": "c"},
+    ]
+    schema = PipelineSchema("dyn", [
+        FieldSpec("msg"),
+        FieldSpec("ctx", DYNAMIC_OBJECT),
+    ])
+    p = tmp_path / "dyn.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = read_jsonl(str(p), schema, concurrency=1).take_all()
+    by_msg = {r["msg"]: r["ctx"] for r in out}
+    d0 = dict(by_msg["a"])
+    assert d0["user"] == "u1"
+    assert d0["meta.ip"] == "1.2.3.4"       # nested -> dotted path
+    assert d0["n"] == "7"                    # non-string value JSON-encoded
+    assert d0["a.b"] == "dotted"             # expand_dots default: kept dotted
+    assert by_msg["c"] is None               # absent -> null field
+
+    # P11 tolerance for non-object payloads (a shape Arrow's JSON reader
+    # cannot even unify into one column): string column, bad JSON -> null
+    from go_distributed_log_search_ray.functions.parsers import parse_column
+    col = pa.array(['{"k": "v"}', "not-json", None])
+    parsed = parse_column(col, FieldSpec("ctx", DYNAMIC_OBJECT)).to_pylist()
+    assert dict(parsed[0]) == {"k": "v"}
+    assert parsed[1] is None and parsed[2] is None
+
+
+def test_dynamic_object_expand_dots_false():
+    from go_distributed_log_search_ray.config.schema import DYNAMIC_OBJECT
+    from go_distributed_log_search_ray.functions.parsers import parse_column
+
+    col = pa.array([json.dumps({"a.b": "x", "c": {"d.e": "y"}})])
+    spec = FieldSpec("ctx", DYNAMIC_OBJECT, expand_dots=False)
+    out = parse_column(col, spec).to_pylist()
+    d = dict(out[0])
+    assert d["a\\.b"] == "x"                 # literal dot escaped
+    assert d["c.d\\.e"] == "y"               # nesting dot real, key dot escaped
+
+
+def test_tokenizer_options_carried():
+    """Reference text.go tokenizer/record options are carried on
+    FieldSpec for schema parity (results-neutral, like the reference's
+    own search path)."""
+    f = FieldSpec("body", tokenizer="en_stem", record="pos")
+    assert (f.tokenizer, f.record) == ("en_stem", "pos")
+    s = PipelineSchema("t", [f])
+    assert s.flattened_fields()[0].tokenizer == "en_stem"
+
+
 def test_dynamic_scoring():
     import pyarrow as pa
     from go_distributed_log_search_ray.stages.search import score_dynamic
