@@ -276,7 +276,8 @@ def _doc_minhash_keep(sf_dir: str):
     from go_distributed_log_search_ray.stages.dedup import minhash_dedup
     ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
     res = minhash_dedup(ds, id_col="doc_id", threshold=0.8)
-    return pa.table({"doc_id": pa.array(res["keep"], type=pa.int64())})
+    keep = sorted(r["doc_id"] for r in res["keep"].take_all())
+    return pa.table({"doc_id": pa.array(keep, type=pa.int64())})
 
 
 def _knn_bruteforce(sf_dir: str):

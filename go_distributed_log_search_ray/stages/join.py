@@ -1,0 +1,174 @@
+"""Distributed hash join (shuffle join) for large x large tables.
+
+The reference has no relational join (SURVEY 2.5: all its lookups are
+broadcast-small-side), but a training-data engine needs one real
+shuffle join; the broadcast pattern lives in ``stages/enrich.py`` and
+``pipelines/relational.SegmentLookup``, this module is the co-partition
+path for when NEITHER side fits in memory.
+
+Why not ``ray.data.Dataset.join``: Ray 2.49's hash-join aggregator
+builds an empty ZERO-COLUMN table for any partition that received no
+rows on one side, and Arrow's acero join then fails with "No match ...
+for key field on left side" -- tiny or skewed inputs hit this
+constantly.  This implementation instead:
+
+1. null-pads both sides to one shared schema + a ``__side`` tag,
+2. unions them (ONE co-partitioning shuffle on the key hash -- the same
+   data movement a textbook hash join performs),
+3. per partition, splits the sides back apart (filtering preserves
+   schemas, so empty sides are empty TYPED tables) and joins with
+   Arrow's C++ hash join.
+
+Payload caveat inherited from acero: non-key columns must not be
+list-typed (encode vectors as binary -- see dedup._np_rows_to_binary).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _num_partitions() -> int:
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, min(cpus, 16))
+
+
+def _part_of(col: pa.Array, p: int) -> pa.Array:
+    """Partition id of a key column: splitmix-style mix so sequential ids
+    spread, masked to p (power of two).  Strings hash via crc32 over the
+    batch's dictionary (one hash per DISTINCT value)."""
+    import zlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        h = np.asarray(col.cast(pa.int64())).astype(np.uint64)
+    else:
+        enc = col.cast(pa.string()).dictionary_encode()
+        uh = np.array([zlib.crc32(t.encode()) for t in
+                       enc.dictionary.to_pylist()], dtype=np.uint64)
+        h = uh[np.asarray(enc.indices, dtype=np.int64)]
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return pa.array((h & np.uint64(p - 1)).astype(np.int32))
+
+
+def _infer_schema(ds: Dataset, on: str) -> pa.Schema:
+    wrapped = ds.schema()
+    if wrapped is None:
+        raise TypeError(
+            "cannot infer a schema for an empty side; pass "
+            "left_schema/right_schema explicitly")
+    sch = wrapped.base_schema
+    if not isinstance(sch, pa.Schema):
+        raise TypeError(
+            "cannot infer an Arrow schema for this side (pandas blocks?); "
+            "pass left_schema/right_schema explicitly")
+    bad = [f.name for f in sch if pa.types.is_null(f.type)]
+    if bad or on not in sch.names:
+        raise TypeError(
+            f"degenerate inferred schema (null-typed {bad}, names "
+            f"{sch.names}): Ray infers from the first block, and ZERO-ROW "
+            "blocks (which bypass map_batches, so they can't be fixed "
+            "up-stream) may carry no/null columns.  Pass "
+            "left_schema/right_schema explicitly.")
+    return sch
+
+
+def hash_join(left: Dataset, right: Dataset, on: str,
+              right_on: str | None = None,
+              num_partitions: int | None = None,
+              join_type: str = "inner",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None) -> Dataset:
+    """Co-partitioned shuffle join of two Datasets on a single key.
+
+    Both sides move once (the union shuffle); per-partition joins are
+    Arrow C++ hash joins.  Output columns: key + left non-key + right
+    non-key (names must be disjoint).
+
+    ``left_schema``/``right_schema``: pass these whenever the input may
+    contain zero-row blocks (groupby/map_groups outputs) -- Ray infers a
+    Dataset schema from its FIRST block, zero-row blocks bypass
+    map_batches fix-ups entirely, and a degenerate first block would
+    otherwise give the pad stage null-typed templates."""
+    right_on = right_on or on
+    # normalize to Arrow blocks (inputs may carry pandas blocks, e.g.
+    # map_groups output, whose schema objects aren't pyarrow Schemas)
+    left = left.map_batches(lambda b: b, batch_format="pyarrow")
+    right = right.map_batches(lambda b: b, batch_format="pyarrow")
+    lsch: pa.Schema = left_schema or _infer_schema(left, on)
+    rsch: pa.Schema = right_schema or _infer_schema(right, right_on)
+    lcols = [n for n in lsch.names if n != on]
+    rcols = [n for n in rsch.names if n != right_on]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(f"non-key column name clash: {sorted(clash)}")
+    key_type = lsch.field(on).type
+    p = 1
+    target = num_partitions or _num_partitions()
+    while p < target:
+        p *= 2
+    order = [on] + lcols + rcols + ["__side"]
+
+    target = pa.schema(
+        [(on, key_type)]
+        + [(n, lsch.field(n).type) for n in lcols]
+        + [(n, rsch.field(n).type) for n in rcols]
+        + [("__side", pa.int8()), ("__part", pa.int32())])
+    empty_canonical = target.empty_table()
+
+    def pad(side: int):
+        other = ([(n, rsch.field(n).type) for n in rcols] if side == 0
+                 else [(n, lsch.field(n).type) for n in lcols])
+
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                # degenerate empty blocks (e.g. from upstream groupby
+                # partitions) may have no/null columns; emit typed empty
+                return empty_canonical
+            if side == 1 and right_on != on:
+                b = b.rename_columns(
+                    [on if n == right_on else n for n in b.column_names])
+            for name, typ in other:
+                b = b.append_column(name, pa.nulls(b.num_rows, type=typ))
+            b = b.append_column(
+                "__side", pa.array(np.full(b.num_rows, side, dtype=np.int8)))
+            b = b.append_column("__part", _part_of(b.column(on), p))
+            return b.select(order + ["__part"]).cast(target)
+
+        return f
+
+    l2 = left.map_batches(pad(0), batch_format="pyarrow")
+    r2 = right.map_batches(pad(1), batch_format="pyarrow")
+    unioned = l2.union(r2)
+
+    out_schema = pa.schema([(on, key_type)]
+                           + [(n, lsch.field(n).type) for n in lcols]
+                           + [(n, rsch.field(n).type) for n in rcols])
+    out_empty = out_schema.empty_table()
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0:
+            return out_empty
+        t = t.drop_columns(["__part"])
+        side = t.column("__side")
+        lt = t.filter(pc.equal(side, 0)).select([on] + lcols)
+        rt = t.filter(pc.equal(side, 1)).select([on] + rcols)
+        out = lt.join(rt, keys=[on], join_type=join_type)
+        # acero column order is not deterministic; canonicalize
+        return out.select([on] + lcols + rcols).cast(out_schema)
+
+    def canon(t: pa.Table) -> pa.Table:
+        # Ray's groupby emits ZERO-COLUMN blocks for empty partitions;
+        # replace with a typed empty so chained joins / schema inference
+        # never see a null-typed column
+        return t if t.num_rows else out_empty
+
+    return unioned.groupby("__part") \
+        .map_groups(merge, batch_format="pyarrow") \
+        .map_batches(canon, batch_format="pyarrow")

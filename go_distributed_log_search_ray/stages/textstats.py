@@ -93,23 +93,60 @@ _STOPWORDS = {
 
 class LangId:
     """Actor-pool stage: stopword tables built once per actor in
-    __init__ (T-class state, SURVEY 2.4)."""
+    __init__ (T-class state, SURVEY 2.4).
+
+    Batch-vectorized: tokens of the whole batch are dictionary-encoded
+    once, stopword membership is computed per DISTINCT token, and the
+    per-document DISTINCT-stopword counts fold with bincount over
+    deduplicated (doc, token) pairs -- semantics identical to the
+    per-row ``set(text.lower().split()[:200])`` formulation, with no
+    per-row Python."""
 
     def __init__(self) -> None:
+        self.langs = list(_STOPWORDS)
         self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
 
+    def _classify(self, col: pa.Array) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(col, "")), pattern=r"\s+")
+        flat = toks.flatten()
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        nonempty = np.asarray(
+            pc.not_equal(flat, "").to_numpy(zero_copy_only=False), dtype=bool)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+        # cap: first 200 (non-empty) tokens per doc, like .split()[:200]
+        pos_in_doc = np.arange(len(doc_of)) - np.searchsorted(
+            doc_of, doc_of, side="left")
+        keep = pos_in_doc < 200
+        doc_of = doc_of[keep]
+        flat = flat.filter(pa.array(keep))
+
+        enc = flat.dictionary_encode()
+        idx = np.asarray(enc.indices, dtype=np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        nu = len(vocab)
+        memb = np.zeros((max(nu, 1), len(self.langs)), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            memb[:nu, li] = np.isin(vocab, list(self.profiles[lang]))
+        # distinct (doc, token) pairs => set semantics
+        pairkey = doc_of * max(nu, 1) + idx
+        upair = np.unique(pairkey)
+        d_doc, d_tok = upair // max(nu, 1), upair % max(nu, 1)
+        scores = np.empty((n, len(self.langs)), dtype=np.int64)
+        for li in range(len(self.langs)):
+            scores[:, li] = np.bincount(d_doc, weights=memb[d_tok, li],
+                                        minlength=n).astype(np.int64)
+        best = scores.argmax(axis=1)          # first max == dict order
+        best_n = scores.max(axis=1) if n else np.zeros(0, dtype=np.int64)
+        out = np.asarray(self.langs, dtype=object)[best]
+        out[best_n == 0] = "und"
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs = []
-        for t in texts:
-            if not t:
-                langs.append("und")
-                continue
-            toks = set(t.lower().split()[:200])
-            best, best_n = "und", 0
-            for lang, sw in self.profiles.items():
-                n = len(toks & sw)
-                if n > best_n:
-                    best, best_n = lang, n
-            langs.append(best)
-        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        langs = self._classify(batch.column("text"))
+        return batch.append_column(
+            "lang_pred", pa.array(langs, type=pa.string()))

@@ -52,8 +52,51 @@ def test_minhash_dedup_finds_near_dups_no_false_positives():
     assert (1, 2) in pair_set and (1, 3) in pair_set
     for a, b in pair_set:
         assert {a, b} <= {1, 2, 3}  # 4 and 5 never matched
-    assert res["keep"] == [1, 4, 5]
+    keep = sorted(r["doc_id"] for r in res["keep"].take_all())
+    assert keep == [1, 4, 5]
     assert res["drop"] == [2, 3]
+
+
+def test_minhash_batch_signatures_match_scalar():
+    """The vectorized batch kernel must be bit-identical to the per-doc
+    reference form (incl. nulls, empties, short docs)."""
+    texts = ["the quick brown fox " * 20, "", "abc", None, "a",
+             "completely different content padded out to shingle size"]
+    mh = MinHasher()
+    batch = mh.batch_signatures(pa.array(texts, pa.string()).cast(pa.binary()))
+    for i, t in enumerate(texts):
+        assert (batch[i] == mh.signature((t or "").encode())).all()
+
+
+def test_simhash_batch_matches_scalar():
+    texts = ["the quick brown fox jumps", "", None, "  runs\t\tof   space ",
+             "tok " * 300]
+    sh = SimHasher()
+    b = sh.batch_simhash(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert int(b[i]) == sh.simhash(t or "")
+
+
+def test_langid_batch_matches_set_semantics():
+    from go_distributed_log_search_ray.stages.textstats import (
+        LangId, _STOPWORDS)
+    texts = ["the cat and the dog is in a house for it",
+             "der hund und die katze ist nicht ein tier zu den",
+             "", None, "the und le el the und the und"]
+
+    def old(t):
+        if not t:
+            return "und"
+        toks = set(t.lower().split()[:200])
+        best, best_n = "und", 0
+        for lang, sw in _STOPWORDS.items():
+            m = len(toks & frozenset(sw))
+            if m > best_n:
+                best, best_n = lang, m
+        return best
+
+    got = list(LangId()._classify(pa.array(texts, pa.string())))
+    assert got == [old(t) for t in texts]
 
 
 def test_minhash_dedup_matches_bruteforce_on_corpus(corpus_dir):
