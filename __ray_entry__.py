@@ -295,7 +295,10 @@ def _knn_bruteforce(sf_dir: str):
 
 def _knn_ivf(sf_dir: str):
     """IVF ANN (approximate by design): rows-only driver check; recall
-    vs brute force asserted in pytest."""
+    vs brute force asserted in pytest.  Uses a PERSISTED cell-partitioned
+    index (built once per sf tag, reused across queries): probes read
+    only the probed cells' parquet directories."""
+    import os
     import ray.data
     import pyarrow.parquet as pq
     from go_distributed_log_search_ray.stages.similarity import knn_ivf
@@ -303,7 +306,9 @@ def _knn_ivf(sf_dir: str):
           .filter(pc.equal(pc.field("vec_id"), 0)) \
           .column("embedding").to_pylist()[0]
     ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    t = knn_ivf(ds, np.asarray(q, dtype=np.float64), k=10)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    t = knn_ivf(ds, np.asarray(q, dtype=np.float64), k=10,
+                index_dir=f"/tmp/graft_ivf/{tag}")
     return t.select(["vec_id", "rank"])
 
 
@@ -440,11 +445,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)""",
+        # trim charset matches the Arrow side exactly (' \t\n\r\f\v'):
+        # DuckDB's bare trim() strips spaces only, which would go off by
+        # one on text with leading/trailing tab/newline whitespace
         "doc_token_count": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' OR text IS NULL THEN 0
-                        ELSE len(regexp_split_to_array(trim(text),
-                                                       '[\t\n\f\r ]+'))
+                   CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12)
+                                       || chr(13) || chr(11)) = ''
+                             OR text IS NULL THEN 0
+                        ELSE len(regexp_split_to_array(
+                               trim(text, ' ' || chr(9) || chr(10) || chr(12)
+                                        || chr(13) || chr(11)),
+                               '[\t\n\f\r ]+'))
                    END AS n_tokens
             FROM documents""",
         "doc_quality_features": r"""

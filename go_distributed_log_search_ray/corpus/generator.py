@@ -134,11 +134,31 @@ HOT_WORDS = ["kernel", "pipeline", "tensor", "shard", "replica",
 
 def generate(sf_dir: str, force: bool = False) -> str:
     """Generate (or reuse cached) corpus for the tag of ``sf_dir``.
-    Returns the corpus directory."""
+    Returns the corpus directory.  Cross-process safe: an exclusive
+    flock serializes generation (rename(2) can't atomically replace a
+    non-empty directory, so the old last-swap-wins scheme could both
+    raise ENOTEMPTY and yank a corpus out from under a concurrent
+    reader); after acquiring the lock the marker is re-checked so
+    waiters reuse the winner's output."""
+    import fcntl
+
     out = corpus_dir(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker) and not force:
         return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    lock_path = out + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(marker) and not force:
+                return out
+            return _generate_locked(out)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def _generate_locked(out: str) -> str:
     tag = os.path.basename(out)
     n = n_rows_for_tag(tag)
     num_shards = max(4, min(64, n // 2000))
@@ -208,9 +228,9 @@ def generate(sf_dir: str, force: bool = False) -> str:
     # hash-partitioned shards on url (FIXTURES F1)
     shard_of = np.array([zlib.crc32(u.encode()) % num_shards for u in rows["url"]],
                         dtype=np.int32)
-    # per-process tmp dir: concurrent generators (driver + bench) must not
-    # interleave writes; the final os.replace is atomic and both produce
-    # identical deterministic content, so last-swap-wins is safe
+    # build in a tmp dir then swap; the caller holds the generation lock
+    # so the rmtree+rename below cannot race another generator or yank
+    # the corpus from under a concurrent reader-that-would-be-generator
     tmp = out + f".tmp{os.getpid()}"
     pages = os.path.join(tmp, "pages")
     os.makedirs(pages, exist_ok=True)
@@ -219,12 +239,11 @@ def generate(sf_dir: str, force: bool = False) -> str:
         pq.write_table(table.filter(mask), os.path.join(pages, f"shard_{s:05d}.parquet"))
 
     _write_lookups(os.path.join(tmp, "lookups"), hosts)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
     if os.path.exists(out):
         import shutil
         shutil.rmtree(out)
     os.replace(tmp, out)
-    with open(marker, "w") as f:
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
         f.write(f"{tag} rows={n} shards={num_shards}\n")
     return out
 

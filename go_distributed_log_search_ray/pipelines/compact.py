@@ -3,25 +3,31 @@ ones -- reference `merge` command parity (/root/reference
 src/commands/merge.go:24-85) with its correctness gap fixed: the
 reference re-reads segments from the LOCAL build dir (merge.go:114) so
 merge only works on the indexing machine; here compaction reads the
-durable sink files.  Ordering follows drop/merge's metadata-first rule:
-new files written -> manifest swapped atomically -> old files deleted
-best-effort (leaks tolerated, never read again: merge.go:180-237).
+durable sink files.
+
+Atomic swap: the compacted entry records its source partitions in
+``compacted_from``; ``Manifest.entries()`` excludes any partition so
+listed, so the swap is complete THE INSTANT the new entry commits -- a
+crash between the commit and the old-entry/file deletes leaves both
+generations on disk but only the new one visible (no double-counting).
+Old entries and files are then deleted best-effort, never read again
+(metadata-first, leak-tolerant: merge.go:180-237, drop.go:47-75).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 
 from ..state.manifest import Manifest
 from ..stages.aggregate import SINK_KEYS
 from .ingest import _read_committed, _read_back_counts
 
 
-def compact(out_dir: str, target_partitions: int = 1) -> dict:
+def compact(out_dir: str, target_partitions: int = 1,
+            filesystem=None) -> dict:
     """read committed sinks -> repartition -> rewrite as one compacted
-    partition -> swap manifest."""
-    manifest = Manifest(out_dir)
+    partition -> atomic manifest supersede."""
+    manifest = Manifest(out_dir, filesystem)
     old_ids = sorted(manifest.committed_ids())
     if len(old_ids) < 2:
         # reference guard: need >=2 segments (merge.go:37-40)
@@ -29,18 +35,20 @@ def compact(out_dir: str, target_partitions: int = 1) -> dict:
     old_dirs = manifest.committed_sink_dirs()
 
     new_id = max(old_ids) + 1
-    new_dir = os.path.join(out_dir, "sinks", f"p{new_id:05d}")
-    if os.path.isdir(new_dir):
-        shutil.rmtree(new_dir)
+    new_dir = posixpath.join(manifest.out_dir, "sinks", f"p{new_id:05d}")
+    import pyarrow.fs as pafs
+    if manifest.fs.get_file_info(new_dir).type != pafs.FileType.NotFound:
+        manifest.fs.delete_dir(new_dir)
 
-    ds = _read_committed(out_dir, columns=None)
+    ds = _read_committed(out_dir, columns=None, filesystem=manifest.fs)
     from .ingest import _cast_partition_cols
     ds = ds.map_batches(_cast_partition_cols, batch_format="pyarrow")
     if target_partitions:
         ds = ds.repartition(target_partitions)
-    ds.write_parquet(new_dir, partition_cols=SINK_KEYS, row_group_size=131072)
+    ds.write_parquet(new_dir, filesystem=manifest.fs,
+                     partition_cols=SINK_KEYS, row_group_size=131072)
 
-    agg = _read_back_counts(new_dir)
+    agg = _read_back_counts(new_dir, manifest.fs)
     sinks = {
         f"lang={r['lang']}/host_bucket={r['host_bucket']}":
             {"rows": r["doc_count"], "bytes": r["byte_count"]}
@@ -48,16 +56,21 @@ def compact(out_dir: str, target_partitions: int = 1) -> dict:
     }
     shards = sorted({s for e in manifest.entries()
                      for s in e.get("shard_files", [])})
-    # commit new entry FIRST, then retire old entries, then delete files
+    # THE atomic swap: one commit that both publishes the new partition
+    # and (via compacted_from) retires the old ones
     manifest.commit(new_id, {
         "shard_files": shards,
         "row_count": sum(m["rows"] for m in sinks.values()),
         "sinks": sinks,
-        "metrics": {"compacted_from": old_ids},
+        "compacted_from": old_ids,
+        "metrics": {},
     })
-    for pid in old_ids:
-        os.remove(manifest.entry_path(pid))
-    for d in old_dirs:                       # best-effort, leak-tolerant
-        shutil.rmtree(d, ignore_errors=True)
+    for pid in old_ids:                      # best-effort, leak-tolerant
+        manifest.retire(pid)
+    for d in old_dirs:
+        try:
+            manifest.fs.delete_dir(d)
+        except (FileNotFoundError, OSError):
+            pass
     return {"new_partition": new_id, "merged": old_ids,
             "rows": sum(m["rows"] for m in sinks.values())}

@@ -28,18 +28,19 @@ from __future__ import annotations
 
 import glob
 import os
-import shutil
+import posixpath
 import time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.fs as pafs
 import ray
 import ray.data
 
 from ..stages.extract import HtmlExtractor, derive_host
 from ..stages.enrich import Enricher, broadcast_lookups
 from ..stages.aggregate import sink_counts_table, SINK_KEYS
-from ..state.manifest import Manifest
+from ..state.manifest import Manifest, resolve_fs
 
 INPUT_COLUMNS = ["url", "warc_ts", "html", "lang"]
 ROUTED_COLUMNS = [
@@ -77,6 +78,11 @@ class PipelineConfig:
     # per-task overhead amortizes with block size, so unequal blocks make
     # scaling comparisons unfair
     num_blocks: int | None = None
+    # sink/manifest storage: None -> local path or URI inferred from
+    # out_dir; or an explicit pyarrow.fs.FileSystem (S3-style object
+    # store; tested with SubTreeFileSystem as the non-local stand-in,
+    # reference src/s3/minio.go:24-157 / src/commands/mod.go:79-147)
+    filesystem: object = None
     extra_metrics: dict = field(default_factory=dict)
 
 
@@ -149,14 +155,15 @@ def build_routed_dataset(
     return ds
 
 
-def _read_back_counts_local(sink_dir: str) -> pa.Table:
+def _read_back_counts_local(sink_dir: str, filesystem=None) -> pa.Table:
     """Per-sink (doc_count, byte_count) of ONE partition's written files
     via a pyarrow.dataset scan (C++-threaded, 3 narrow columns of 1/P of
     the data)."""
     import pyarrow.dataset as pads
     import pyarrow.compute as pc
 
-    d = pads.dataset(sink_dir, format="parquet", partitioning="hive")
+    d = pads.dataset(sink_dir, format="parquet", partitioning="hive",
+                     filesystem=filesystem)
     t = d.to_table(columns=["text_bytes", *SINK_KEYS])
     i = t.column_names.index("host_bucket")
     t = t.set_column(i, "host_bucket", t.column("host_bucket").cast(pa.int64()))
@@ -179,8 +186,8 @@ def _read_back_counts_local(sink_dir: str) -> pa.Table:
 _read_back_counts_task = ray.remote(num_cpus=2)(_read_back_counts_local)
 
 
-def _read_back_counts(sink_dir: str) -> pa.Table:
-    return ray.get(_read_back_counts_task.remote(sink_dir))
+def _read_back_counts(sink_dir: str, filesystem=None) -> pa.Table:
+    return ray.get(_read_back_counts_task.remote(sink_dir, filesystem))
 
 
 def _cast_partition_cols(b: pa.Table) -> pa.Table:
@@ -192,7 +199,8 @@ def _cast_partition_cols(b: pa.Table) -> pa.Table:
 def run_pipeline(cfg: PipelineConfig) -> dict:
     """Run (or resume) the flagship pipeline.  Returns summary with the
     global per-sink aggregate."""
-    manifest = Manifest(cfg.out_dir)
+    fs, out_root = resolve_fs(cfg.out_dir, cfg.filesystem)
+    manifest = Manifest(out_root, fs)
     files = shard_files(cfg.corpus_dir)
     if not files:
         raise FileNotFoundError(f"no shards under {cfg.corpus_dir}/pages")
@@ -203,10 +211,40 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         parts[i % nparts].append(f)
 
     lookups_ref = broadcast_lookups(os.path.join(cfg.corpus_dir, "lookups"))
-    done = manifest.committed_ids() if cfg.resume else set()
     if not cfg.resume:
         manifest.drop()
-        manifest = Manifest(cfg.out_dir)
+        manifest = Manifest(out_root, fs)
+        done: set[int] = set()
+    else:
+        # resume validation (exactly-once under config changes): a
+        # committed entry counts only if its recorded shard_files match
+        # THIS run's assignment for that partition; shards covered by a
+        # committed COMPACTED entry are also done.  Anything else is
+        # stale -- retire the entry and re-run the partition, so a
+        # changed num_partitions/repeat_input/corpus between a crash and
+        # a resume can neither skip nor double-count shards.
+        done = set()
+        compacted = manifest.compacted_shard_files()
+        for pid in range(nparts):
+            want = [os.path.basename(f) for f in parts[pid]]
+            e = manifest.entry_for(pid)
+            if e is not None and e.get("shard_files") == want \
+                    and not e.get("compacted_from"):
+                done.add(pid)
+            elif compacted and all(w in compacted for w in want):
+                done.add(pid)
+            elif e is not None:
+                manifest.retire(pid)
+        # entries beyond the current partition range (e.g. a resume with
+        # fewer partitions) are equally stale: retire them AND their sink
+        # dirs, or their rows would double-count in every derived view
+        for e in manifest.entries():
+            pid = e["partition_id"]
+            if pid >= nparts and not e.get("compacted_from"):
+                manifest.retire(pid)
+                stale_dir = posixpath.join(out_root, "sinks", f"p{pid:05d}")
+                if fs.get_file_info(stale_dir).type != pafs.FileType.NotFound:
+                    fs.delete_dir(stale_dir)
 
     t0 = time.perf_counter()
     todo = [pid for pid in range(nparts) if pid not in done]
@@ -228,11 +266,11 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     en_conc = (1, max(1, slice_ // 16))
 
     def run_one(pid: int) -> int:
-        sink_dir = os.path.join(cfg.out_dir, "sinks", f"p{pid:05d}")
-        if os.path.isdir(sink_dir):
+        sink_dir = posixpath.join(out_root, "sinks", f"p{pid:05d}")
+        if fs.get_file_info(sink_dir).type != pafs.FileType.NotFound:
             # uncommitted leftovers from a crashed run: invisible garbage,
             # wipe before rewriting (idempotent re-processing)
-            shutil.rmtree(sink_dir)
+            fs.delete_dir(sink_dir)
         tp = time.perf_counter()
         ds = build_routed_dataset(
             cfg.corpus_dir, files=parts[pid], batch_size=cfg.batch_size,
@@ -251,9 +289,9 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         # row_group_size: without it the sink emits one row group per
         # arrow chunk (~8 rows after the partition split) and every later
         # read pays ~50x metadata overhead
-        ds.write_parquet(sink_dir, partition_cols=SINK_KEYS,
+        ds.write_parquet(sink_dir, filesystem=fs, partition_cols=SINK_KEYS,
                          row_group_size=131072)
-        agg = _read_back_counts(sink_dir)
+        agg = _read_back_counts(sink_dir, fs)
         sinks = {
             f"lang={r['lang']}/host_bucket={r['host_bucket']}":
                 {"rows": r["doc_count"], "bytes": r["byte_count"]}
@@ -287,30 +325,35 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     }
 
 
-def _read_committed(out_dir: str, columns: list[str] | None) -> ray.data.Dataset:
+def _read_committed(out_dir: str, columns: list[str] | None,
+                    filesystem=None) -> ray.data.Dataset:
     """Union of per-partition-directory reads: a list of DIRECTORIES can't
     be passed to read_parquet directly (it treats list elements as files,
     losing hive partition inference)."""
-    dirs = Manifest(out_dir).committed_sink_dirs()
+    m = Manifest(out_dir, filesystem)
+    dirs = m.committed_sink_dirs()
     if not dirs:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
-    parts = [ray.data.read_parquet(d, columns=columns) for d in dirs]
+    parts = [ray.data.read_parquet(d, columns=columns, filesystem=m.fs)
+             for d in dirs]
     ds = parts[0]
     if len(parts) > 1:
         ds = ds.union(*parts[1:])
     return ds
 
 
-def global_sink_counts(out_dir: str) -> pa.Table:
+def global_sink_counts(out_dir: str, filesystem=None) -> pa.Table:
     """Per-sink aggregate over all COMMITTED partitions, recomputed from
     the durable sink files (not the manifest) -- used by equality tests."""
-    back = _read_committed(out_dir, columns=["text_bytes", *SINK_KEYS])
+    back = _read_committed(out_dir, columns=["text_bytes", *SINK_KEYS],
+                           filesystem=filesystem)
     back = back.map_batches(_cast_partition_cols, batch_format="pyarrow")
     return sink_counts_table(back)
 
 
-def routed_rows(out_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    ds = _read_committed(out_dir, columns)
+def routed_rows(out_dir: str, columns: list[str] | None = None,
+                filesystem=None) -> ray.data.Dataset:
+    ds = _read_committed(out_dir, columns, filesystem=filesystem)
     if columns is None or "host_bucket" in columns:
         ds = ds.map_batches(_cast_partition_cols, batch_format="pyarrow")
     return ds

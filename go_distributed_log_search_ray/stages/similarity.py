@@ -117,23 +117,74 @@ class CellAssigner:
         return batch.append_column("ivf_cell", pa.array(cell))
 
 
-def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, ncells: int = 16,
-            nprobe: int = 4, id_col: str = "vec_id",
-            sample_size: int = 2048) -> pa.Table:
-    """IVF ANN: probe only the nprobe nearest cells per query.  Recall is
-    approximate by design; compare against knn_bruteforce in tests."""
+def build_ivf_index(ds: Dataset, index_dir: str, ncells: int = 16,
+                    sample_size: int = 2048, seed: int = 3,
+                    force: bool = False) -> str:
+    """ONE-TIME index build: train centroids on a sample, assign every
+    row to its nearest cell, and persist as CELL-PARTITIONED parquet
+    (``ivf_cell=N/`` directories) plus ``centroids.npy``.  Probes then
+    read ONLY the probed cells' files -- I/O pruned, not just compute.
+    Idempotent via a ``_SUCCESS`` marker."""
+    import os
+    import shutil
+
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return index_dir
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
     sample = np.stack([r["embedding"] for r in
                        ds.select_columns(["embedding"]).take(sample_size)])
-    cent = train_centroids(sample.astype(np.float64), ncells)
+    cent = train_centroids(sample.astype(np.float64), ncells, seed=seed)
     cref = ray.put(cent)
     assigned = ds.map_batches(CellAssigner, fn_constructor_args=(cref,),
                               batch_format="pyarrow", concurrency=(1, 8))
+    assigned.write_parquet(index_dir, partition_cols=["ivf_cell"],
+                           row_group_size=131072)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    with open(marker, "w") as f:
+        f.write(f"ncells={len(cent)}\n")
+    return index_dir
+
+
+def knn_ivf_probe(index_dir: str, queries: np.ndarray, k: int = 10,
+                  nprobe: int = 4, id_col: str = "vec_id") -> pa.Table:
+    """Query a persisted IVF index: only the ``nprobe`` nearest cells'
+    parquet directories are READ (the non-probed ~ (ncells-nprobe)/ncells
+    of the data never leaves storage), then exact top-k within them."""
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
     q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
     probed_cells = sorted({int(c) for row in probe for c in row})
-    # prune to probed cells BEFORE the expensive scan
-    pruned = assigned.map_batches(
-        lambda b: b.filter(
-            pa.array(np.isin(np.asarray(b.column("ivf_cell")), probed_cells))),
-        batch_format="pyarrow")
+    parts = [ray.data.read_parquet(os.path.join(index_dir, f"ivf_cell={c}"))
+             for c in probed_cells
+             if os.path.isdir(os.path.join(index_dir, f"ivf_cell={c}"))]
+    pruned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     return knn_bruteforce(pruned, queries, k=k, id_col=id_col)
+
+
+def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, ncells: int = 16,
+            nprobe: int = 4, id_col: str = "vec_id",
+            sample_size: int = 2048,
+            index_dir: str | None = None) -> pa.Table:
+    """IVF ANN: build (or reuse) the persisted cell-partitioned index,
+    then probe only the nprobe nearest cells per query.  Recall is
+    approximate by design; compared against knn_bruteforce in tests.
+    ``index_dir=None`` uses a throwaway build under /tmp -- pass a stable
+    path to amortize the build across queries (the scale path)."""
+    import tempfile
+
+    own = index_dir is None
+    if own:
+        index_dir = tempfile.mkdtemp(prefix="graft_ivf_")
+    try:
+        build_ivf_index(ds, index_dir, ncells=ncells,
+                        sample_size=sample_size, force=own)
+        return knn_ivf_probe(index_dir, queries, k=k, nprobe=nprobe,
+                             id_col=id_col)
+    finally:
+        if own:
+            import shutil
+            shutil.rmtree(index_dir, ignore_errors=True)

@@ -13,9 +13,20 @@ exactly-once:
   ``sinks/p{ID}/``; nothing outside a committed manifest entry is ever
   read ("DB row first, leaked files never read again" --
   src/commands/drop.go:47-75 inverted for creation);
-* the entry is JSON written to a temp name then ``os.replace``d --
-  atomic on POSIX;
-* resume = list committed entries, skip those partitions' input shards.
+* on a local filesystem the entry is JSON written to a temp name then
+  atomically renamed; on object stores (S3-style, reference
+  src/s3/minio.go:24-157) a single whole-object PUT of the final key is
+  itself atomic, so the temp+rename step is skipped;
+* resume = list committed entries, skip those partitions' input shards;
+* compaction supersedes atomically: the compacted entry lists its source
+  partitions in ``compacted_from``, and ``entries()`` excludes any
+  partition so listed -- the swap is complete the instant the new entry
+  commits, old entry files are deleted best-effort afterwards
+  (metadata-first, leak-tolerant, like the reference's merge.go:180-237).
+
+Storage goes through ``pyarrow.fs`` so ``out_dir`` may be a plain local
+path, a ``file://``/``s3://``-style URI, or an explicit
+``pyarrow.fs.FileSystem`` (e.g. SubTreeFileSystem in tests).
 
 An entry (FIXTURES.md F4):
   {partition_id, shard_files, row_count, sinks: {"lang=../host_bucket=..":
@@ -25,49 +36,99 @@ An entry (FIXTURES.md F4):
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 from typing import Any
 
+import pyarrow.fs as pafs
+
+
+def resolve_fs(path: str, filesystem: pafs.FileSystem | None = None
+               ) -> tuple[pafs.FileSystem, str]:
+    """(filesystem, normalized path) for a plain path, URI, or explicit
+    filesystem object."""
+    if filesystem is not None:
+        return filesystem, path
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
 
 class Manifest:
-    def __init__(self, out_dir: str) -> None:
-        self.out_dir = out_dir
-        self.dir = os.path.join(out_dir, "manifest")
-        os.makedirs(self.dir, exist_ok=True)
+    def __init__(self, out_dir: str,
+                 filesystem: pafs.FileSystem | None = None) -> None:
+        self.fs, self.out_dir = resolve_fs(out_dir, filesystem)
+        self.dir = posixpath.join(self.out_dir, "manifest")
+        self.fs.create_dir(self.dir, recursive=True)
+        self._is_local = isinstance(self.fs, pafs.LocalFileSystem)
 
     # -- commit protocol ---------------------------------------------------
 
     def entry_path(self, partition_id: int) -> str:
-        return os.path.join(self.dir, f"p{partition_id:05d}.json")
+        return posixpath.join(self.dir, f"p{partition_id:05d}.json")
 
     def commit(self, partition_id: int, entry: dict[str, Any]) -> None:
         entry = dict(entry)
         entry["partition_id"] = partition_id
         entry["status"] = "committed"
         entry["committed_at"] = time.time()
-        tmp = self.entry_path(partition_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.entry_path(partition_id))
+        payload = json.dumps(entry).encode()
+        final = self.entry_path(partition_id)
+        if self._is_local:
+            # POSIX: write-temp + rename is the atomic publish
+            tmp = final + ".tmp"
+            with self.fs.open_output_stream(tmp) as f:
+                f.write(payload)
+            self.fs.move(tmp, final)
+        else:
+            # object store: a single whole-object PUT of the final key is
+            # atomic; a rename would be a copy+delete (NOT atomic on S3)
+            with self.fs.open_output_stream(final) as f:
+                f.write(payload)
 
-    def committed_ids(self) -> set[int]:
-        out = set()
-        if not os.path.isdir(self.dir):
-            return out
-        for name in os.listdir(self.dir):
-            if name.endswith(".json") and name.startswith("p"):
-                out.add(int(name[1:-5]))
-        return out
+    def _raw_entries(self) -> list[dict[str, Any]]:
+        try:
+            infos = self.fs.get_file_info(pafs.FileSelector(self.dir))
+        except (FileNotFoundError, OSError):
+            return []
+        es = []
+        for info in infos:
+            name = posixpath.basename(info.path)
+            if not (name.startswith("p") and name.endswith(".json")):
+                continue
+            with self.fs.open_input_stream(info.path) as f:
+                es.append(json.loads(f.read()))
+        return es
 
     def entries(self) -> list[dict[str, Any]]:
-        es = []
-        for pid in sorted(self.committed_ids()):
-            with open(self.entry_path(pid)) as f:
-                es.append(json.load(f))
-        return es
+        """Committed entries with compaction supersede applied: any
+        partition listed in a committed entry's ``compacted_from`` is
+        invisible even if its file still exists (crash between the
+        compaction commit and the old-entry deletes cannot double-count)."""
+        raw = self._raw_entries()
+        superseded: set[int] = set()
+        for e in raw:
+            superseded.update(e.get("compacted_from", []))
+        return sorted((e for e in raw
+                       if e["partition_id"] not in superseded),
+                      key=lambda e: e["partition_id"])
+
+    def committed_ids(self) -> set[int]:
+        return {e["partition_id"] for e in self.entries()}
+
+    def entry_for(self, partition_id: int) -> dict[str, Any] | None:
+        for e in self.entries():
+            if e["partition_id"] == partition_id:
+                return e
+        return None
+
+    def retire(self, partition_id: int) -> None:
+        """Delete one entry file (used for stale entries on resume and
+        for best-effort cleanup after a compaction supersede)."""
+        try:
+            self.fs.delete_file(self.entry_path(partition_id))
+        except (FileNotFoundError, OSError):
+            pass
 
     # -- derived views -----------------------------------------------------
 
@@ -85,16 +146,28 @@ class Manifest:
     def committed_sink_dirs(self) -> list[str]:
         """Only directories named by committed entries are visible."""
         return [
-            os.path.join(self.out_dir, "sinks", f"p{e['partition_id']:05d}")
+            posixpath.join(self.out_dir, "sinks", f"p{e['partition_id']:05d}")
             for e in self.entries()
         ]
+
+    def compacted_shard_files(self) -> set[str]:
+        """Union of input shards covered by committed COMPACTED entries --
+        an ingest resume must not re-process these even though their
+        original per-partition entries are gone."""
+        out: set[str] = set()
+        for e in self.entries():
+            if e.get("compacted_from"):
+                out.update(e.get("shard_files", []))
+        return out
 
     def drop(self) -> None:
         """Reference 'drop': delete metadata first, files best-effort
         (src/commands/drop.go:15-87)."""
-        import shutil
-        if os.path.isdir(self.dir):
-            shutil.rmtree(self.dir)
-        sinks = os.path.join(self.out_dir, "sinks")
-        if os.path.isdir(sinks):
-            shutil.rmtree(sinks, ignore_errors=True)
+        try:
+            self.fs.delete_dir(self.dir)
+        except (FileNotFoundError, OSError):
+            pass
+        try:
+            self.fs.delete_dir(posixpath.join(self.out_dir, "sinks"))
+        except (FileNotFoundError, OSError):
+            pass

@@ -143,6 +143,29 @@ def test_embedding_near_dups_and_knn():
     assert t.column("rank").to_pylist() == [1, 2, 3]
 
 
+def test_ivf_persisted_index_probe(sf001, tmp_path):
+    """Index built ONCE (cell-partitioned parquet + centroids); repeated
+    probes reuse it and read only probed cell directories."""
+    import os
+    from go_distributed_log_search_ray.stages.similarity import (
+        build_ivf_index, knn_ivf_probe)
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf001}/embeddings.parquet")
+    q = np.asarray(emb.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf001}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, ncells=8)
+    cells = [d for d in os.listdir(idx) if d.startswith("ivf_cell=")]
+    assert len(cells) >= 2                      # really partitioned by cell
+    r1 = knn_ivf_probe(idx, q, k=10, nprobe=6)
+    r2 = knn_ivf_probe(idx, q, k=10, nprobe=6)  # reuse, no rebuild
+    assert r1.column("vec_id").to_pylist() == r2.column("vec_id").to_pylist()
+    # fewer probed cells scan strictly less data but still return k rows
+    r3 = knn_ivf_probe(idx, q, k=10, nprobe=2)
+    assert r3.num_rows == 10
+
+
 def test_knn_ivf_recall(sf001):
     import pyarrow.parquet as pq
     emb = pq.read_table(f"{sf001}/embeddings.parquet")

@@ -110,6 +110,74 @@ def test_resume_skips_committed_and_is_exactly_once(corpus_dir, tmp_path):
     assert res1["total_rows"] == res2["total_rows"] == len(gold)
 
 
+def test_pipeline_on_nonlocal_filesystem(corpus_dir, tmp_path):
+    """Whole pipeline (sinks + manifest + read-back + compaction) through
+    an explicit pyarrow.fs filesystem object -- the S3-style object-store
+    path (ref src/s3/minio.go), stood in by SubTreeFileSystem."""
+    import pyarrow.fs as pafs
+    from go_distributed_log_search_ray.pipelines.compact import compact
+
+    base = str(tmp_path / "bucket")
+    os.makedirs(base)
+    fs = pafs.SubTreeFileSystem(base, pafs.LocalFileSystem())
+    res = run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir="idx",
+                                      num_partitions=3, resume=False,
+                                      filesystem=fs))
+    local = global_sink_counts(os.path.join(base, "idx")).to_pylist()
+    via_fs = global_sink_counts("idx", filesystem=fs).to_pylist()
+    assert local == via_fs and res["total_rows"] > 0
+    c = compact("idx", filesystem=fs)
+    assert c["rows"] == res["total_rows"]
+    assert global_sink_counts("idx", filesystem=fs).to_pylist() == local
+
+
+def test_compaction_supersede_is_atomic(corpus_dir, tmp_path):
+    """Crash window between the compaction commit and the old-entry
+    deletes: with both generations' entry files present, entries() must
+    expose only the compacted one (no double-counting)."""
+    from go_distributed_log_search_ray.pipelines.compact import compact
+
+    out = str(tmp_path / "at")
+    res = run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                      num_partitions=3, resume=False))
+    m = Manifest(out)
+    olds = {pid: m.entry_for(pid) for pid in m.committed_ids()}
+    compact(out)
+    # resurrect the old entry files (as if the post-commit deletes never ran)
+    import json
+    for pid, e in olds.items():
+        with open(m.entry_path(pid), "w") as f:
+            json.dump(e, f)
+    m2 = Manifest(out)
+    assert sorted(m2.committed_ids()) == [3]          # supersede wins
+    assert sum(x["row_count"] for x in m2.entries()) == res["total_rows"]
+    # ingest resume after merge: every shard is covered by the compacted
+    # entry, so nothing re-runs and nothing double-counts (ADVICE case)
+    res2 = run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                       num_partitions=3, resume=True))
+    assert res2["rows_processed_this_run"] == 0
+    assert res2["total_rows"] == res["total_rows"]
+
+
+def test_resume_rejects_stale_shard_assignment(corpus_dir, tmp_path):
+    """A committed entry whose shard_files don't match the current
+    shard-to-partition assignment is stale: resume re-runs it instead of
+    trusting it (ADVICE: changed num_partitions between crash and resume)."""
+    out = str(tmp_path / "stale")
+    run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                num_partitions=4, resume=False))
+    # resume with a DIFFERENT partition count: shifted assignments are
+    # stale (re-run), identical ones legitimately skip (with 4 shards,
+    # p1={s1} and p2={s2} are the same under both splits; p0 gains s3)
+    res = run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                      num_partitions=3, resume=True))
+    assert 0 not in res["resumed_skipped"]            # shifted -> re-run
+    mine = sorted(r["url"] for r in routed_rows(out, columns=["url"]).take_all())
+    gold = sorted(u for f in glob.glob(f"{corpus_dir}/pages/*.parquet")
+                  for u in pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    assert mine == gold                               # no dup, no gap
+
+
 def test_manifest_drop(corpus_dir, tmp_path):
     out = str(tmp_path / "drop")
     run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
