@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_filter": R.revenue_filter,
         "top_orders": R.top_orders,
         "orders_by_segment": R.orders_by_segment,
+        "order_lineitem_join": R.order_lineitem_join,
         "events_route_agg": R.events_route_agg,
         "events_hourly": R.events_hourly,
         "events_sessions": R.events_sessions,
@@ -395,6 +396,14 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+        "order_lineitem_join": """
+            SELECT o.o_orderpriority,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_cents,
+                   count(*) AS line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,

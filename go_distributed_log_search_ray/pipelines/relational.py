@@ -96,6 +96,49 @@ def top_orders(sf_dir: str, k: int = 10) -> pa.Table:
                                ("o_orderkey", "ascending")])
 
 
+# -- large x large shuffle join ---------------------------------------------
+
+def order_lineitem_join(sf_dir: str) -> pa.Table:
+    """Revenue per order priority over lineitem JOIN orders -- the one
+    query where NEITHER side is broadcastable (the reference has no
+    relational join at all, SURVEY 2.5; a 100 TB training-data engine
+    needs one).  Uses the co-partitioned shuffle ``hash_join``
+    (stages/join.py): both sides move exactly once on the key hash, then
+    per-partition Arrow C++ joins; the post-join aggregate is the usual
+    partial-combine + tiny groupby."""
+    from ..stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount"))))
+        t = pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                      "rev_cents": rev})
+        g = t.group_by(["o_orderpriority"])
+        out = g.aggregate([("rev_cents", "sum"), ("rev_cents", "count")])
+        return out.rename_columns(["o_orderpriority", "rev_cents",
+                                   "line_count"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("line_count", alias_name="line_count"))
+    return small_table(agg, sort_keys=["o_orderpriority"],
+                       int64_cols=["rev_cents", "line_count"]) \
+        .select(["o_orderpriority", "rev_cents", "line_count"])
+
+
 # -- broadcast hash join ----------------------------------------------------
 
 class SegmentLookup:
