@@ -46,6 +46,13 @@ def _warmup(num_cpus: int) -> None:
         .map_batches(lambda b: b, batch_format="pyarrow").count()
 
 
+def _corpus_bytes(corpus: str) -> int:
+    """On-disk input bytes of the pages shards (html dominates)."""
+    import glob
+    return sum(os.path.getsize(f)
+               for f in glob.glob(os.path.join(corpus, "pages", "*.parquet")))
+
+
 def run_headline(num_cpus: int, repeat_input: int = 1,
                  scale_mode: bool = False) -> dict:
     """Flagship pipeline; returns {'sec':..., 'rows':..., 'docs_per_sec':...}."""
@@ -76,8 +83,10 @@ def run_headline(num_cpus: int, repeat_input: int = 1,
     res = run_pipeline(cfg)
     sec = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
+    nbytes = _corpus_bytes(corpus) * cfg.repeat_input
     return {"sec": sec, "rows": res["total_rows"],
-            "docs_per_sec": res["total_rows"] / sec}
+            "docs_per_sec": res["total_rows"] / sec,
+            "mb_per_sec": nbytes / 1e6 / sec}
 
 
 def sequential_reference_throughput(max_docs: int = 5000) -> float:
@@ -112,7 +121,9 @@ def run_queries() -> dict:
     picks = ["q1_pricing", "events_route_agg", "events_sessions",
              "doc_exact_dedup", "doc_token_count", "doc_search_topk",
              "knn_bruteforce", "doc_minhash_keep",
-             "pages_extract", "pages_sink_agg"]
+             "pages_extract", "pages_sink_agg",
+             "order_lineitem_join", "doc_langid", "doc_simhash_pairs",
+             "knn_ivf"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()
@@ -168,6 +179,8 @@ def main() -> None:
             "metric": "scaling_efficiency",
             f"throughput_{lo}cpu_docs_per_sec": round(tlo, 1),
             f"throughput_{hi}cpu_docs_per_sec": round(thi, 1),
+            f"throughput_{lo}cpu_mb_per_sec": round(results[lo].get("mb_per_sec", 0), 1),
+            f"throughput_{hi}cpu_mb_per_sec": round(results[hi].get("mb_per_sec", 0), 1),
             "rows": results[hi]["rows"],
             "speedup": round(thi / tlo, 3),
             "scaling_efficiency": round((thi / tlo) / ratio, 3),
@@ -181,6 +194,7 @@ def main() -> None:
         print(json.dumps({"metric": "headline_pipeline_sec",
                           "value": round(h["sec"], 3), "unit": "sec",
                           "docs_per_sec": round(h["docs_per_sec"], 1),
+                          "mb_per_sec": round(h["mb_per_sec"], 1),
                           "rows": h["rows"], "num_cpus": NUM_CPUS}))
         import ray
         ray.shutdown()
@@ -199,7 +213,9 @@ def main() -> None:
         "value": round(h["sec"], 3),
         "unit": "sec",
         "docs_per_sec": round(h["docs_per_sec"], 1),
+        "mb_per_sec": round(h["mb_per_sec"], 1),
         "steady_state_docs_per_sec": round(steady["docs_per_sec"], 1),
+        "steady_state_mb_per_sec": round(steady["mb_per_sec"], 1),
         "sequential_reference_extract_only_docs_per_sec": round(seq, 1),
         "steady_speedup_vs_sequential": round(steady["docs_per_sec"] / seq, 2),
         "rows": h["rows"],

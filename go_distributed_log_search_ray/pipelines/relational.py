@@ -262,14 +262,15 @@ def events_distinct_users(sf_dir: str) -> pa.Table:
 
 def _session_buckets() -> int:
     """Coarse-bucket count for the sessionization shuffle, scaled to the
-    cluster: ~8 buckets per CPU slot (power of two for the mask), so max
-    parallelism grows with the cluster instead of a constant 64, while
-    each map_groups call still amortizes one vectorized pandas pass over
-    many users.  Each group materializes ~1/P of the table, so P also
-    bounds per-task memory."""
+    cluster: ~2 buckets per CPU slot (power of two for the mask, floor
+    64), so max parallelism grows with the cluster instead of a constant
+    while each map_groups call still amortizes one vectorized pandas
+    pass over many users (measured: 8x-per-CPU made 256 near-empty
+    groups at 32 CPUs and tripled wall time at sf0.1).  Each group
+    materializes ~1/P of the table, so P also bounds per-task memory."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    p = 1
-    while p < cpus * 8:
+    p = 64
+    while p < cpus * 2:
         p *= 2
     return min(p, 1 << 15)
 
