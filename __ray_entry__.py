@@ -280,6 +280,35 @@ def _doc_minhash_keep(sf_dir: str):
     return pa.table({"doc_id": pa.array(keep, type=pa.int64())})
 
 
+
+def _media_decode_agg(sf_dir: str):
+    """REAL multimodal decode: P6 PPM payloads (pure byte format, no
+    codec library needed) -> exact per-channel pixel sums, aggregated per
+    image size.  Oracle compares against GOLDEN columns the generator
+    computed from the same pixel buffers; malformed payloads (~4%) null
+    out (P11) and are excluded on both sides identically."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from go_distributed_log_search_ray.stages.multimodal import PpmDecoder
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    media_dir = os.path.join(_corpus(sf_dir), "media")
+    ds = ray.data.read_parquet(media_dir, columns=["media_id", "payload"])
+    dec = ds.map_batches(PpmDecoder, batch_size=64, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    ok = dec.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("width"))),
+        batch_format="pyarrow")
+    agg = ok.groupby(["width", "height"]).aggregate(
+        Count(alias_name="n_images"),
+        Sum("sum_r", alias_name="tot_r"),
+        Sum("sum_g", alias_name="tot_g"),
+        Sum("sum_b", alias_name="tot_b"))
+    return small_table(agg, sort_keys=["width", "height"],
+                       int64_cols=["n_images", "tot_r", "tot_g", "tot_b"]) \
+        .select(["width", "height", "n_images", "tot_r", "tot_g", "tot_b"])
+
+
 def _knn_bruteforce(sf_dir: str):
     import ray.data
     import pyarrow.parquet as pq
@@ -346,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _doc_langid,
         "doc_simhash_pairs": _doc_simhash_pairs,
         "emb_near_dups": _emb_near_dups,
+        # multimodal (real PPM decode path; jpeg/audio stay stubbed)
+        "media_decode_agg": _media_decode_agg,
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
@@ -356,6 +387,8 @@ def oracle_sql() -> dict[str, str]:
     pages = _corpus_glob(_ORACLE_SF_DIR)  # ensure corpus exists for DuckDB
     import os
     lookups = os.path.join(os.path.dirname(os.path.dirname(pages)), "lookups")
+    media = os.path.join(os.path.dirname(os.path.dirname(pages)),
+                         "media", "*.parquet")
     return {
         "pages_extract": f"""
             SELECT url, text FROM read_parquet('{pages}')""",
@@ -490,6 +523,13 @@ def oracle_sql() -> dict[str, str]:
                      AS score
               FROM documents) s
             WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "media_decode_agg": f"""
+            SELECT width, height, count(*) AS n_images,
+                   CAST(sum(sum_r) AS BIGINT) AS tot_r,
+                   CAST(sum(sum_g) AS BIGINT) AS tot_g,
+                   CAST(sum(sum_b) AS BIGINT) AS tot_b
+            FROM read_parquet('{media}')
+            WHERE width IS NOT NULL GROUP BY width, height""",
         "knn_bruteforce": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)

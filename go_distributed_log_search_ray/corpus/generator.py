@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v3"
+GEN_VERSION = "v4"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -239,6 +239,7 @@ def _generate_locked(out: str) -> str:
         pq.write_table(table.filter(mask), os.path.join(pages, f"shard_{s:05d}.parquet"))
 
     _write_lookups(os.path.join(tmp, "lookups"), hosts)
+    _write_media(os.path.join(tmp, "media"), n)
     if os.path.exists(out):
         import shutil
         shutil.rmtree(out)
@@ -246,6 +247,49 @@ def _generate_locked(out: str) -> str:
     with open(os.path.join(out, "_SUCCESS"), "w") as f:
         f.write(f"{tag} rows={n} shards={num_shards}\n")
     return out
+
+
+def _write_media(d: str, n_docs: int) -> None:
+    """Synthetic P6 PPM images with GOLDEN decode columns (width/height/
+    exact per-channel pixel sums) computed from the same pixel buffer --
+    the multimodal analog of the pages table's golden text columns, so
+    the real PPM decode stage is oracle-checkable.  ~4% of payloads are
+    truncated (header or pixel data) with null goldens (P11 path)."""
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(SEED + 2)
+    n = max(50, n_docs // 20)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "sum_r", "sum_g", "sum_b")}
+    for i in range(n):
+        w = int(rng.integers(8, 64))
+        h = int(rng.integers(8, 48))
+        pix = rng.integers(0, 256, size=(h * w, 3), dtype=np.uint8)
+        payload = b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
+        corrupt = rng.random() < 0.04
+        if corrupt:
+            payload = payload[: int(rng.integers(3, max(4, len(payload) // 2)))]
+        s = pix.sum(axis=0, dtype=np.int64)
+        rows["media_id"].append(i)
+        rows["kind"].append("ppm")
+        rows["payload"].append(payload)
+        rows["width"].append(None if corrupt else w)
+        rows["height"].append(None if corrupt else h)
+        rows["sum_r"].append(None if corrupt else int(s[0]))
+        rows["sum_g"].append(None if corrupt else int(s[1]))
+        rows["sum_b"].append(None if corrupt else int(s[2]))
+    t = pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "width": pa.array(rows["width"], pa.int64()),
+        "height": pa.array(rows["height"], pa.int64()),
+        "sum_r": pa.array(rows["sum_r"], pa.int64()),
+        "sum_g": pa.array(rows["sum_g"], pa.int64()),
+        "sum_b": pa.array(rows["sum_b"], pa.int64()),
+    })
+    half = len(t) // 2
+    pq.write_table(t.slice(0, half), os.path.join(d, "media_00000.parquet"))
+    pq.write_table(t.slice(half), os.path.join(d, "media_00001.parquet"))
 
 
 def _write_lookups(d: str, hosts: list[str]) -> None:

@@ -111,6 +111,48 @@ def test_multimodal_stubs():
     assert ds.count() == 3
 
 
+def test_ppm_decode_real(corpus_dir):
+    """The REAL multimodal path: PPM payloads decode to exact golden
+    pixel sums; malformed payloads null out without failing the batch."""
+    import glob
+    from go_distributed_log_search_ray.stages.multimodal import (
+        PpmDecoder, parse_ppm)
+    import pyarrow.parquet as pq
+
+    # kernel edge cases
+    good = b"P6\n2 2\n255\n" + bytes(range(12))
+    assert parse_ppm(good) == (2, 2, 0 + 3 + 6 + 9, 1 + 4 + 7 + 10,
+                               2 + 5 + 8 + 11)
+    commented = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    assert parse_ppm(commented) == parse_ppm(good)
+    assert parse_ppm(b"P5\n2 2\n255\n" + bytes(12)) is None   # wrong magic
+    assert parse_ppm(good[:8]) is None                        # cut header
+    assert parse_ppm(good[:-3]) is None                       # cut pixels
+    assert parse_ppm(b"P6\n2 2\n65535\n" + bytes(12)) is None  # 16-bit
+    assert parse_ppm(None) is None
+
+    # corpus goldens, end to end through the actor stage
+    t = pa.concat_tables([pq.read_table(f) for f in
+                          sorted(glob.glob(f"{corpus_dir}/media/*.parquet"))])
+    dec = ray.data.from_arrow(t.select(["media_id", "payload"])) \
+        .map_batches(PpmDecoder, batch_format="pyarrow", batch_size=32,
+                     concurrency=1)
+    got = {r["media_id"]: r for r in dec.take_all()}
+    n_bad = 0
+    for r in t.to_pylist():
+        g = got[r["media_id"]]
+        for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
+            assert g[c] == r[c]
+        if r["width"] is None:
+            n_bad += 1
+            assert g["decode_err"] == "malformed"
+    assert n_bad > 0                                  # P11 path exercised
+
+    with pytest.raises(Exception):
+        from go_distributed_log_search_ray.stages.multimodal import PpmDecoder as P
+        P(strict=True)(pa.table({"payload": pa.array([b"nope"], pa.binary())}))
+
+
 def test_salted_groupby_equals_unsalted(corpus_dir):
     """Salted two-phase fold (skew defense) must produce identical
     aggregates to the direct fold."""
