@@ -137,6 +137,69 @@ def run_queries() -> dict:
     return out
 
 
+def run_extras() -> dict:
+    """Measurements the per-query picks can't express: the windowed
+    streaming consumer (per-window commits, chunked pushed-down scans)
+    and the IVF build-once/probe-many amortization vs brute force."""
+    import shutil as _sh
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from go_distributed_log_search_ray.functions.tableops import read_clean
+    from go_distributed_log_search_ray.pipelines.streaming import (
+        run_windowed_ingest)
+    from go_distributed_log_search_ray.stages.similarity import (
+        build_ivf_index, knn_bruteforce, knn_ivf_probe)
+
+    out = {}
+    d = "/tmp/bench_windowed"
+    _sh.rmtree(d, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_windowed_ingest(f"{SF_DIR}/events.parquet", d, resume=False)
+    out["windowed_ingest_sec"] = round(time.perf_counter() - t0, 3)
+    out["windowed_ingest_rows"] = res["total_rows"]
+    out["windowed_windows"] = res["windows"]
+    out["windowed_scan_jobs"] = res["jobs"]
+    _sh.rmtree(d, ignore_errors=True)
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["embedding"])
+    queries = np.stack(emb.column("embedding").to_pylist()[:8]) \
+        .astype(np.float64)
+    ds = read_clean(f"{SF_DIR}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    idx = "/tmp/bench_ivf"
+    _sh.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_ivf_index(ds, idx, ncells=16)
+    out["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    for q in queries:
+        knn_ivf_probe(idx, q, k=10, nprobe=4)
+    out["ivf_probe_sec_per_query"] = round(
+        (time.perf_counter() - t0) / len(queries), 3)
+    # the scale-relevant win: fraction of index BYTES a probe reads
+    # (wall time at this corpus size is Ray-job fixed cost on both paths)
+    import glob as _g
+    import numpy as _np
+    cent = _np.load(os.path.join(idx, "centroids.npy"))
+    qn = queries[0] / max(_np.linalg.norm(queries[0]), 1e-12)
+    cells = _np.argsort(-(cent @ qn))[:4]
+    probed = sum(os.path.getsize(f) for c in cells
+                 for f in _g.glob(os.path.join(idx, f"ivf_cell={c}", "*.parquet")))
+    total = sum(os.path.getsize(f)
+                for f in _g.glob(os.path.join(idx, "ivf_cell=*", "*.parquet")))
+    out["ivf_probe_bytes_frac"] = round(probed / max(total, 1), 3)
+    t0 = time.perf_counter()
+    for q in queries:
+        knn_bruteforce(ds, q, k=10)
+    out["bruteforce_sec_per_query"] = round(
+        (time.perf_counter() - t0) / len(queries), 3)
+    _sh.rmtree(idx, ignore_errors=True)
+    return out
+
+
 def _wait_for_ray_teardown(max_wait: int = 90) -> None:
     """Block until the previous leg's Ray processes are fully gone:
     lingering raylet/worker processes from leg N-1 contend with leg N and
@@ -203,6 +266,7 @@ def main() -> None:
     h = run_headline(NUM_CPUS)
     steady = run_headline(NUM_CPUS, scale_mode=True)  # long job, fixed costs amortized
     queries = run_queries()
+    extras = run_extras()
     seq = sequential_reference_throughput()
     try:
         sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))
@@ -220,6 +284,7 @@ def main() -> None:
         "steady_speedup_vs_sequential": round(steady["docs_per_sec"] / seq, 2),
         "rows": h["rows"],
         "queries": queries,
+        "extras": extras,
         "sf": sf,
         "num_cpus": NUM_CPUS,
     }))

@@ -154,14 +154,20 @@ def knn_ivf_probe(index_dir: str, queries: np.ndarray, k: int = 10,
     of the data never leaves storage), then exact top-k within them."""
     import os
 
+    import glob
+
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
     q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
     probed_cells = sorted({int(c) for row in probe for c in row})
-    parts = [ray.data.read_parquet(os.path.join(index_dir, f"ivf_cell={c}"))
-             for c in probed_cells
-             if os.path.isdir(os.path.join(index_dir, f"ivf_cell={c}"))]
-    pruned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    # ONE read over the probed cells' files (a per-cell read+union paid
+    # one Ray job's fixed cost per cell and was SLOWER than brute force
+    # at small scale; a file list is a single read that still skips the
+    # non-probed (ncells-nprobe)/ncells of the data)
+    files = [f for c in probed_cells
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"ivf_cell={c}", "*.parquet")))]
+    pruned = ray.data.read_parquet(files)
     return knn_bruteforce(pruned, queries, k=k, id_col=id_col)
 
 

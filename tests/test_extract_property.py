@@ -42,3 +42,32 @@ def test_vectorized_equals_reference_on_arbitrary_bytes(docs):
         assert titles[i] == ref.title
         assert metas[i] == ref.lang_meta
         assert ips[i] == ref.log_ip
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=150, deadline=None)
+def test_ppm_parser_never_crashes_on_arbitrary_bytes(data):
+    """parse_ppm is total: arbitrary byte garbage (including adversarial
+    near-headers) either decodes or returns None -- never raises."""
+    from go_distributed_log_search_ray.stages.multimodal import parse_ppm
+    r = parse_ppm(data)
+    if r is not None:
+        w, h, sr, sg, sb = r
+        assert w > 0 and h > 0
+        assert 0 <= sr <= w * h * 255
+        assert 0 <= sg <= w * h * 255
+        assert 0 <= sb <= w * h * 255
+
+
+@given(st.integers(1, 12), st.integers(1, 12), st.binary())
+@settings(max_examples=100, deadline=None)
+def test_ppm_roundtrip_with_trailing_garbage(w, h, tail):
+    """A well-formed P6 payload decodes exactly even with trailing junk
+    appended (readers must not over-consume)."""
+    import numpy as np
+    from go_distributed_log_search_ray.stages.multimodal import parse_ppm
+    rng = np.random.default_rng(w * 100 + h)
+    pix = rng.integers(0, 256, size=(w * h, 3), dtype=np.uint8)
+    payload = b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes() + tail
+    s = pix.sum(axis=0, dtype=np.int64)
+    assert parse_ppm(payload) == (w, h, int(s[0]), int(s[1]), int(s[2]))
