@@ -281,6 +281,34 @@ def _doc_minhash_keep(sf_dir: str):
 
 
 
+
+def _events_windowed_counts(sf_dir: str):
+    """The windowed STREAMING pipeline as an oracle-checked query: run
+    the full consumer (chunked pushed-down range scans, per-window atomic
+    commits) over the events stream and return per-window event counts
+    from the committed manifest -- empty gap windows included."""
+    import shutil
+    import tempfile
+    from go_distributed_log_search_ray.pipelines.streaming import (
+        run_windowed_ingest)
+    from go_distributed_log_search_ray.state.manifest import Manifest
+
+    out = tempfile.mkdtemp(prefix="graft_windowq_")
+    try:
+        run_windowed_ingest(f"{sf_dir}/events.parquet", out, resume=False)
+        rows = sorted(
+            ({"window_start_us": e["window_start_us"],
+              "n_events": e["row_count"]} for e in Manifest(out).entries()),
+            key=lambda r: r["window_start_us"])
+        return pa.table({
+            "window_start_us": pa.array([r["window_start_us"] for r in rows],
+                                        pa.int64()),
+            "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+        })
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _media_decode_agg(sf_dir: str):
     """REAL multimodal decode: P6 PPM payloads (pure byte format, no
     codec library needed) -> exact per-channel pixel sums, aggregated per
@@ -362,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "events_sessions": R.events_sessions,
         "events_distinct_users": R.events_distinct_users,
+        "events_windowed_counts": _events_windowed_counts,
         # training-data text ops
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
@@ -480,6 +509,19 @@ def oracle_sql() -> dict[str, str]:
                      AS score
               FROM read_parquet('{pages}')) s
             WHERE score > 0 ORDER BY score DESC, url ASC LIMIT 50""",
+        "events_windowed_counts": """
+            WITH bounds AS (
+              SELECT CAST(floor(epoch(min(ts))/3600) AS BIGINT)*3600000000 lo,
+                     CAST(floor(epoch(max(ts))/3600) AS BIGINT)*3600000000 hi
+              FROM events),
+            grid AS (SELECT unnest(generate_series(lo, hi, 3600000000))
+                       AS window_start_us FROM bounds),
+            cnt AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                             * 1000000 AS w, count(*) n
+                    FROM events GROUP BY 1)
+            SELECT g.window_start_us,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+            FROM grid g LEFT JOIN cnt c ON g.window_start_us = c.w""",
         "events_distinct_users": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users

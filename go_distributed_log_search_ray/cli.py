@@ -79,6 +79,28 @@ def cmd_search(args) -> dict:
         for r in top.take_all()]}
 
 
+def cmd_stream(args) -> dict:
+    """Windowed streaming consumer (reference `index --stream`:
+    commit-interval segment cuts, src/commands/index.go:107-122) over an
+    event table; resumable per-window commits."""
+    from .pipelines.streaming import run_windowed_ingest
+    _ensure_ray()
+    return run_windowed_ingest(
+        args.events, args.out, resume=not args.no_resume,
+        max_windows=args.max_windows, windows_per_job=args.windows_per_job)
+
+
+def cmd_tail(args) -> dict:
+    """Continuous directory-tail consumer (reference Kafka source
+    analog): per-shard offsets derived from committed entries."""
+    from .sources.tail import tail_ingest
+    _ensure_ray()
+    return tail_ingest(args.in_dir, args.out,
+                       max_batches=args.max_batches,
+                       max_idle_polls=args.max_idle_polls,
+                       poll_interval_s=args.poll_interval)
+
+
 def cmd_drop(args) -> dict:
     from .state.manifest import Manifest
     Manifest(args.out).drop()
@@ -113,6 +135,22 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--limit", type=int, default=1)   # reference default 1
     s.add_argument("--fields", default="text,title")
     s.set_defaults(fn=cmd_search)
+
+    st = sub.add_parser("stream")
+    st.add_argument("--events", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--max-windows", type=int, default=None)
+    st.add_argument("--windows-per-job", type=int, default=24)
+    st.add_argument("--no-resume", action="store_true")
+    st.set_defaults(fn=cmd_stream)
+
+    t = sub.add_parser("tail")
+    t.add_argument("--in-dir", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--max-batches", type=int, default=None)
+    t.add_argument("--max-idle-polls", type=int, default=3)
+    t.add_argument("--poll-interval", type=float, default=0.5)
+    t.set_defaults(fn=cmd_tail)
 
     d = sub.add_parser("drop")
     d.add_argument("--out", required=True)

@@ -32,3 +32,26 @@ def test_cli_roundtrip(corpus_dir, tmp_path, capsys):
     cli_main(["drop", "--out", out])
     json.loads(capsys.readouterr().out.strip())
     assert not os.path.isdir(os.path.join(out, "manifest"))
+
+
+def test_cli_stream_and_tail(sf001, tmp_path):
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.cli import main
+
+    out = str(tmp_path / "st")
+    rc = main(["stream", "--events", f"{sf001}/events.parquet",
+               "--out", out, "--max-windows", "4"])
+    assert rc == 0
+    from go_distributed_log_search_ray.state.manifest import Manifest
+    assert len(Manifest(out).committed_ids()) == 4
+
+    src = tmp_path / "tin"
+    src.mkdir()
+    pq.write_table(pa.table({"x": list(range(5))}),
+                   str(src / "s0_0000.parquet"))
+    rc = main(["tail", "--in-dir", str(src), "--out", str(tmp_path / "tout"),
+               "--max-batches", "1", "--poll-interval", "0.05"])
+    assert rc == 0
+    assert len(Manifest(str(tmp_path / "tout")).entries()) == 1
