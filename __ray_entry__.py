@@ -146,6 +146,15 @@ def _doc_token_count(sf_dir: str):
              .select_columns(["doc_id", "n_tokens"])
 
 
+
+def _doc_bpe_token_count(sf_dir: str):
+    import ray.data
+    from go_distributed_log_search_ray.stages.textstats import bpe_token_count_batch
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def _doc_quality_features(sf_dir: str):
     import ray.data
     from go_distributed_log_search_ray.stages.textstats import quality_features_batch
@@ -394,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data text ops
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
+        "doc_bpe_token_count": _doc_bpe_token_count,
         "doc_quality_features": _doc_quality_features,
         "doc_fingerprint": _doc_fingerprint,
         "doc_lang_agg": _doc_lang_agg,
@@ -542,6 +552,12 @@ def oracle_sql() -> dict[str, str]:
                                         || chr(13) || chr(11)),
                                '[\t\n\f\r ]+'))
                    END AS n_tokens
+            FROM documents""",
+        "doc_bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS n_bpe_tokens
             FROM documents""",
         "doc_quality_features": r"""
             SELECT doc_id,

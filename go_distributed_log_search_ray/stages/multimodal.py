@@ -107,6 +107,48 @@ class PpmDecoder:
         return out.append_column("decode_err", pa.array(errs, pa.string()))
 
 
+class PpmThumbnail:
+    """payload -> downsampled PPM payload ("resize" stage, REAL for P6):
+    stride-subsamples pixels by ``factor`` and re-emits a valid P6
+    payload (ceil(w/f) x ceil(h/f)).  Malformed inputs null out (P11).
+    The actor/batch plumbing matches what a real image-resize stage
+    (PIL/opencv in __init__) would use."""
+
+    def __init__(self, factor: int = 4) -> None:
+        self.factor = max(1, factor)
+
+    def _thumb(self, p: bytes | None) -> bytes | None:
+        r = parse_ppm(p)
+        if r is None:
+            return None
+        w, h = r[0], r[1]
+        # re-locate the pixel start the same way parse_ppm did
+        i, seen = 2, 0
+        while seen < 3:
+            while p[i:i + 1].isspace():
+                i += 1
+            if p[i:i + 1] == b"#":
+                while p[i] != 0x0A:
+                    i += 1
+                continue
+            while p[i:i + 1].isdigit():
+                i += 1
+            seen += 1
+        i += 1
+        pix = np.frombuffer(p, dtype=np.uint8, count=w * h * 3,
+                            offset=i).reshape(h, w, 3)
+        small = pix[::self.factor, ::self.factor]
+        sh, sw = small.shape[0], small.shape[1]
+        return b"P6\n%d %d\n255\n" % (sw, sh) + \
+            np.ascontiguousarray(small).tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs = [self._thumb(p)
+                  for p in batch.column("payload").to_pylist()]
+        return batch.append_column(
+            "thumbnail", pa.array(thumbs, pa.binary()))
+
+
 class ImageDecode:
     """payload -> (width, height, channels, decode_err).
 

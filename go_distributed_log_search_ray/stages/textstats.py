@@ -31,6 +31,20 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.fill_null(n, 0))
 
 
+# BPE-ish pretokenizer classes (letters / digits / single punctuation),
+# the regex-count stand-in for a learned BPE vocab's pretoken split
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_bpe_tokens = count of BPE-ish pretokens (letters runs, digit
+    runs, single punctuation).  SQL twin:
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))."""
+    t = batch.column(text_col)
+    n = pc.cast(pc.count_substring_regex(t, pattern=BPE_ISH), pa.int64())
+    return batch.append_column("n_bpe_tokens", pc.fill_null(n, 0))
+
+
 def quality_features_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality features (upper/digit/space/punct counts + chars).
     Downstream quality *scores* are ratios of these; keeping the raw

@@ -153,6 +153,46 @@ def test_ppm_decode_real(corpus_dir):
         P(strict=True)(pa.table({"payload": pa.array([b"nope"], pa.binary())}))
 
 
+def test_ppm_thumbnail_real(corpus_dir):
+    """The resize stage re-emits VALID downsampled PPMs: re-decoding a
+    thumbnail gives the strided source pixels exactly."""
+    import glob
+    from go_distributed_log_search_ray.stages.multimodal import (
+        PpmThumbnail, parse_ppm)
+    import pyarrow.parquet as pq
+
+    t = pa.concat_tables([pq.read_table(f) for f in
+                          sorted(glob.glob(f"{corpus_dir}/media/*.parquet"))])
+    out = ray.data.from_arrow(t.select(["media_id", "payload"])) \
+        .map_batches(PpmThumbnail, fn_constructor_kwargs={"factor": 3},
+                     batch_format="pyarrow", batch_size=32, concurrency=1) \
+        .take_all()
+    by_id = {r["media_id"]: r["thumbnail"] for r in out}
+    checked = bad = 0
+    for r in t.to_pylist():
+        th = by_id[r["media_id"]]
+        if r["width"] is None:
+            assert th is None          # malformed in -> null out
+            bad += 1
+            continue
+        got = parse_ppm(th)
+        assert got is not None
+        w, h = r["width"], r["height"]
+        assert (got[0], got[1]) == (-(-w // 3), -(-h // 3))  # ceil(x/3)
+        # exact pixel equality against an independent strided decode
+        src = parse_ppm(r["payload"])
+        import numpy as np
+        i = r["payload"].index(b"255\n") + 4
+        pix = np.frombuffer(r["payload"], np.uint8, count=w * h * 3,
+                            offset=i).reshape(h, w, 3)
+        want = pix[::3, ::3]
+        assert got[2:] == tuple(int(x) for x in
+                                want.reshape(-1, 3).sum(axis=0,
+                                                        dtype=np.int64))
+        checked += 1
+    assert checked > 50 and bad > 0
+
+
 def test_salted_groupby_equals_unsalted(corpus_dir):
     """Salted two-phase fold (skew defense) must produce identical
     aggregates to the direct fold."""
