@@ -359,6 +359,26 @@ def _knn_bruteforce(sf_dir: str):
         1, "rank", t.column("rank").cast(pa.int64()))
 
 
+
+def _knn_multi(sf_dir: str):
+    """Batched ANN serving shape: ONE broadcast query matrix, per-batch
+    top-k for ALL queries in a single pass over the data (the per-query
+    loop at scale is the anti-pattern; this is the amortized path)."""
+    import ray.data
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.stages.similarity import knn_bruteforce
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    order = np.argsort(emb.column("vec_id").to_numpy())[:3]
+    qs = np.stack([emb.column("embedding").to_pylist()[i] for i in order]) \
+        .astype(np.float64)
+    ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    t = knn_bruteforce(ds, qs, k=10)
+    return t.select(["query_id", "vec_id", "rank"]).cast(
+        pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                   ("rank", pa.int64())]))
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN (approximate by design): rows-only driver check; recall
     vs brute force asserted in pytest.  Uses a PERSISTED cell-partitioned
@@ -418,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_agg": _media_decode_agg,
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
+        "knn_multi": _knn_multi,
         "knn_ivf": _knn_ivf,
     }
 
@@ -594,6 +615,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, rank FROM (
               SELECT e.vec_id,
                      CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                       e.vec_id ASC) AS BIGINT) AS rank
+              FROM embeddings e, q) r
+            WHERE rank <= 10""",
+        "knn_multi": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id IN (0, 1, 2))
+            SELECT CAST(qid AS BIGINT) AS query_id, vec_id, rank FROM (
+              SELECT q.qid, e.vec_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.qid
                        ORDER BY list_cosine_similarity(
                          CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
                        e.vec_id ASC) AS BIGINT) AS rank

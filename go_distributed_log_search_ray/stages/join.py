@@ -94,7 +94,14 @@ def hash_join(left: Dataset, right: Dataset, on: str,
     contain zero-row blocks (groupby/map_groups outputs) -- Ray infers a
     Dataset schema from its FIRST block, zero-row blocks bypass
     map_batches fix-ups entirely, and a degenerate first block would
-    otherwise give the pad stage null-typed templates."""
+    otherwise give the pad stage null-typed templates.
+
+    Skew: a hot KEY's rows all land in one partition (correct but that
+    partition's merge task holds them in memory).  ``num_partitions``
+    bounds average partition size; for a known-hot key the standard
+    mitigations apply upstream -- pre-aggregate the many-side per key
+    before joining, or broadcast the rows of the hot keys separately
+    (see stages/enrich.py) and join only the cold remainder."""
     right_on = right_on or on
     # normalize to Arrow blocks (inputs may carry pandas blocks, e.g.
     # map_groups output, whose schema objects aren't pyarrow Schemas)

@@ -71,3 +71,28 @@ def test_ppm_roundtrip_with_trailing_garbage(w, h, tail):
     payload = b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes() + tail
     s = pix.sum(axis=0, dtype=np.int64)
     assert parse_ppm(payload) == (w, h, int(s[0]), int(s[1]), int(s[2]))
+
+
+@given(st.recursive(
+    st.none() | st.booleans() | st.integers(-10**6, 10**6)
+    | st.text(max_size=12),
+    lambda children: st.dictionaries(st.text(max_size=8), children,
+                                     max_size=4),
+    max_leaves=12))
+@settings(max_examples=120, deadline=None)
+def test_dynamic_object_parser_total_on_arbitrary_json(obj):
+    """parse_dynamic_object_column never raises on arbitrary nested JSON
+    and every emitted value is a string (map<string,string> contract)."""
+    import json
+    from go_distributed_log_search_ray.config.schema import (
+        DYNAMIC_OBJECT, FieldSpec)
+    from go_distributed_log_search_ray.functions.parsers import parse_column
+
+    col = pa.array([json.dumps(obj)], pa.string())
+    out = parse_column(col, FieldSpec("x", DYNAMIC_OBJECT)).to_pylist()
+    if isinstance(obj, dict):
+        assert out[0] is not None
+        for k, v in out[0]:
+            assert isinstance(k, str) and isinstance(v, str)
+    else:
+        assert out[0] is None

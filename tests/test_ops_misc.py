@@ -205,3 +205,24 @@ def test_salted_groupby_equals_unsalted(corpus_dir):
     salted = sink_counts_table(build_routed_dataset(corpus_dir, files=files),
                                salt=4)
     assert plain.to_pylist() == salted.to_pylist()
+
+
+def test_hash_join_under_heavy_key_skew():
+    """One key owning half the rows must join correctly (all its pairs in
+    one partition's merge) -- the documented skew behavior."""
+    import numpy as np
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    n = 20_000
+    keys = np.where(np.arange(n) % 2 == 0, 7, np.arange(n))  # key 7 = 50%
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(np.arange(n), pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([7, 1, 3], pa.int64()),
+        "w": pa.array([70, 10, 30], pa.int64())}))
+    out = hash_join(left, right, on="k", num_partitions=8).take_all()
+    hot = [r for r in out if r["k"] == 7]
+    assert len(hot) == int((keys == 7).sum())     # every hot row joined
+    assert all(r["w"] == 70 for r in hot)
+    assert sorted(r["k"] for r in out if r["k"] != 7) == [1, 3]
