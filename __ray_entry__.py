@@ -415,6 +415,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": R.top_orders,
         "orders_by_segment": R.orders_by_segment,
         "order_lineitem_join": R.order_lineitem_join,
+        "part_type_revenue": R.part_type_revenue,
+        "revenue_by_region": R.revenue_by_region,
+        "supplier_nation_acctbal": R.supplier_nation_acctbal,
+        "events_props_agg": R.events_props_agg,
         "events_route_agg": R.events_route_agg,
         "events_hourly": R.events_hourly,
         "events_sessions": R.events_sessions,
@@ -489,6 +493,37 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+        "part_type_revenue": """
+            SELECT p.p_type,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_cents,
+                   count(*) AS line_count
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type""",
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   count(*) AS order_count
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name""",
+        "supplier_nation_acctbal": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(s.s_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS bal_cents,
+                   count(*) AS supplier_count
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+        "events_props_agg": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(json_extract_string(props, '$.k')) AS n_events
+            FROM events GROUP BY event_type""",
         "order_lineitem_join": """
             SELECT o.o_orderpriority,
                    CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)

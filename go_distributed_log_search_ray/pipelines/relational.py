@@ -184,6 +184,181 @@ def orders_by_segment(sf_dir: str) -> pa.Table:
     return _sorted_table(agg, ["c_mktsegment"])
 
 
+def revenue_by_region(sf_dir: str) -> pa.Table:
+    """Orders revenue per region: the classic 3-level dimension chain
+    (customer -> nation -> region) resolved as ONE composed broadcast
+    lookup (all three dimension tables are small; the reference's
+    broadcast-small-side pattern, SURVEY 2.5) -- no shuffle join, the
+    fact table streams once."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation.column("n_nationkey").to_pylist(),
+                   nation.column("n_regionkey").to_pylist()))
+    r2n = dict(zip(region.column("r_regionkey").to_pylist(),
+                   region.column("r_name").to_pylist()))
+    c2region = {c: r2n.get(n2r.get(n))
+                for c, n in zip(cust.column("c_custkey").to_pylist(),
+                                cust.column("c_nationkey").to_pylist())}
+    ref = ray.put(c2region)
+
+    class RegionLookup:
+        def __init__(self, r) -> None:
+            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("o_custkey")
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            d = keys.dictionary_encode()
+            lut = pa.array([self.m.get(k) for k in d.dictionary.to_pylist()],
+                           type=pa.string())
+            return b.append_column("r_name", pc.take(lut, d.indices))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(RegionLookup, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=(1, 8))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"r_name": b.column("r_name"),
+                      "price_cents": _cents(b.column("o_totalprice"))})
+        g = t.group_by(["r_name"])
+        out = g.aggregate([("price_cents", "sum"), ("price_cents", "count")])
+        return out.rename_columns(["r_name", "sum_price_cents", "order_count"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("order_count", alias_name="order_count"))
+    return small_table(agg, sort_keys=["r_name"],
+                       int64_cols=["sum_price_cents", "order_count"]) \
+        .select(["r_name", "sum_price_cents", "order_count"])
+
+
+def part_type_revenue(sf_dir: str) -> pa.Table:
+    """Lineitem revenue per part type via the co-partitioned shuffle
+    join on the part key (a second large x large join exercising a
+    different key distribution than order_lineitem_join)."""
+    from ..stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    j = hash_join(
+        li, part, on="l_partkey", right_on="p_partkey",
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_type", pa.string())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount"))))
+        t = pa.table({"p_type": b.column("p_type"), "rev_cents": rev})
+        g = t.group_by(["p_type"])
+        out = g.aggregate([("rev_cents", "sum"), ("rev_cents", "count")])
+        return out.rename_columns(["p_type", "rev_cents", "line_count"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_type").aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("line_count", alias_name="line_count"))
+    return small_table(agg, sort_keys=["p_type"],
+                       int64_cols=["rev_cents", "line_count"]) \
+        .select(["p_type", "rev_cents", "line_count"])
+
+
+def supplier_nation_acctbal(sf_dir: str) -> pa.Table:
+    """Supplier account balances per nation (broadcast dimension)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    ref = ray.put(n2name)
+
+    class NationLookup:
+        def __init__(self, r) -> None:
+            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("s_nationkey")
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            d = keys.dictionary_encode()
+            lut = pa.array([self.m.get(k) for k in d.dictionary.to_pylist()],
+                           type=pa.string())
+            return b.append_column("n_name", pc.take(lut, d.indices))
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    joined = ds.map_batches(NationLookup, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"n_name": b.column("n_name"),
+                      "bal_cents": _cents(b.column("s_acctbal"))})
+        g = t.group_by(["n_name"])
+        out = g.aggregate([("bal_cents", "sum"), ("bal_cents", "count")])
+        return out.rename_columns(["n_name", "bal_cents", "supplier_count"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(
+            Sum("bal_cents", alias_name="bal_cents"),
+            Sum("supplier_count", alias_name="supplier_count"))
+    return small_table(agg, sort_keys=["n_name"],
+                       int64_cols=["bal_cents", "supplier_count"]) \
+        .select(["n_name", "bal_cents", "supplier_count"])
+
+
+def events_props_agg(sf_dir: str) -> pa.Table:
+    """The DECLARED dynamic_object path over driver data: the events
+    ``props`` column (schemaless JSON strings) parses through
+    ``parse_dynamic_object_column`` into a map, the 'k' entry is
+    extracted vectorized from the map buffers, and the sum folds per
+    event type -- oracle via DuckDB json_extract."""
+    from ..config.schema import DYNAMIC_OBJECT, FieldSpec
+    from ..functions.parsers import parse_column
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    spec = FieldSpec("props", DYNAMIC_OBJECT)
+
+    def parse(b: pa.Table) -> pa.Table:
+        m = parse_column(b.column("props"), spec)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        offsets = np.asarray(m.offsets)
+        keys = np.asarray(m.keys.to_pylist(), dtype=object)
+        items = m.items
+        hit = np.nonzero(keys == "k")[0]
+        # first 'k' entry per row (rows without one -> null)
+        row_of = np.searchsorted(offsets[1:], hit, side="right")
+        kv = np.full(b.num_rows, None, dtype=object)
+        vals = pc.cast(items.take(pa.array(hit)), pa.int64()).to_pylist()
+        for r, v in zip(row_of[::-1], vals[::-1]):   # first wins
+            kv[r] = v
+        t = pa.table({"event_type": b.column("event_type"),
+                      "k": pa.array(kv.tolist(), pa.int64())})
+        g = t.group_by(["event_type"])
+        out = g.aggregate([("k", "sum"), ("k", "count")])
+        return out.rename_columns(["event_type", "sum_k", "n_events"])
+
+    agg = ds.map_batches(parse, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Sum("n_events", alias_name="n_events"))
+    return small_table(agg, sort_keys=["event_type"],
+                       int64_cols=["sum_k", "n_events"]) \
+        .select(["event_type", "sum_k", "n_events"])
+
+
 # -- events: routing aggregate, tumbling window, sessions -------------------
 
 def events_route_agg(sf_dir: str) -> pa.Table:
