@@ -451,16 +451,16 @@ def _session_buckets() -> int:
 
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
-    """Gap-based sessionization per user: groupby(user).map_groups with a
-    vectorized per-group diff (hash shuffle on user_id -- each group is
-    tiny; skew across users is bounded by per-user event counts)."""
-    import pandas as pd
+    """Gap-based sessionization per user.  Shuffle on a COARSE
+    cluster-scaled user bucket, then ONE Arrow sort + numpy diff/reduceat
+    pass per bucket -- blocks stay Arrow end-to-end (a single pandas
+    block would flip the downstream shuffle to pandas and re-type int64
+    columns), and the per-group kernel is all C: sort_indices, boundary
+    diff, add.reduceat.  Per-user map_groups would pay one Python call
+    per user; per-bucket pandas paid frame-construction + object dtype
+    costs that regressed 3.8x at sf0.1."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    gap = np.timedelta64(gap_minutes * 60, "s")
-
-    # shuffle on a COARSE bucket (cluster-scaled count), then a single
-    # vectorized pandas pass per bucket handles all its users -- per-user
-    # map_groups would pay one Python call per user (slow at millions)
+    gap_us = np.int64(gap_minutes * 60) * 1_000_000
     nb = _session_buckets()
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -468,18 +468,37 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
             "ubucket", pc.cast(pc.bit_wise_and(b.column("user_id"),
                                                pa.scalar(nb - 1)), pa.int32()))
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts"])
-        new_user = df["user_id"].ne(df["user_id"].shift())
-        gap_break = (df["ts"] - df["ts"].shift()) > gap
-        starts = (new_user | gap_break)
-        out = df.assign(s=starts.astype("int64")).groupby(
-            "user_id", sort=True).agg(n_sessions=("s", "sum"),
-                                      n_events=("s", "count"))
-        return out.reset_index()
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_sessions", pa.int64()),
+                            ("n_events", pa.int64())])
+
+    def sessions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending")])
+        t = t.take(idx)
+        uid = np.asarray(t.column("user_id"))
+        ts = np.asarray(t.column("ts").cast(pa.timestamp("us"))
+                        .cast(pa.int64()))  # us since epoch
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts |= new_user
+        bounds = np.nonzero(new_user)[0]
+        n_sessions = np.add.reduceat(starts.astype(np.int64), bounds)
+        n_events = np.diff(np.append(bounds, n))
+        return pa.table({"user_id": pa.array(uid[bounds]),
+                         "n_sessions": pa.array(n_sessions),
+                         "n_events": pa.array(n_events)},
+                        schema=out_schema)
 
     out = ds.map_batches(add_bucket, batch_format="pyarrow") \
-            .groupby("ubucket").map_groups(sessions)
+            .groupby("ubucket").map_groups(sessions, batch_format="pyarrow")
     t = _sorted_table(out, ["user_id"])
     return pa.table({"user_id": t.column("user_id"),
                      "n_sessions": t.column("n_sessions").cast(pa.int64()),

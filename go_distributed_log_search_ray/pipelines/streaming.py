@@ -8,12 +8,14 @@ kafka_checkpoint.go:108-138; crash between upload and checkpoint
 re-indexes the window, SURVEY 2.10).
 
 Ray Data re-expression: the "stream" is an ordered sequence of
-event-time tumbling windows over a partitioned table; windows are
-consumed in CHUNKS of ``windows_per_job`` -- each chunk is ONE bounded
-Dataset job whose read carries a pushed-down ``ts`` range filter
-(parquet row-group statistics prune non-overlapping row groups), fans
-rows out to per-window sink directories via a partitioned write, and
-then commits each window atomically to the manifest.  Cost is
+event-time tumbling windows over a partitioned table -- a single parquet
+file, a sharded directory, or an explicit file list (a real stream can
+never fit one file).  Windows are consumed in CHUNKS of
+``windows_per_job`` -- each chunk is ONE bounded Dataset job whose read
+carries a pushed-down ``ts`` range filter (parquet row-group statistics
+prune non-overlapping row groups ACROSS ALL FRAGMENTS), fans rows out to
+per-window sink directories via a partitioned write, and then commits
+each window atomically to the manifest.  Cost is
 O(ceil(W / windows_per_job)) range scans -- with time-clustered row
 groups (the normal layout for append-over-time log data) each scan
 touches only its range's bytes -- instead of the O(W x full-scan) a
@@ -24,6 +26,13 @@ entries are keyed by the ABSOLUTE window start (``wstart // window_us``),
 not a positional index, so a stream that gains earlier events (or loses
 files) between a crash and a resume cannot shift ids; resume re-verifies
 ``window_start_us`` on every skip.
+
+``tail_windowed_ingest`` composes this with the growing-directory
+source (the reference's actual streaming mode: Kafka partitions feeding
+commit-interval segment cuts): each poll's new shard files are one
+atomic batch whose rows are fanned out into per-window sink directories
+under a batch-scoped root, so offsets (consumed files) and windowed data
+commit together, exactly once.
 """
 
 from __future__ import annotations
@@ -31,6 +40,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -39,31 +49,72 @@ from ..state.manifest import Manifest
 
 WINDOW_US = 3_600_000_000  # 1h tumbling window (commit-interval analog)
 
+_NO_STATS = (-(1 << 62), 1 << 62)  # row group without ts stats: overlaps all
 
-def _ts_footer_stats(events_path: str) -> tuple[int, int, int, list[tuple[int, int]]]:
+
+def _resolve_paths(events_path) -> list[str]:
+    """A single file, a directory of parquet shards (recursive), or an
+    explicit list of files -> ordered file list."""
+    if isinstance(events_path, (list, tuple)):
+        return list(events_path)
+    if os.path.isdir(events_path):
+        out = []
+        for root, _, names in os.walk(events_path):
+            out.extend(os.path.join(root, n) for n in names
+                       if n.endswith(".parquet"))
+        return sorted(out)
+    return [events_path]
+
+
+def _ts_footer_stats(events_path) -> tuple[int, int, int, list[tuple[int, int]]]:
     """(min_us, max_us, num_row_groups, per-row-group (min_us, max_us))
-    from parquet FOOTER statistics only -- no data pages are read."""
+    across ALL fragments, from parquet FOOTER statistics only -- no data
+    pages are read unless a writer omitted ts statistics, in which case
+    that FILE's ts column is read once as the bounds fallback and its row
+    groups are treated as overlapping every range."""
     import pyarrow.parquet as pq
 
-    f = pq.ParquetFile(events_path)
-    md = f.metadata
-    ts_type = f.schema_arrow.field("ts").type
-    names = [md.schema.column(i).name for i in range(md.num_columns)]
-    idx = names.index("ts")
+    rgs: list[tuple[int, int]] = []
+    bounds: list[tuple[int, int]] = []
+    n_rg = 0
+    for path in _resolve_paths(events_path):
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        ts_type = f.schema_arrow.field("ts").type
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = names.index("ts")
 
-    def us(v) -> int:
-        return pa.scalar(v, type=ts_type).cast(pa.timestamp("us")).value
+        def us(v) -> int:
+            return pa.scalar(v, type=ts_type).cast(pa.timestamp("us")).value
 
-    rgs = []
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        rgs.append((us(st.min), us(st.max)))
-    return min(r[0] for r in rgs), max(r[1] for r in rgs), md.num_row_groups, rgs
+        missing = False
+        for rg in range(md.num_row_groups):
+            n_rg += 1
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                rgs.append(_NO_STATS)
+                missing = True
+            else:
+                lo, hi = us(st.min), us(st.max)
+                rgs.append((lo, hi))
+                bounds.append((lo, hi))
+        if missing:
+            # stats-free writer: one bounded read of this file's ts column
+            col = pq.read_table(path, columns=["ts"]).column("ts") \
+                .cast(pa.timestamp("us"))
+            mm = pc.min_max(col)
+            if mm["min"].is_valid:
+                bounds.append((mm["min"].value, mm["max"].value))
+    if not bounds:
+        raise ValueError(f"no ts values found in {events_path!r}")
+    return (min(b[0] for b in bounds), max(b[1] for b in bounds),
+            n_rg, rgs)
 
 
-def window_bounds(events_path: str, window_us: int = WINDOW_US) -> list[int]:
+def window_bounds(events_path, window_us: int = WINDOW_US) -> list[int]:
     """Window starts spanning the stream's time range, derived from
-    parquet footer min/max stats (the full ``ts`` column is never read)."""
+    parquet footer min/max stats (the full ``ts`` column is never read
+    unless a fragment lacks statistics)."""
     lo_us, hi_us, _, _ = _ts_footer_stats(events_path)
     lo = lo_us // window_us * window_us
     hi = hi_us // window_us * window_us
@@ -89,22 +140,32 @@ def _chunk_contiguous(wstarts: list[int], window_us: int,
     return jobs
 
 
-def run_windowed_ingest(events_path: str, out_dir: str,
+def _tag_window(b: pa.Table, window_us: int) -> pa.Table:
+    """Floor-division window ids (matches ``wstart // window_us``
+    everywhere else even for pre-1970 negative-us timestamps; pc.divide
+    truncates toward zero and would mis-bucket those rows)."""
+    e = np.asarray(b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()))
+    return b.append_column("window_id", pa.array(e // window_us, pa.int64()))
+
+
+def run_windowed_ingest(events_path, out_dir: str,
                         window_us: int = WINDOW_US,
                         resume: bool = True,
                         max_windows: int | None = None,
                         windows_per_job: int = 24) -> dict:
-    """Consume the stream; one committed manifest entry (and one sink
-    directory) per window.  ``windows_per_job`` bounds how much work a
-    crash can lose (the commit-interval analog) while amortizing one
-    pushed-down range scan over many windows."""
+    """Consume the stream (file, sharded directory, or file list); one
+    committed manifest entry (and one sink directory) per window.
+    ``windows_per_job`` bounds how much work a crash can lose (the
+    commit-interval analog) while amortizing one pushed-down range scan
+    over many windows."""
     manifest = Manifest(out_dir)
     if not resume:
         manifest.drop()
         manifest = Manifest(out_dir)
     committed = {e["partition_id"]: e for e in manifest.entries()} if resume else {}
 
-    windows = window_bounds(events_path, window_us)
+    paths = _resolve_paths(events_path)
+    windows = window_bounds(paths, window_us)
     if max_windows is not None:
         windows = windows[:max_windows]
 
@@ -121,10 +182,11 @@ def run_windowed_ingest(events_path: str, out_dir: str,
         else:
             todo.append(wstart)
 
-    _, _, rg_total, rg_stats = _ts_footer_stats(events_path)
+    _, _, rg_total, rg_stats = _ts_footer_stats(paths)
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
 
-    ts_type = None
+    ts_type = pq.ParquetFile(paths[0]).schema_arrow.field("ts").type
     sinks_root = os.path.join(out_dir, "sinks")
     processed = 0
     rg_scanned = 0
@@ -139,19 +201,12 @@ def run_windowed_ingest(events_path: str, out_dir: str,
             if os.path.isdir(wdir):
                 shutil.rmtree(wdir)      # uncommitted leftovers: invisible
 
-        if ts_type is None:
-            import pyarrow.parquet as pq
-            ts_type = pq.ParquetFile(events_path).schema_arrow.field("ts").type
         expr = ((pc.field("ts") >= pa.scalar(lo, type=pa.timestamp("us")).cast(ts_type))
                 & (pc.field("ts") < pa.scalar(hi, type=pa.timestamp("us")).cast(ts_type)))
 
-        def tag_window(b: pa.Table) -> pa.Table:
-            e = pc.cast(b.column("ts"), pa.int64())
-            wid_col = pc.divide(e, pa.scalar(window_us))
-            return b.append_column("window_id", pc.cast(wid_col, pa.int64()))
-
-        wds = ray.data.read_parquet(events_path, filter=expr) \
-            .map_batches(tag_window, batch_format="pyarrow")
+        wds = ray.data.read_parquet(paths, filter=expr) \
+            .map_batches(lambda b: _tag_window(b, window_us),
+                         batch_format="pyarrow")
         wds.write_parquet(sinks_root, partition_cols=["window_id"],
                           row_group_size=131072)
 
@@ -178,3 +233,92 @@ def run_windowed_ingest(events_path: str, out_dir: str,
         "row_groups_total": rg_total,
         "total_rows": sum(e["row_count"] for e in manifest.entries()),
     }
+
+
+# -- tail x windows composition --------------------------------------------
+
+
+def tail_windowed_ingest(in_dir: str, out_dir: str,
+                         window_us: int = WINDOW_US,
+                         max_batches: int | None = None,
+                         max_idle_polls: int = 3,
+                         poll_interval_s: float = 0.2) -> dict:
+    """The reference's actual streaming mode (Kafka partitions feeding
+    commit-interval cuts, src/commands/index.go:107-122): consume a
+    GROWING directory of ``{shard}_{seq}.parquet`` files, fanning each
+    poll batch's rows into per-window sink directories.
+
+    Atomicity unit = the poll batch: its consumed files (the offsets)
+    and its windowed rows commit in ONE manifest entry, under a
+    batch-scoped sink root (``sinks/b{bid}/window_id=N``), so a crash
+    between write and commit leaves only invisible files and resume
+    redelivers exactly once.  A window's total = the sum over committed
+    batches (windows stay open forever, like the reference's per-segment
+    id-upserts: exactness is per batch, aggregation is additive)."""
+    from ..sources.tail import DirectoryTailSource, committed_offsets
+
+    manifest = Manifest(out_dir)
+    seqs, bid = committed_offsets(manifest, "tail_window")
+    src = DirectoryTailSource(in_dir, seqs)
+    sinks_root = os.path.join(out_dir, "sinks")
+
+    batches = 0
+    rows = 0
+    idle = 0
+    import time
+    import pyarrow.dataset as pads
+    while idle < max_idle_polls and (max_batches is None
+                                     or batches < max_batches):
+        files = src.poll()
+        if not files:
+            idle += 1
+            time.sleep(poll_interval_s)
+            continue
+        idle = 0
+        broot = os.path.join(sinks_root, f"b{bid:05d}")
+        if os.path.isdir(broot):
+            shutil.rmtree(broot)         # uncommitted leftovers: invisible
+        ds = src.read(files).map_batches(
+            lambda b: _tag_window(b, window_us), batch_format="pyarrow")
+        ds.write_parquet(broot, partition_cols=["window_id"],
+                         row_group_size=131072)
+        per_window: dict[int, int] = {}
+        if os.path.isdir(broot):
+            for d in sorted(os.listdir(broot)):
+                if not d.startswith("window_id="):
+                    continue
+                wid = int(d.split("=", 1)[1])
+                per_window[wid] = pads.dataset(
+                    os.path.join(broot, d), format="parquet").count_rows()
+        n = sum(per_window.values())
+        manifest.commit(bid, {
+            "kind": "tail_window",
+            "shard_files": src.offsets(files),
+            "window_us": window_us,
+            "window_rows": {str(k): int(v) for k, v in per_window.items()},
+            "row_count": int(n),
+            "sinks": {f"batch={bid}": {"rows": int(n), "bytes": 0}},
+            "metrics": {},
+        })
+        src.ack(files)
+        rows += int(n)
+        bid += 1
+        batches += 1
+    return {
+        "batches_this_run": batches,
+        "rows_this_run": rows,
+        "window_rows": window_rows(out_dir),
+        "total_rows": sum(e["row_count"] for e in Manifest(out_dir).entries()
+                          if e.get("kind") == "tail_window"),
+    }
+
+
+def window_rows(out_dir: str) -> dict[int, int]:
+    """Per-window totals folded across committed tail_window batches."""
+    totals: dict[int, int] = {}
+    for e in Manifest(out_dir).entries():
+        if e.get("kind") != "tail_window":
+            continue
+        for k, v in e.get("window_rows", {}).items():
+            totals[int(k)] = totals.get(int(k), 0) + int(v)
+    return dict(sorted(totals.items()))

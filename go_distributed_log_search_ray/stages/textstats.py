@@ -17,6 +17,16 @@ import pyarrow.compute as pc
 
 ASCII_WS = r"[\t\n\f\r ]+"
 
+# Python str.split() splits on the full Unicode White_Space set, but
+# RE2's \s is ASCII-only; batch kernels documented as equivalent to
+# str.split() must use this pattern (the extra chars are the Unicode
+# whitespace code points Python's str.isspace accepts beyond \s --
+# \xa0 in particular is common in extracted HTML).
+_PY_WS_EXTRA = ("\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+                "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+                "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000")
+UNICODE_WS = "[\\s" + _PY_WS_EXTRA + "]+"
+
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """n_tokens = ASCII-whitespace-split token count (0 for blank text).
@@ -125,7 +135,7 @@ class LangId:
             col = col.combine_chunks()
         n = len(col)
         toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.fill_null(col, "")), pattern=r"\s+")
+            pc.utf8_lower(pc.fill_null(col, "")), pattern=UNICODE_WS)
         flat = toks.flatten()
         counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
         nonempty = np.asarray(

@@ -70,11 +70,29 @@ def test_minhash_batch_signatures_match_scalar():
 
 def test_simhash_batch_matches_scalar():
     texts = ["the quick brown fox jumps", "", None, "  runs\t\tof   space ",
-             "tok " * 300]
+             "tok " * 300,
+             # Unicode whitespace: str.split() splits on \xa0/ /
+             # but RE2 \s does not -- the batch kernel must match str.split
+             "nbsp\xa0separated tokens　here \x85and\x1cmore"]
     sh = SimHasher()
     b = sh.batch_simhash(pa.array(texts, pa.string()))
     for i, t in enumerate(texts):
         assert int(b[i]) == sh.simhash(t or "")
+
+
+def test_minhash_overflow_bucket_keeps_connectivity():
+    """A near-identical cluster larger than bucket_cap must still fully
+    dedup: overflow members get hub pairs instead of being silently
+    dropped from pair generation (capping != truncation)."""
+    base = ("identical template content repeated for every member of a "
+            "giant duplicate cluster in one lsh bucket ") * 3
+    rows = [{"doc_id": i, "text": base} for i in range(20)]
+    rows.append({"doc_id": 99, "text": "totally unrelated tiny text"})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    res = minhash_dedup(ds, id_col="doc_id", threshold=0.9, bucket_cap=4)
+    keep = sorted(r["doc_id"] for r in res["keep"].take_all())
+    assert keep == [0, 99]          # all 19 overflow dups dropped
+    assert res["drop"] == list(range(1, 20))
 
 
 def test_langid_batch_matches_set_semantics():
@@ -82,7 +100,8 @@ def test_langid_batch_matches_set_semantics():
         LangId, _STOPWORDS)
     texts = ["the cat and the dog is in a house for it",
              "der hund und die katze ist nicht ein tier zu den",
-             "", None, "the und le el the und the und"]
+             "", None, "the und le el the und the und",
+             "the\xa0cat and　the dog is in it for a that"]
 
     def old(t):
         if not t:
