@@ -346,6 +346,39 @@ def _media_decode_agg(sf_dir: str):
         .select(["width", "height", "n_images", "tot_r", "tot_g", "tot_b"])
 
 
+def _media_audio_agg(sf_dir: str):
+    """REAL audio decode: RIFF/WAVE PCM payloads (pure byte format, no
+    codec library needed) -> exact int16 sample sums per channel,
+    aggregated per (channels, sample_rate).  Oracle compares against
+    GOLDEN columns the generator computed from the same sample buffers;
+    malformed payloads (~4%) null out (P11) and are excluded on both
+    sides identically."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from go_distributed_log_search_ray.stages.multimodal import WavDecoder
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    media_dir = os.path.join(_corpus(sf_dir), "media")
+    ds = ray.data.read_parquet(
+        media_dir, columns=["media_id", "kind", "payload"],
+        filter=pc.field("kind") == "wav")
+    dec = ds.map_batches(WavDecoder, batch_size=64, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    ok = dec.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("n_samples"))),
+        batch_format="pyarrow")
+    agg = ok.groupby(["n_channels", "sample_rate"]).aggregate(
+        Count(alias_name="n_clips"),
+        Sum("n_samples", alias_name="tot_samples"),
+        Sum("sum_ch0", alias_name="tot_ch0"),
+        Sum("sum_ch1", alias_name="tot_ch1"))
+    return small_table(agg, sort_keys=["n_channels", "sample_rate"],
+                       int64_cols=["n_clips", "tot_samples", "tot_ch0",
+                                   "tot_ch1"]) \
+        .select(["n_channels", "sample_rate", "n_clips", "tot_samples",
+                 "tot_ch0", "tot_ch1"])
+
+
 def _knn_bruteforce(sf_dir: str):
     import ray.data
     import pyarrow.parquet as pq
@@ -438,8 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _doc_langid,
         "doc_simhash_pairs": _doc_simhash_pairs,
         "emb_near_dups": _emb_near_dups,
-        # multimodal (real PPM decode path; jpeg/audio stay stubbed)
+        # multimodal (real PPM + WAV decode paths; jpeg/video stay stubbed)
         "media_decode_agg": _media_decode_agg,
+        "media_audio_agg": _media_audio_agg,
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
         "knn_multi": _knn_multi,
@@ -644,6 +678,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sum_b) AS BIGINT) AS tot_b
             FROM read_parquet('{media}')
             WHERE width IS NOT NULL GROUP BY width, height""",
+        "media_audio_agg": f"""
+            SELECT n_channels, sample_rate, count(*) AS n_clips,
+                   CAST(sum(n_samples) AS BIGINT) AS tot_samples,
+                   CAST(sum(sum_ch0) AS BIGINT) AS tot_ch0,
+                   CAST(sum(sum_ch1) AS BIGINT) AS tot_ch1
+            FROM read_parquet('{media}')
+            WHERE kind = 'wav' AND n_samples IS NOT NULL
+            GROUP BY n_channels, sample_rate""",
         "knn_bruteforce": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)

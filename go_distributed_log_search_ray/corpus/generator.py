@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v4"
+GEN_VERSION = "v5"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -250,16 +250,30 @@ def _generate_locked(out: str) -> str:
 
 
 def _write_media(d: str, n_docs: int) -> None:
-    """Synthetic P6 PPM images with GOLDEN decode columns (width/height/
-    exact per-channel pixel sums) computed from the same pixel buffer --
-    the multimodal analog of the pages table's golden text columns, so
-    the real PPM decode stage is oracle-checkable.  ~4% of payloads are
-    truncated (header or pixel data) with null goldens (P11 path)."""
+    """Synthetic media with GOLDEN decode columns computed from the same
+    sample buffers -- the multimodal analog of the pages table's golden
+    text columns, so the real decode stages are oracle-checkable:
+
+    * P6 PPM images: width/height + exact per-channel pixel sums;
+    * RIFF/WAVE PCM audio: channels/rate/frames + exact int16 sample
+      sums per channel.
+
+    ~4% of payloads are truncated with null goldens (P11 path)."""
     os.makedirs(d, exist_ok=True)
     rng = np.random.default_rng(SEED + 2)
     n = max(50, n_docs // 20)
-    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
-                            "height", "sum_r", "sum_g", "sum_b")}
+    cols = ("media_id", "kind", "payload", "width", "height",
+            "sum_r", "sum_g", "sum_b",
+            "n_channels", "sample_rate", "n_samples", "sum_ch0", "sum_ch1")
+    rows = {k: [] for k in cols}
+
+    def put(media_id, kind, payload, **golden):
+        rows["media_id"].append(media_id)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        for c in cols[3:]:
+            rows[c].append(golden.get(c))
+
     for i in range(n):
         w = int(rng.integers(8, 64))
         h = int(rng.integers(8, 48))
@@ -268,24 +282,43 @@ def _write_media(d: str, n_docs: int) -> None:
         corrupt = rng.random() < 0.04
         if corrupt:
             payload = payload[: int(rng.integers(3, max(4, len(payload) // 2)))]
-        s = pix.sum(axis=0, dtype=np.int64)
-        rows["media_id"].append(i)
-        rows["kind"].append("ppm")
-        rows["payload"].append(payload)
-        rows["width"].append(None if corrupt else w)
-        rows["height"].append(None if corrupt else h)
-        rows["sum_r"].append(None if corrupt else int(s[0]))
-        rows["sum_g"].append(None if corrupt else int(s[1]))
-        rows["sum_b"].append(None if corrupt else int(s[2]))
+            put(i, "ppm", payload)
+        else:
+            s = pix.sum(axis=0, dtype=np.int64)
+            put(i, "ppm", payload, width=w, height=h,
+                sum_r=int(s[0]), sum_g=int(s[1]), sum_b=int(s[2]))
+
+    arng = np.random.default_rng(SEED + 3)
+    n_wav = max(50, n_docs // 20)
+    for j in range(n_wav):
+        n_ch = int(arng.choice([1, 2]))
+        rate = int(arng.choice([8000, 16000, 44100]))
+        frames = int(arng.integers(100, 4000))
+        samples = arng.integers(-32768, 32768, size=(frames, n_ch),
+                                dtype=np.int64).astype("<i2")
+        data = samples.tobytes()
+        fmt = (b"fmt " + (16).to_bytes(4, "little")
+               + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * 2 * n_ch).to_bytes(4, "little")
+               + (2 * n_ch).to_bytes(2, "little")
+               + (16).to_bytes(2, "little"))
+        body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+        payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+        if arng.random() < 0.04:
+            payload = payload[: int(arng.integers(3, max(4, len(payload) // 2)))]
+            put(n + j, "wav", payload)
+        else:
+            s = samples.astype(np.int64).sum(axis=0)
+            put(n + j, "wav", payload, n_channels=n_ch, sample_rate=rate,
+                n_samples=frames, sum_ch0=int(s[0]),
+                sum_ch1=int(s[1]) if n_ch == 2 else 0)
+
     t = pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),
         "kind": pa.array(rows["kind"], pa.string()),
         "payload": pa.array(rows["payload"], pa.binary()),
-        "width": pa.array(rows["width"], pa.int64()),
-        "height": pa.array(rows["height"], pa.int64()),
-        "sum_r": pa.array(rows["sum_r"], pa.int64()),
-        "sum_g": pa.array(rows["sum_g"], pa.int64()),
-        "sum_b": pa.array(rows["sum_b"], pa.int64()),
+        **{c: pa.array(rows[c], pa.int64()) for c in cols[3:]},
     })
     half = len(t) // 2
     pq.write_table(t.slice(0, half), os.path.join(d, "media_00000.parquet"))

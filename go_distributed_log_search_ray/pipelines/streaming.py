@@ -186,7 +186,11 @@ def run_windowed_ingest(events_path, out_dir: str,
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    ts_type = pq.ParquetFile(paths[0]).schema_arrow.field("ts").type
+    # metadata-free schema= keeps Ray's block-schema hashing clean (the
+    # driver events tables are pandas-written; their schema metadata blob
+    # is unhashable and triggers a per-block warning storm otherwise)
+    schema = pq.ParquetFile(paths[0]).schema_arrow.remove_metadata()
+    ts_type = schema.field("ts").type
     sinks_root = os.path.join(out_dir, "sinks")
     processed = 0
     rg_scanned = 0
@@ -204,7 +208,7 @@ def run_windowed_ingest(events_path, out_dir: str,
         expr = ((pc.field("ts") >= pa.scalar(lo, type=pa.timestamp("us")).cast(ts_type))
                 & (pc.field("ts") < pa.scalar(hi, type=pa.timestamp("us")).cast(ts_type)))
 
-        wds = ray.data.read_parquet(paths, filter=expr) \
+        wds = ray.data.read_parquet(paths, filter=expr, schema=schema) \
             .map_batches(lambda b: _tag_window(b, window_us),
                          batch_format="pyarrow")
         wds.write_parquet(sinks_root, partition_cols=["window_id"],

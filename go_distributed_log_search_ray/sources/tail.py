@@ -137,7 +137,11 @@ class DirectoryTailSource:
         return discover_new_files(self.in_dir, self.seqs)
 
     def read(self, units: list[str]) -> ray.data.Dataset:
-        return ray.data.read_parquet(units)
+        from ..functions.tableops import strip_meta
+        # schema-metadata strip: pandas-written shards otherwise trigger
+        # Ray's unhashable-schema warning storm downstream
+        return ray.data.read_parquet(units) \
+            .map_batches(strip_meta, batch_format="pyarrow")
 
     def offsets(self, units: list[str]) -> list[str]:
         return [os.path.basename(u) for u in units]

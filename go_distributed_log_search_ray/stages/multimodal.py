@@ -2,9 +2,12 @@
 with typed metadata.
 
 The Ray-side plumbing (schema, actor-pool signature, batch sizing,
-output layout) is real and tested; the actual codec work is STUBBED
-because no image/audio libraries exist in this container -- each stage
-either raises ``NotImplementedError`` (strict mode) or produces a
+output layout) is real and tested.  Pure byte formats decode for REAL
+with no codec library: P6 PPM images (``PpmDecoder``/``PpmThumbnail``)
+and RIFF/WAVE PCM audio (``WavDecoder``), both oracle-checked against
+golden columns.  Only formats that genuinely require a codec library
+absent from this container (JPEG, compressed audio, video) are STUBBED:
+those stages raise ``NotImplementedError`` (strict mode) or produce a
 deterministic fake (default) so pipelines exercise end-to-end.
 
 Scale notes: binary payloads can be MBs/row, so these stages default to
@@ -147,6 +150,85 @@ class PpmThumbnail:
                   for p in batch.column("payload").to_pylist()]
         return batch.append_column(
             "thumbnail", pa.array(thumbs, pa.binary()))
+
+
+def parse_wav(p: bytes | None):
+    """REAL RIFF/WAVE PCM decode -- a pure byte format needing no codec
+    library: ``RIFF<size>WAVE`` header followed by chunks; the ``fmt ``
+    chunk declares PCM/channels/rate/bits and ``data`` carries the
+    interleaved int16 samples.  Returns (n_channels, sample_rate,
+    n_samples, sum_ch0, sum_ch1) with EXACT integer sample sums
+    (sum_ch1 = 0 for mono), or None on any malformation -- truncated
+    header, non-PCM, non-16-bit, or incomplete sample data (P11: the
+    row survives with null metadata)."""
+    if p is None or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    fmt = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        sz = int.from_bytes(p[i + 4:i + 8], "little")
+        body = p[i + 8:i + 8 + sz]
+        if len(body) < sz:
+            return None                      # truncated chunk
+        if cid == b"fmt " and sz >= 16:
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            n_ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16 or n_ch not in (1, 2) \
+                    or rate <= 0:
+                return None
+            fmt = (n_ch, rate)
+        elif cid == b"data":
+            if fmt is None:
+                return None                  # data before fmt: malformed
+            n_ch, rate = fmt
+            frame = 2 * n_ch
+            if sz % frame != 0:
+                return None
+            samples = np.frombuffer(body, dtype="<i2").reshape(-1, n_ch)
+            s = samples.sum(axis=0, dtype=np.int64)
+            return (n_ch, rate, samples.shape[0],
+                    int(s[0]), int(s[1]) if n_ch == 2 else 0)
+        i += 8 + sz + (sz & 1)               # chunks pad to even length
+    return None
+
+
+class WavDecoder:
+    """payload -> (n_channels, sample_rate, n_samples, sum_ch0, sum_ch1,
+    decode_err).  NOT a stub: WAV/PCM needs no codec library, so the
+    full RIFF parse -> exact integer sample-sum extraction runs for real
+    (oracle-checked against golden columns the corpus generator computed
+    from the same sample buffers).  Same actor-pool/batch-size plumbing
+    shape as a real audio-codec decoder (state in __init__, payload-
+    budgeted batch_size)."""
+
+    OUT_COLS = ("n_channels", "sample_rate", "n_samples",
+                "sum_ch0", "sum_ch1")
+
+    def __init__(self, strict: bool = False) -> None:
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {c: [] for c in self.OUT_COLS}
+        errs = []
+        for p in batch.column("payload").to_pylist():
+            r = parse_wav(p)
+            if r is None:
+                if self.strict:
+                    raise ValueError("malformed WAV payload")
+                for c in self.OUT_COLS:
+                    cols[c].append(None)
+                errs.append("malformed")
+            else:
+                for c, v in zip(self.OUT_COLS, r):
+                    cols[c].append(v)
+                errs.append(None)
+        out = batch.drop_columns(["payload"])
+        for c in self.OUT_COLS:
+            out = out.append_column(c, pa.array(cols[c], pa.int64()))
+        return out.append_column("decode_err", pa.array(errs, pa.string()))
 
 
 class ImageDecode:

@@ -226,3 +226,55 @@ def test_hash_join_under_heavy_key_skew():
     assert len(hot) == int((keys == 7).sum())     # every hot row joined
     assert all(r["w"] == 70 for r in hot)
     assert sorted(r["k"] for r in out if r["k"] != 7) == [1, 3]
+
+
+def test_wav_decode_real(corpus_dir):
+    """The REAL audio path: RIFF/WAVE PCM payloads decode to exact
+    golden sample sums; malformed payloads null out (P11)."""
+    import glob
+    import numpy as np
+    from go_distributed_log_search_ray.stages.multimodal import (
+        WavDecoder, parse_wav)
+    import pyarrow.parquet as pq
+
+    # kernel edge cases: hand-built mono and stereo clips
+    def wav(n_ch, rate, samples):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        fmt = (b"fmt " + (16).to_bytes(4, "little")
+               + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * 2 * n_ch).to_bytes(4, "little")
+               + (2 * n_ch).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+        body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    mono = wav(1, 8000, [1, -2, 30000, -30000, 7])
+    assert parse_wav(mono) == (1, 8000, 5, 1 - 2 + 30000 - 30000 + 7, 0)
+    stereo = wav(2, 44100, [[10, -1], [20, -2], [-5, 3]])
+    assert parse_wav(stereo) == (2, 44100, 3, 25, 0)
+    assert parse_wav(mono[:10]) is None                 # cut header
+    assert parse_wav(mono[:-3]) is None                 # cut samples
+    assert parse_wav(b"RIFX" + mono[4:]) is None        # wrong magic
+    bad_fmt = bytearray(mono); bad_fmt[20] = 3          # non-PCM format tag
+    assert parse_wav(bytes(bad_fmt)) is None
+    assert parse_wav(None) is None
+
+    # corpus goldens, end to end through the actor stage
+    t = pa.concat_tables([pq.read_table(f) for f in
+                          sorted(glob.glob(f"{corpus_dir}/media/*.parquet"))])
+    t = t.filter(pa.compute.equal(t.column("kind"), "wav"))
+    assert t.num_rows > 0
+    dec = ray.data.from_arrow(t.select(["media_id", "payload"])) \
+        .map_batches(WavDecoder, batch_format="pyarrow", batch_size=32,
+                     concurrency=1)
+    got = {r["media_id"]: r for r in dec.take_all()}
+    n_bad = 0
+    for r in t.to_pylist():
+        g = got[r["media_id"]]
+        for c in ("n_channels", "sample_rate", "n_samples",
+                  "sum_ch0", "sum_ch1"):
+            assert g[c] == r[c]
+        if r["n_samples"] is None:
+            n_bad += 1
+            assert g["decode_err"] == "malformed"
+    assert n_bad > 0                                  # P11 path exercised
