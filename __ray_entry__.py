@@ -318,6 +318,46 @@ def _events_windowed_counts(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _events_tail_windowed_counts(sf_dir: str):
+    """The reference's ACTUAL streaming mode (growing Kafka-like source
+    feeding commit-interval window cuts) as an oracle-checked query:
+    split the events stream into shard files that become visible over two
+    polls of a growing directory, run the tail+window consumer, and
+    return per-window totals folded across committed batches.  Equality
+    vs the hourly GROUP BY oracle proves exactly-once windowed counts
+    over a source that grew mid-run."""
+    import os
+    import shutil
+    import tempfile
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.pipelines.streaming import (
+        WINDOW_US, tail_windowed_ingest, window_rows)
+
+    src = tempfile.mkdtemp(prefix="graft_tailw_src_")
+    out = tempfile.mkdtemp(prefix="graft_tailw_out_")
+    try:
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+        half = t.num_rows // 2
+        # shard 0 visible at poll 1; shards 1+2 appear before poll 2
+        pq.write_table(t.slice(0, half),
+                       os.path.join(src, "s0_0000.parquet"))
+        tail_windowed_ingest(src, out, max_batches=1)
+        pq.write_table(t.slice(half, (t.num_rows - half) // 2),
+                       os.path.join(src, "s0_0001.parquet"))
+        pq.write_table(t.slice(half + (t.num_rows - half) // 2),
+                       os.path.join(src, "s1_0000.parquet"))
+        tail_windowed_ingest(src, out, max_batches=1)
+        wr = window_rows(out)
+        return pa.table({
+            "window_start_us": pa.array(
+                [w * WINDOW_US for w in wr], pa.int64()),
+            "n_events": pa.array(list(wr.values()), pa.int64()),
+        })
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _media_decode_agg(sf_dir: str):
     """REAL multimodal decode: P6 PPM payloads (pure byte format, no
     codec library needed) -> exact per-channel pixel sums, aggregated per
@@ -457,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "events_distinct_users": R.events_distinct_users,
         "events_windowed_counts": _events_windowed_counts,
+        "events_tail_windowed_counts": _events_tail_windowed_counts,
         # training-data text ops
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
@@ -622,6 +663,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.window_start_us,
                    CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
             FROM grid g LEFT JOIN cnt c ON g.window_start_us = c.w""",
+        "events_tail_windowed_counts": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) * 1000000
+                       AS window_start_us,
+                   count(*) AS n_events
+            FROM events GROUP BY 1""",
         "events_distinct_users": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users

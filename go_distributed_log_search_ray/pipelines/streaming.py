@@ -140,6 +140,28 @@ def _chunk_contiguous(wstarts: list[int], window_us: int,
     return jobs
 
 
+def _window_counts_from_footers(root: str, wids) -> dict[int, int]:
+    """Per-window row counts from ONE dataset listing + parquet footer
+    metadata (no data pages, no per-window dataset constructions -- the
+    naive per-window ``pads.dataset(wdir).count_rows()`` loop paid a
+    listing per window and dominated wall time at 720 windows)."""
+    import re
+    import pyarrow.dataset as pads
+
+    counts = {int(w): 0 for w in wids}
+    if not os.path.isdir(root):
+        return counts
+    d = pads.dataset(root, format="parquet", partitioning="hive")
+    pat = re.compile(r"window_id=(-?\d+)")
+    for frag in d.get_fragments():
+        m = pat.search(frag.path)
+        if m:
+            w = int(m.group(1))
+            if w in counts:
+                counts[w] += frag.metadata.num_rows
+    return counts
+
+
 def _tag_window(b: pa.Table, window_us: int) -> pa.Table:
     """Floor-division window ids (matches ``wstart // window_us``
     everywhere else even for pre-1970 negative-us timestamps; pc.divide
@@ -148,16 +170,32 @@ def _tag_window(b: pa.Table, window_us: int) -> pa.Table:
     return b.append_column("window_id", pa.array(e // window_us, pa.int64()))
 
 
+def _adaptive_windows_per_job(events_path, n_windows: int,
+                              target_rows: int = 500_000,
+                              max_per_job: int = 168) -> int:
+    """Windows per scan job sized to the stream's density: each bounded
+    Dataset job carries ~1 s of fixed cost, so sparse streams (few rows
+    per window) amortize it over many windows while dense streams keep
+    jobs small to bound crash-loss.  Row counts come from parquet footer
+    metadata only."""
+    import pyarrow.parquet as pq
+    total = sum(pq.ParquetFile(p).metadata.num_rows
+                for p in _resolve_paths(events_path))
+    per_window = max(1, total // max(1, n_windows))
+    return max(1, min(max_per_job, target_rows // per_window))
+
+
 def run_windowed_ingest(events_path, out_dir: str,
                         window_us: int = WINDOW_US,
                         resume: bool = True,
                         max_windows: int | None = None,
-                        windows_per_job: int = 24) -> dict:
+                        windows_per_job: int | None = None) -> dict:
     """Consume the stream (file, sharded directory, or file list); one
     committed manifest entry (and one sink directory) per window.
     ``windows_per_job`` bounds how much work a crash can lose (the
     commit-interval analog) while amortizing one pushed-down range scan
-    over many windows."""
+    over many windows; default adapts to stream density (see
+    ``_adaptive_windows_per_job``)."""
     manifest = Manifest(out_dir)
     if not resume:
         manifest.drop()
@@ -168,6 +206,8 @@ def run_windowed_ingest(events_path, out_dir: str,
     windows = window_bounds(paths, window_us)
     if max_windows is not None:
         windows = windows[:max_windows]
+    if windows_per_job is None:
+        windows_per_job = _adaptive_windows_per_job(paths, len(windows))
 
     done: list[int] = []
     todo: list[int] = []
@@ -183,7 +223,6 @@ def run_windowed_ingest(events_path, out_dir: str,
             todo.append(wstart)
 
     _, _, rg_total, rg_stats = _ts_footer_stats(paths)
-    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     # metadata-free schema= keeps Ray's block-schema hashing clean (the
@@ -214,11 +253,11 @@ def run_windowed_ingest(events_path, out_dir: str,
         wds.write_parquet(sinks_root, partition_cols=["window_id"],
                           row_group_size=131072)
 
+        job_counts = _window_counts_from_footers(
+            sinks_root, [w // window_us for w in job])
         for wstart in job:
             wid = wstart // window_us
-            wdir = os.path.join(sinks_root, f"window_id={wid}")
-            n = pads.dataset(wdir, format="parquet").count_rows() \
-                if os.path.isdir(wdir) else 0
+            n = job_counts.get(wid, 0)
             manifest.commit(wid, {
                 "window_start_us": wstart,
                 "window_us": window_us,
@@ -286,14 +325,11 @@ def tail_windowed_ingest(in_dir: str, out_dir: str,
             lambda b: _tag_window(b, window_us), batch_format="pyarrow")
         ds.write_parquet(broot, partition_cols=["window_id"],
                          row_group_size=131072)
-        per_window: dict[int, int] = {}
-        if os.path.isdir(broot):
-            for d in sorted(os.listdir(broot)):
-                if not d.startswith("window_id="):
-                    continue
-                wid = int(d.split("=", 1)[1])
-                per_window[wid] = pads.dataset(
-                    os.path.join(broot, d), format="parquet").count_rows()
+        wids = [int(d.split("=", 1)[1]) for d in
+                (sorted(os.listdir(broot)) if os.path.isdir(broot) else [])
+                if d.startswith("window_id=")]
+        per_window = {w: n for w, n in
+                      _window_counts_from_footers(broot, wids).items() if n}
         n = sum(per_window.values())
         manifest.commit(bid, {
             "kind": "tail_window",
