@@ -101,6 +101,18 @@ def cmd_tail(args) -> dict:
                        poll_interval_s=args.poll_interval)
 
 
+def cmd_tail_window(args) -> dict:
+    """The reference's full streaming mode: growing directory source
+    (Kafka partitions analog) feeding commit-interval window cuts --
+    offsets and windowed rows commit atomically per poll batch."""
+    from .pipelines.streaming import tail_windowed_ingest
+    _ensure_ray()
+    return tail_windowed_ingest(args.in_dir, args.out,
+                                max_batches=args.max_batches,
+                                max_idle_polls=args.max_idle_polls,
+                                poll_interval_s=args.poll_interval)
+
+
 def cmd_drop(args) -> dict:
     from .state.manifest import Manifest
     Manifest(args.out).drop()
@@ -140,7 +152,7 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--events", required=True)
     st.add_argument("--out", required=True)
     st.add_argument("--max-windows", type=int, default=None)
-    st.add_argument("--windows-per-job", type=int, default=24)
+    st.add_argument("--windows-per-job", type=int, default=None)
     st.add_argument("--no-resume", action="store_true")
     st.set_defaults(fn=cmd_stream)
 
@@ -151,6 +163,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--max-idle-polls", type=int, default=3)
     t.add_argument("--poll-interval", type=float, default=0.5)
     t.set_defaults(fn=cmd_tail)
+
+    tw = sub.add_parser("tail-window")
+    tw.add_argument("--in-dir", required=True)
+    tw.add_argument("--out", required=True)
+    tw.add_argument("--max-batches", type=int, default=None)
+    tw.add_argument("--max-idle-polls", type=int, default=3)
+    tw.add_argument("--poll-interval", type=float, default=0.5)
+    tw.set_defaults(fn=cmd_tail_window)
 
     d = sub.add_parser("drop")
     d.add_argument("--out", required=True)

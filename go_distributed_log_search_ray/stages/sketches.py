@@ -1,0 +1,165 @@
+"""Mergeable sketches for 100 TB-scale approximate aggregates.
+
+Exact COUNT(DISTINCT) must shuffle every distinct (group, value) pair
+(`relational.events_distinct_users`); at web scale the pair set itself
+is the bottleneck.  A HyperLogLog sketch makes the shuffle O(groups x
+2^p) REGARDLESS of cardinality: each block folds its values into
+per-group register arrays (vectorized numpy), the groupby merges
+registers with an elementwise max, and the driver reads one row per
+group.
+
+Public-knowledge algorithm: Flajolet et al., "HyperLogLog: the analysis
+of a near-optimal cardinality estimation algorithm" (AofA 2007), with
+the small-range linear-counting correction.  Hashing is the splitmix64
+finalizer (public domain constants), seeded and deterministic, so
+estimates are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import AggregateFnV2
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hash_column(col: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hashes of an int or string column.  Strings
+    hash per DISTINCT value (dictionary-encode first): two salted crc32
+    passes form the 64-bit input to the splitmix finalizer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return _splitmix64(np.asarray(col.cast(pa.int64())).view(np.uint64))
+    import zlib
+    enc = col.cast(pa.string()).dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    vh = np.fromiter(
+        ((zlib.crc32(v.encode()) << 32) | zlib.crc32(b"\x01" + v.encode())
+         if v is not None else 0 for v in vocab),
+        dtype=np.uint64, count=len(vocab))
+    idx = np.asarray(enc.indices.fill_null(0), dtype=np.int64) \
+        if len(vocab) else np.zeros(len(col), np.int64)
+    return _splitmix64(vh[idx] if len(vocab) else
+                       np.zeros(len(col), np.uint64))
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros: float64 log2 straight on a
+    uint64 mis-rounds near powers of two above 2^53, so split into
+    32-bit halves (each exact in float64)."""
+    hi = (w >> np.uint64(32)).astype(np.uint32)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out = np.full(w.shape, 64, dtype=np.int64)
+    mh = hi > 0
+    out[mh] = 31 - np.floor(
+        np.log2(hi[mh].astype(np.float64))).astype(np.int64)
+    ml = ~mh & (lo > 0)
+    out[ml] = 63 - np.floor(
+        np.log2(lo[ml].astype(np.float64))).astype(np.int64)
+    return out
+
+
+def hll_partial_batch(batch: pa.Table, group_col: str, value_col: str,
+                      p: int = 12) -> pa.Table:
+    """One (group, registers) row per group present in the batch: the
+    combiner side of the distributed HLL.  Registers are a binary column
+    (2^p uint8 per row) so they survive any shuffle."""
+    import pyarrow.compute as pc
+    valid = pc.and_kleene(pc.is_valid(batch.column(value_col)),
+                          pc.is_valid(batch.column(group_col)))
+    if not pc.all(valid).as_py():
+        batch = batch.filter(pc.fill_null(valid, False))
+    m = 1 << p
+    h = _hash_column(batch.column(value_col))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)     # first p bits
+    rest = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    # rho = position of the leftmost 1-bit of the remaining 64-p bits
+    rho = np.where(rest != 0, _clz64(rest) + 1, 64 - p + 1).astype(np.uint8)
+
+    g = batch.column(group_col)
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    enc = g.dictionary_encode()
+    gidx = np.asarray(enc.indices, dtype=np.int64)
+    ng = len(enc.dictionary)
+    regs = np.zeros((ng, m), dtype=np.uint8)
+    np.maximum.at(regs, (gidx, idx), rho)
+
+    offsets = pa.array((np.arange(ng + 1, dtype=np.int64) * m)
+                       .astype(np.int32))
+    reg_col = pa.Array.from_buffers(
+        pa.binary(), ng,
+        [None, offsets.buffers()[1], pa.py_buffer(regs.tobytes())])
+    return pa.table({group_col: enc.dictionary, "hll_regs": reg_col})
+
+
+class HLLMerge(AggregateFnV2):
+    """Groupby aggregate merging HLL register blobs with elementwise max."""
+
+    def __init__(self, on: str = "hll_regs",
+                 alias_name: str = "hll_regs") -> None:
+        super().__init__(alias_name, zero_factory=lambda: b"",
+                         on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block) -> bytes:
+        col = block.column(self._target_col_name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        acc = b""
+        for v in col.to_pylist():
+            acc = self.combine(acc, v)
+        return acc
+
+    def combine(self, a: bytes, b: bytes) -> bytes:
+        if not a:
+            return b
+        if not b:
+            return a
+        return np.maximum(np.frombuffer(a, np.uint8),
+                          np.frombuffer(b, np.uint8)).tobytes()
+
+
+def hll_estimate(regs: bytes, p: int = 12) -> float:
+    """Standard HLL estimator with linear-counting small-range fix."""
+    m = 1 << p
+    r = np.frombuffer(regs, dtype=np.uint8) if regs else np.zeros(m, np.uint8)
+    if len(r) < m:
+        r = np.pad(r, (0, m - len(r)))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -r.astype(np.float64)))
+    zeros = int((r == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: Dataset, group_col: str, value_col: str,
+                    p: int = 12) -> pa.Table:
+    """Distributed approximate COUNT(DISTINCT value) GROUP BY group.
+
+    Shape: per-block vectorized register fold (combiner) -> ONE groupby
+    shuffle moving (group, 2^p bytes) rows -> register max-merge ->
+    driver estimates one row per group.  Standard error ~1.04/sqrt(2^p)
+    (~1.6% at p=12)."""
+    partial = ds.map_batches(
+        lambda b: hll_partial_batch(b, group_col, value_col, p),
+        batch_format="pyarrow")
+    merged = partial.groupby(group_col).aggregate(HLLMerge())
+    rows = merged.take_all()
+    rows.sort(key=lambda r: r[group_col])
+    return pa.table({
+        group_col: pa.array([r[group_col] for r in rows]),
+        "approx_distinct": pa.array(
+            [int(round(hll_estimate(r["hll_regs"], p))) for r in rows],
+            pa.int64()),
+    })

@@ -55,3 +55,23 @@ def test_cli_stream_and_tail(sf001, tmp_path):
                "--max-batches", "1", "--poll-interval", "0.05"])
     assert rc == 0
     assert len(Manifest(str(tmp_path / "tout")).entries()) == 1
+
+
+def test_cli_tail_window(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.cli import main
+    from go_distributed_log_search_ray.pipelines.streaming import (
+        WINDOW_US, window_rows)
+
+    src = tmp_path / "twin"
+    src.mkdir()
+    ts = pa.array([h * WINDOW_US + 1 for h in [0, 0, 1, 2]],
+                  pa.timestamp("us"))
+    pq.write_table(pa.table({"ts": ts, "v": [1, 2, 3, 4]}),
+                   str(src / "s0_0000.parquet"))
+    out = str(tmp_path / "twout")
+    rc = main(["tail-window", "--in-dir", str(src), "--out", out,
+               "--max-batches", "1", "--poll-interval", "0.05"])
+    assert rc == 0
+    assert window_rows(out) == {0: 2, 1: 1, 2: 1}

@@ -278,3 +278,60 @@ def test_wav_decode_real(corpus_dir):
             n_bad += 1
             assert g["decode_err"] == "malformed"
     assert n_bad > 0                                  # P11 path exercised
+
+
+def test_hll_approx_distinct(sf001):
+    """Distributed HLL vs exact COUNT(DISTINCT): within the sketch's
+    error bound per group, and block-split partials merge to the same
+    registers as a single pass (mergeability = shuffle correctness)."""
+    import duckdb
+    import numpy as np
+    from go_distributed_log_search_ray.stages.sketches import (
+        approx_distinct, hll_partial_batch, HLLMerge, hll_estimate)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf001}/events.parquet",
+                      columns=["event_type", "user_id"])
+    exact = dict(duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf001}/events.parquet') GROUP BY 1").fetchall())
+
+    ds = ray.data.from_arrow(t)
+    got = approx_distinct(ds, "event_type", "user_id", p=12)
+    assert got.num_rows == len(exact)
+    for r in got.to_pylist():
+        e = exact[r["event_type"]]
+        assert abs(r["approx_distinct"] - e) <= max(3, 0.05 * e), (r, e)
+
+    # mergeability: two half-batches max-merged == one full batch
+    full = hll_partial_batch(t, "event_type", "user_id")
+    h1 = hll_partial_batch(t.slice(0, t.num_rows // 2),
+                           "event_type", "user_id")
+    h2 = hll_partial_batch(t.slice(t.num_rows // 2),
+                           "event_type", "user_id")
+    m = HLLMerge()
+    for i, g in enumerate(full.column("event_type").to_pylist()):
+        def reg_of(tab, g):
+            for j, gg in enumerate(tab.column("event_type").to_pylist()):
+                if gg == g:
+                    return tab.column("hll_regs")[j].as_py()
+            return b""
+        merged = m.combine(reg_of(h1, g), reg_of(h2, g))
+        assert merged == full.column("hll_regs")[i].as_py()
+        assert hll_estimate(merged) == hll_estimate(
+            full.column("hll_regs")[i].as_py())
+
+
+def test_hll_string_values(sf001):
+    """String value column path (distinct-hashing via dictionary)."""
+    from go_distributed_log_search_ray.stages.sketches import approx_distinct
+    ds = ray.data.read_parquet(f"{sf001}/documents.parquet",
+                               columns=["lang", "source"])
+    import duckdb
+    exact = dict(duckdb.sql(
+        f"SELECT lang, count(DISTINCT source) FROM "
+        f"read_parquet('{sf001}/documents.parquet') GROUP BY 1").fetchall())
+    got = approx_distinct(ds, "lang", "source", p=12)
+    for r in got.to_pylist():
+        e = exact[r["lang"]]
+        assert abs(r["approx_distinct"] - e) <= max(2, 0.05 * e), (r, e)
