@@ -291,6 +291,15 @@ def _doc_minhash_keep(sf_dir: str):
 
 
 
+def _doc_prep_agg(sf_dir: str):
+    """Composed training-data prep pipeline (features -> integer-rule
+    quality filter -> exact dedup via groupby + distributed semi join ->
+    per-language accounting), oracle-checked END TO END -- the chain a
+    corpus-prep user actually runs, not just its operators."""
+    from go_distributed_log_search_ray.pipelines.prep import doc_prep_agg
+    return doc_prep_agg(sf_dir)
+
+
 def _events_approx_distinct_users(sf_dir: str):
     """Distributed HyperLogLog COUNT(DISTINCT) per event type: the
     shuffle moves one (group, 2^12-byte register blob) row per block
@@ -521,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_topk": _doc_search_topk,
         "pages_search": _pages_search,
         "doc_minhash_keep": _doc_minhash_keep,
+        "doc_prep_agg": _doc_prep_agg,
         "doc_quality_score": _doc_quality_score,
         "doc_langid": _doc_langid,
         "doc_simhash_pairs": _doc_simhash_pairs,
@@ -718,6 +728,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "doc_prep_agg": r"""
+            WITH f AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(12)
+                                         || chr(13) || chr(11)) = ''
+                               OR text IS NULL THEN 0
+                          ELSE len(regexp_split_to_array(
+                                 trim(text, ' ' || chr(9) || chr(10)
+                                          || chr(12) || chr(13) || chr(11)),
+                                 '[\t\n\f\r ]+'))
+                     END AS n_tokens,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         AS n_digit,
+                     length(text) AS n_chars,
+                     md5(text) AS fp
+              FROM documents),
+            s AS (SELECT * FROM f
+                  WHERE n_tokens >= 10 AND n_digit * 5 <= n_chars),
+            k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper
+                  FROM s)
+            SELECT lang, count(*) AS doc_count,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM k WHERE doc_id = keeper GROUP BY lang""",
         "doc_lang_agg": """
             SELECT lang, count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang""",

@@ -335,3 +335,34 @@ def test_hll_string_values(sf001):
     for r in got.to_pylist():
         e = exact[r["lang"]]
         assert abs(r["approx_distinct"] - e) <= max(2, 0.05 * e), (r, e)
+
+
+def test_doc_prep_pipeline(sf001):
+    """Composed prep chain: quality-filtered + deduped rows keep the
+    min doc_id per fingerprint, and the aggregate matches DuckDB."""
+    import duckdb
+    from go_distributed_log_search_ray.pipelines.prep import (
+        featurize, quality_filter, dedup_keep_rows, doc_prep_agg)
+    from go_distributed_log_search_ray.functions.tableops import read_clean
+
+    ds = read_clean(f"{sf001}/documents.parquet",
+                    columns=["doc_id", "lang", "text"])
+    kept = dedup_keep_rows(quality_filter(featurize(ds)),
+                           keep_cols=["doc_id", "lang", "n_tokens"])
+    got_ids = sorted(r["doc_id"] for r in kept.take_all())
+    want = [r[0] for r in duckdb.sql(f"""
+        WITH f AS (SELECT doc_id, md5(text) fp,
+                     CASE WHEN trim(text, ' '||chr(9)||chr(10)||chr(12)||chr(13)||chr(11)) = ''
+                               OR text IS NULL THEN 0
+                          ELSE len(regexp_split_to_array(trim(text, ' '||chr(9)||chr(10)||chr(12)||chr(13)||chr(11)), '[\t\n\f\r ]+')) END n_tokens,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) n_digit,
+                     length(text) n_chars
+                   FROM read_parquet('{sf001}/documents.parquet')),
+        s AS (SELECT * FROM f WHERE n_tokens >= 10 AND n_digit*5 <= n_chars)
+        SELECT doc_id FROM s QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+        ORDER BY doc_id""").fetchall()]
+    assert got_ids == want
+
+    agg = doc_prep_agg(sf001)
+    assert agg.num_rows >= 1
+    assert sum(agg.column("doc_count").to_pylist()) == len(want)
