@@ -291,6 +291,54 @@ def _doc_minhash_keep(sf_dir: str):
 
 
 
+def _events_asof_last_click(sf_dir: str):
+    """Backward as-of join (custom operator Ray Data lacks): for each
+    purchase event, the latest click by the same user at or before the
+    purchase time.  Hash-co-partitioned by user in one union shuffle,
+    vectorized sorted merge per partition; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from go_distributed_log_search_ray.stages.asof import asof_join
+
+    ev = _read_table(sf_dir, "events",
+                     columns=["event_id", "ts", "user_id", "event_type",
+                              "value"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "purchase_ts_us": b.column("ts").cast(pa.timestamp("us"))
+                               .cast(pa.int64()),
+        })
+
+    def clicks(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "click"))
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        cents = pc.cast(pc.floor(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64())
+        return pa.table({"user_id": b.column("user_id"),
+                         "ts": b.column("ts"),
+                         "click_ts_us": us,
+                         "click_value_cents": cents})
+
+    p = ev.map_batches(purchases, batch_format="pyarrow")
+    c = ev.map_batches(clicks, batch_format="pyarrow")
+    joined = asof_join(
+        p, c, by="user_id", on="ts",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("ts", pa.timestamp("us")),
+                               ("purchase_ts_us", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts", pa.timestamp("us")),
+                                ("click_ts_us", pa.int64()),
+                                ("click_value_cents", pa.int64())]))
+    return joined.select_columns(["event_id", "user_id", "purchase_ts_us",
+                                  "click_ts_us", "click_value_cents"])
+
+
 def _doc_prep_agg(sf_dir: str):
     """Composed training-data prep pipeline (features -> integer-rule
     quality filter -> exact dedup via groupby + distributed semi join ->
@@ -518,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "events_distinct_users": R.events_distinct_users,
         "events_approx_distinct_users": _events_approx_distinct_users,
+        "events_asof_last_click": _events_asof_last_click,
         "events_windowed_counts": _events_windowed_counts,
         "events_tail_windowed_counts": _events_tail_windowed_counts,
         # training-data text ops
@@ -686,6 +735,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.window_start_us,
                    CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
             FROM grid g LEFT JOIN cnt c ON g.window_start_us = c.w""",
+        "events_asof_last_click": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts,
+                              CAST(epoch_us(ts) AS BIGINT) AS click_ts_us,
+                              CAST(floor(value * 100) AS BIGINT)
+                                  AS click_value_cents
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+                   c.click_ts_us, c.click_value_cents
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts""",
         "events_tail_windowed_counts": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) * 1000000
                        AS window_start_us,

@@ -366,3 +366,48 @@ def test_doc_prep_pipeline(sf001):
     agg = doc_prep_agg(sf001)
     assert agg.num_rows >= 1
     assert sum(agg.column("doc_count").to_pylist()) == len(want)
+
+
+def test_asof_join():
+    """Backward as-of join vs DuckDB's native ASOF LEFT JOIN, plus the
+    no-match, empty-right, and composite-key-overflow-fallback paths."""
+    import duckdb
+    import numpy as np
+    from go_distributed_log_search_ray.stages.asof import (
+        asof_join, _asof_merge_tables)
+
+    lt = pa.table({"k": [1, 1, 2, 3], "t": [10, 25, 7, 5],
+                   "lid": [100, 101, 102, 103]})
+    rt = pa.table({"k": [1, 1, 2, 9], "t": [5, 20, 7, 1],
+                   "v": [1.0, 2.0, 3.0, 9.0]})
+    out = asof_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt), by="k", on="t",
+        left_schema=lt.schema, right_schema=rt.schema)
+    got = sorted(out.take_all(), key=lambda r: r["lid"])
+    want = duckdb.sql("""
+        SELECT l.k, l.t, l.lid, r.v FROM lt l
+        ASOF LEFT JOIN rt r ON l.k = r.k AND l.t >= r.t
+        ORDER BY l.lid""").fetchall()
+    assert [(r["k"], r["t"], r["lid"], r["v"]) for r in got] == want
+    assert got[3]["v"] is None            # key 3 has no right rows
+
+    # empty right side: all-null value columns, left rows intact
+    empty_r = rt.slice(0, 0)
+    out2 = asof_join(ray.data.from_arrow(lt), ray.data.from_arrow(empty_r),
+                     by="k", on="t",
+                     left_schema=lt.schema, right_schema=rt.schema)
+    rows2 = out2.take_all()
+    assert len(rows2) == 4 and all(r["v"] is None for r in rows2)
+
+    # overflow fallback (span x ranks >= 2^62) must equal the fast path
+    big = 1 << 61
+    lt3 = pa.table({"k": list(range(10)) * 2,
+                    "t": [0] * 10 + [big] * 10,
+                    "lid": list(range(20))})
+    rt3 = pa.table({"k": list(range(10)), "t": [0] * 10,
+                    "v": [float(i) for i in range(10)]})
+    sch = pa.schema([("k", pa.int64()), ("t", pa.int64()),
+                     ("lid", pa.int64()), ("v", pa.float64())])
+    merged = _asof_merge_tables(lt3, rt3, "k", "t", ["v"], sch)
+    m = {r["lid"]: r["v"] for r in merged.to_pylist()}
+    assert all(m[i] == float(i % 10) for i in range(20))
