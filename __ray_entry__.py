@@ -348,6 +348,17 @@ def _doc_prep_agg(sf_dir: str):
     return doc_prep_agg(sf_dir)
 
 
+def _events_sliding_counts(sf_dir: str):
+    """Sliding-window aggregate (1h window, 15min hop): per-row window
+    expansion + per-batch partial sums inside map_batches, tiny groupby
+    fold -- the shuffle moves (window, count, sum) partials, not events."""
+    from go_distributed_log_search_ray.pipelines.streaming import (
+        sliding_window_agg)
+    ds = _read_table(sf_dir, "events", columns=["ts", "value"])
+    return sliding_window_agg(ds, window_us=3_600_000_000,
+                              hop_us=900_000_000)
+
+
 def _events_approx_distinct_users(sf_dir: str):
     """Distributed HyperLogLog COUNT(DISTINCT) per event type: the
     shuffle moves one (group, 2^12-byte register blob) row per block
@@ -567,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": R.events_distinct_users,
         "events_approx_distinct_users": _events_approx_distinct_users,
         "events_asof_last_click": _events_asof_last_click,
+        "events_sliding_counts": _events_sliding_counts,
         "events_windowed_counts": _events_windowed_counts,
         "events_tail_windowed_counts": _events_tail_windowed_counts,
         # training-data text ops
@@ -735,6 +747,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.window_start_us,
                    CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
             FROM grid g LEFT JOIN cnt c ON g.window_start_us = c.w""",
+        "events_sliding_counts": """
+            SELECT w AS window_start_us, count(*) AS event_count,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM (
+              SELECT CAST(epoch_us(ts) AS BIGINT) AS tus, value,
+                     unnest(generate_series(
+                       CAST(epoch_us(ts) AS BIGINT) // 900000000
+                           * 900000000 - CAST(2700000000 AS BIGINT),
+                       CAST(epoch_us(ts) AS BIGINT) // 900000000
+                           * 900000000,
+                       900000000)) AS w
+              FROM events) x
+            WHERE w + 3600000000 > tus
+            GROUP BY 1""",
         "events_asof_last_click": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'purchase'),

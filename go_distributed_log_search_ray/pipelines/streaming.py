@@ -281,6 +281,58 @@ def run_windowed_ingest(events_path, out_dir: str,
 # -- tail x windows composition --------------------------------------------
 
 
+def sliding_window_agg(ds, window_us: int, hop_us: int,
+                       value_col: str = "value",
+                       ts_col: str = "ts") -> "pa.Table":
+    """Sliding (hopping) event-time window aggregate: count + cent-sum of
+    ``value_col`` per [wstart, wstart+window) window on a ``hop_us`` grid.
+
+    Distributed shape: each row expands to its window/hop covering
+    windows INSIDE ``map_batches`` (vectorized np.repeat -- the standard
+    sliding-window expansion, factor = window/hop), partial per-batch
+    sums shrink each block to O(windows-in-batch) rows, and one small
+    groupby folds the partials.  The shuffle moves pre-aggregated
+    (window, count, sum) rows only, never events."""
+    from ray.data.aggregate import Sum
+
+    k = (window_us + hop_us - 1) // hop_us      # windows covering a row
+
+    def expand_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"window_start_us": pa.array([], pa.int64()),
+                             "event_count": pa.array([], pa.int64()),
+                             "sum_value_cents": pa.array([], pa.int64())})
+        ts = np.asarray(b.column(ts_col).cast(pa.timestamp("us"))
+                        .cast(pa.int64()))
+        cents = np.floor(
+            np.asarray(b.column(value_col), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        # last hop-aligned start covering the row, then k-1 earlier hops
+        last = ts // hop_us * hop_us
+        starts = (last[:, None]
+                  - np.arange(k, dtype=np.int64)[None, :] * hop_us)
+        covered = starts + window_us > ts[:, None]      # always true here
+        # rows within window: wstart <= ts < wstart + window
+        covered &= starts <= ts[:, None]
+        w = starts[covered]
+        c = np.repeat(cents, covered.sum(axis=1))
+        t = pa.table({"window_start_us": pa.array(w),
+                      "cents": pa.array(c)})
+        g = t.group_by(["window_start_us"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(
+            ["window_start_us", "event_count", "sum_value_cents"])
+
+    agg = ds.map_batches(expand_partial, batch_format="pyarrow") \
+        .groupby("window_start_us").aggregate(
+            Sum("event_count", alias_name="event_count"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"))
+    from ..functions.tableops import small_table
+    return small_table(agg, sort_keys=["window_start_us"],
+                       int64_cols=["event_count", "sum_value_cents"]) \
+        .select(["window_start_us", "event_count", "sum_value_cents"])
+
+
 def tail_windowed_ingest(in_dir: str, out_dir: str,
                          window_us: int = WINDOW_US,
                          max_batches: int | None = None,

@@ -240,3 +240,28 @@ def test_windowed_resume_keyed_by_absolute_start(sf001, tmp_path):
                               max_windows=2)
     assert ids[0] not in res["skipped"]       # stale -> re-run
     assert ids[1] in res["skipped"]
+
+
+def test_sliding_window_agg_edges():
+    """Sliding windows: non-divisible window/hop and pre-1970 rows land
+    in exactly the windows [wstart, wstart+window) covering them."""
+    import pyarrow as pa
+    import ray.data
+    from go_distributed_log_search_ray.pipelines.streaming import (
+        sliding_window_agg)
+
+    # window=10, hop=4 (k=3, NOT divisible); ts=-1 exercises floor grid
+    t = pa.table({"ts": pa.array([0, 5, 11, -1], pa.timestamp("us")),
+                  "value": [1.0, 1.0, 1.0, 1.0]})
+    out = sliding_window_agg(ray.data.from_arrow(t),
+                             window_us=10, hop_us=4)
+    got = {r["window_start_us"]: r["event_count"]
+           for r in out.to_pylist()}
+    want = {}
+    for ts in (0, 5, 11, -1):
+        w = ts // 4 * 4
+        for j in range(3):
+            s = w - 4 * j
+            if s <= ts < s + 10:
+                want[s] = want.get(s, 0) + 1
+    assert got == want
