@@ -450,7 +450,9 @@ def _media_decode_agg(sf_dir: str):
     from go_distributed_log_search_ray.stages.multimodal import PpmDecoder
     from go_distributed_log_search_ray.functions.tableops import small_table
     media_dir = os.path.join(_corpus(sf_dir), "media")
-    ds = ray.data.read_parquet(media_dir, columns=["media_id", "payload"])
+    ds = ray.data.read_parquet(
+        media_dir, columns=["media_id", "kind", "payload"],
+        filter=pc.field("kind") == "ppm")
     dec = ds.map_batches(PpmDecoder, batch_size=64, batch_format="pyarrow",
                          concurrency=(1, 4))
     ok = dec.map_batches(
@@ -497,6 +499,69 @@ def _media_audio_agg(sf_dir: str):
                                    "tot_ch1"]) \
         .select(["n_channels", "sample_rate", "n_clips", "tot_samples",
                  "tot_ch0", "tot_ch1"])
+
+
+def _media_ulaw_agg(sf_dir: str):
+    """REAL compressed-audio decode: G.711 mu-law RIFF/WAVE payloads
+    (pure-math codec, ITU-T G.711) -> int16 expansion via a vectorized
+    table -> exact integer sample sums per channel.  Oracle compares
+    against GOLDEN columns the generator computed with an independent
+    scalar form of the same public formula; malformed payloads (~4%)
+    null out (P11) and are excluded on both sides identically."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from go_distributed_log_search_ray.stages.multimodal import WavDecoder
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    media_dir = os.path.join(_corpus(sf_dir), "media")
+    ds = ray.data.read_parquet(
+        media_dir, columns=["media_id", "kind", "payload"],
+        filter=pc.field("kind") == "ulaw")
+    dec = ds.map_batches(WavDecoder, batch_size=64, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    ok = dec.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("n_samples"))),
+        batch_format="pyarrow")
+    agg = ok.groupby(["n_channels"]).aggregate(
+        Count(alias_name="n_clips"),
+        Sum("n_samples", alias_name="tot_samples"),
+        Sum("sum_ch0", alias_name="tot_ch0"),
+        Sum("sum_ch1", alias_name="tot_ch1"))
+    return small_table(agg, sort_keys=["n_channels"],
+                       int64_cols=["n_clips", "tot_samples", "tot_ch0",
+                                   "tot_ch1"]) \
+        .select(["n_channels", "n_clips", "tot_samples", "tot_ch0",
+                 "tot_ch1"])
+
+
+def _media_video_agg(sf_dir: str):
+    """REAL video decode: YUV4MPEG2 payloads (pure-byte container, no
+    demux library needed) -> frame count + exact integer luma sums over
+    every frame's Y plane, aggregated per (width, height).  Oracle
+    compares against GOLDEN columns the generator computed from the same
+    frame buffers; malformed payloads (~4%) null out (P11) and are
+    excluded on both sides identically."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from go_distributed_log_search_ray.stages.multimodal import Y4mDecoder
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    media_dir = os.path.join(_corpus(sf_dir), "media")
+    ds = ray.data.read_parquet(
+        media_dir, columns=["media_id", "kind", "payload"],
+        filter=pc.field("kind") == "y4m")
+    dec = ds.map_batches(Y4mDecoder, batch_size=32, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    ok = dec.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("n_frames"))),
+        batch_format="pyarrow")
+    agg = ok.groupby(["width", "height"]).aggregate(
+        Count(alias_name="n_clips"),
+        Sum("n_frames", alias_name="tot_frames"),
+        Sum("sum_luma", alias_name="tot_luma"))
+    return small_table(agg, sort_keys=["width", "height"],
+                       int64_cols=["n_clips", "tot_frames", "tot_luma"]) \
+        .select(["width", "height", "n_clips", "tot_frames", "tot_luma"])
 
 
 def _knn_bruteforce(sf_dir: str):
@@ -599,6 +664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (real PPM + WAV decode paths; jpeg/video stay stubbed)
         "media_decode_agg": _media_decode_agg,
         "media_audio_agg": _media_audio_agg,
+        "media_ulaw_agg": _media_ulaw_agg,
+        "media_video_agg": _media_video_agg,
         # similarity search
         "knn_bruteforce": _knn_bruteforce,
         "knn_multi": _knn_multi,
@@ -858,7 +925,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sum_g) AS BIGINT) AS tot_g,
                    CAST(sum(sum_b) AS BIGINT) AS tot_b
             FROM read_parquet('{media}')
-            WHERE width IS NOT NULL GROUP BY width, height""",
+            WHERE kind = 'ppm' AND width IS NOT NULL
+            GROUP BY width, height""",
         "media_audio_agg": f"""
             SELECT n_channels, sample_rate, count(*) AS n_clips,
                    CAST(sum(n_samples) AS BIGINT) AS tot_samples,
@@ -867,6 +935,21 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{media}')
             WHERE kind = 'wav' AND n_samples IS NOT NULL
             GROUP BY n_channels, sample_rate""",
+        "media_ulaw_agg": f"""
+            SELECT n_channels, count(*) AS n_clips,
+                   CAST(sum(n_samples) AS BIGINT) AS tot_samples,
+                   CAST(sum(sum_ch0) AS BIGINT) AS tot_ch0,
+                   CAST(sum(sum_ch1) AS BIGINT) AS tot_ch1
+            FROM read_parquet('{media}')
+            WHERE kind = 'ulaw' AND n_samples IS NOT NULL
+            GROUP BY n_channels""",
+        "media_video_agg": f"""
+            SELECT width, height, count(*) AS n_clips,
+                   CAST(sum(n_frames) AS BIGINT) AS tot_frames,
+                   CAST(sum(sum_luma) AS BIGINT) AS tot_luma
+            FROM read_parquet('{media}')
+            WHERE kind = 'y4m' AND n_frames IS NOT NULL
+            GROUP BY width, height""",
         "knn_bruteforce": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v5"
+GEN_VERSION = "v6"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -256,7 +256,13 @@ def _write_media(d: str, n_docs: int) -> None:
 
     * P6 PPM images: width/height + exact per-channel pixel sums;
     * RIFF/WAVE PCM audio: channels/rate/frames + exact int16 sample
-      sums per channel.
+      sums per channel;
+    * RIFF/WAVE G.711 mu-law audio (kind="ulaw"): goldens are the sums
+      of the EXPANDED int16 values, computed here with a scalar
+      per-byte form of the public G.711 formula (the engine decodes
+      with an independently built vectorized table);
+    * YUV4MPEG2 video (kind="y4m"): width/height + frame count + exact
+      integer luma sum over every frame's Y plane.
 
     ~4% of payloads are truncated with null goldens (P11 path)."""
     os.makedirs(d, exist_ok=True)
@@ -264,7 +270,8 @@ def _write_media(d: str, n_docs: int) -> None:
     n = max(50, n_docs // 20)
     cols = ("media_id", "kind", "payload", "width", "height",
             "sum_r", "sum_g", "sum_b",
-            "n_channels", "sample_rate", "n_samples", "sum_ch0", "sum_ch1")
+            "n_channels", "sample_rate", "n_samples", "sum_ch0", "sum_ch1",
+            "n_frames", "sum_luma")
     rows = {k: [] for k in cols}
 
     def put(media_id, kind, payload, **golden):
@@ -313,6 +320,69 @@ def _write_media(d: str, n_docs: int) -> None:
             put(n + j, "wav", payload, n_channels=n_ch, sample_rate=rate,
                 n_samples=frames, sum_ch0=int(s[0]),
                 sum_ch1=int(s[1]) if n_ch == 2 else 0)
+
+    def ulaw_expand(u: int) -> int:
+        # scalar per-byte G.711 mu-law expansion (ITU-T G.711, public);
+        # deliberately an independent implementation from the engine's
+        # vectorized table so goldens cross-check it
+        u = ~u & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+        return -mag if u & 0x80 else mag
+
+    urng = np.random.default_rng(SEED + 4)
+    n_ulaw = max(50, n_docs // 20)
+    for k in range(n_ulaw):
+        n_ch = int(urng.choice([1, 2]))
+        rate = 8000                              # G.711's native rate
+        frames = int(urng.integers(100, 4000))
+        enc = urng.integers(0, 256, size=(frames, n_ch), dtype=np.int64) \
+            .astype(np.uint8)
+        data = enc.tobytes()
+        fmt = (b"fmt " + (16).to_bytes(4, "little")
+               + (7).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * n_ch).to_bytes(4, "little")
+               + n_ch.to_bytes(2, "little")
+               + (8).to_bytes(2, "little"))
+        body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+        payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+        if urng.random() < 0.04:
+            payload = payload[: int(urng.integers(3, max(4, len(payload) // 2)))]
+            put(2 * n + k, "ulaw", payload)
+        else:
+            sums = [0, 0]
+            for ch in range(n_ch):
+                sums[ch] = sum(ulaw_expand(int(b)) for b in enc[:, ch])
+            put(2 * n + k, "ulaw", payload, n_channels=n_ch,
+                sample_rate=rate, n_samples=frames,
+                sum_ch0=sums[0], sum_ch1=sums[1])
+
+    vrng = np.random.default_rng(SEED + 5)
+    n_y4m = max(50, n_docs // 40)
+    for m in range(n_y4m):
+        w = int(vrng.integers(4, 17)) * 2        # even dims for C420
+        h = int(vrng.integers(4, 13)) * 2
+        frames = int(vrng.integers(3, 11))
+        hdr = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h)
+        fsz = w * h + 2 * ((w // 2) * (h // 2))
+        parts, luma = [hdr], 0
+        for _ in range(frames):
+            fr = vrng.integers(0, 256, size=fsz, dtype=np.int64) \
+                .astype(np.uint8)
+            luma += int(fr[: w * h].astype(np.int64).sum())
+            parts.append(b"FRAME\n" + fr.tobytes())
+        payload = b"".join(parts)
+        if vrng.random() < 0.04:
+            # clamp the cut inside the FIRST frame: a cut landing exactly
+            # on a later frame boundary would decode as a valid shorter
+            # video and break golden/decode agreement
+            cut = min(int(vrng.integers(3, max(4, len(payload) // 2))),
+                      len(hdr) + fsz)
+            payload = payload[:cut]
+            put(3 * n + m, "y4m", payload)
+        else:
+            put(3 * n + m, "y4m", payload, width=w, height=h,
+                n_frames=frames, sum_luma=luma)
 
     t = pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),

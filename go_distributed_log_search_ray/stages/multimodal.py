@@ -2,13 +2,16 @@
 with typed metadata.
 
 The Ray-side plumbing (schema, actor-pool signature, batch sizing,
-output layout) is real and tested.  Pure byte formats decode for REAL
-with no codec library: P6 PPM images (``PpmDecoder``/``PpmThumbnail``)
-and RIFF/WAVE PCM audio (``WavDecoder``), both oracle-checked against
-golden columns.  Only formats that genuinely require a codec library
-absent from this container (JPEG, compressed audio, video) are STUBBED:
-those stages raise ``NotImplementedError`` (strict mode) or produce a
-deterministic fake (default) so pipelines exercise end-to-end.
+output layout) is real and tested.  Formats with a pure-math decode
+run for REAL with no codec library, oracle-checked against golden
+columns: P6 PPM images (``PpmDecoder``/``PpmThumbnail``), RIFF/WAVE
+audio in both PCM and G.711 mu-law -- a genuine compressed codec --
+(``WavDecoder``), and YUV4MPEG2 video (``Y4mDecoder`` +
+``FrameSample`` frame seeks).  Only formats that genuinely require a
+codec library absent from this container (JPEG decode, vision-model
+embed, mp4/mkv demux) are STUBBED: those stages raise
+``NotImplementedError`` (strict mode) or produce a deterministic fake
+(default) so pipelines exercise end-to-end.
 
 Scale notes: binary payloads can be MBs/row, so these stages default to
 SMALL batch_size (see ``recommended_batch_size``) and should be mapped
@@ -152,15 +155,38 @@ class PpmThumbnail:
             "thumbnail", pa.array(thumbs, pa.binary()))
 
 
+def _build_ulaw_table() -> np.ndarray:
+    """256-entry G.711 mu-law -> int16 expansion table (ITU-T G.711,
+    public spec).  Built once at import; the vectorized WAV decode path
+    is a single fancy-index through it.  An independent scalar form of
+    the same public formula lives in the corpus generator, and the
+    pytest cross-checks this table against CPython's ``audioop``."""
+    u = np.arange(256, dtype=np.int32) ^ 0xFF          # stored complemented
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+ULAW_TO_I16 = _build_ulaw_table()
+
+
 def parse_wav(p: bytes | None):
-    """REAL RIFF/WAVE PCM decode -- a pure byte format needing no codec
+    """REAL RIFF/WAVE decode -- a pure byte format needing no codec
     library: ``RIFF<size>WAVE`` header followed by chunks; the ``fmt ``
-    chunk declares PCM/channels/rate/bits and ``data`` carries the
-    interleaved int16 samples.  Returns (n_channels, sample_rate,
-    n_samples, sum_ch0, sum_ch1) with EXACT integer sample sums
-    (sum_ch1 = 0 for mono), or None on any malformation -- truncated
-    header, non-PCM, non-16-bit, or incomplete sample data (P11: the
-    row survives with null metadata)."""
+    chunk declares format/channels/rate/bits and ``data`` carries the
+    interleaved samples.  Two REAL sample formats:
+
+    * audio_fmt 1 (PCM), 16-bit int16 samples;
+    * audio_fmt 7 (G.711 mu-law), 8-bit compressed samples expanded to
+      int16 via the public G.711 table -- a genuine compressed-audio
+      codec with a pure-math decode.
+
+    Returns (n_channels, sample_rate, n_samples, sum_ch0, sum_ch1) with
+    EXACT integer sample sums over the DECODED int16 values (sum_ch1 = 0
+    for mono), or None on any malformation -- truncated header,
+    unsupported format, or incomplete sample data (P11: the row survives
+    with null metadata)."""
     if p is None or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
     fmt = None
@@ -176,18 +202,24 @@ def parse_wav(p: bytes | None):
             n_ch = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_fmt != 1 or bits != 16 or n_ch not in (1, 2) \
-                    or rate <= 0:
+            if n_ch not in (1, 2) or rate <= 0:
                 return None
-            fmt = (n_ch, rate)
+            if (audio_fmt, bits) not in ((1, 16), (7, 8)):
+                return None
+            fmt = (audio_fmt, n_ch, rate)
         elif cid == b"data":
             if fmt is None:
                 return None                  # data before fmt: malformed
-            n_ch, rate = fmt
-            frame = 2 * n_ch
+            audio_fmt, n_ch, rate = fmt
+            width = 2 if audio_fmt == 1 else 1
+            frame = width * n_ch
             if sz % frame != 0:
                 return None
-            samples = np.frombuffer(body, dtype="<i2").reshape(-1, n_ch)
+            if audio_fmt == 1:
+                samples = np.frombuffer(body, dtype="<i2")
+            else:                            # mu-law: expand via table
+                samples = ULAW_TO_I16[np.frombuffer(body, dtype=np.uint8)]
+            samples = samples.reshape(-1, n_ch)
             s = samples.sum(axis=0, dtype=np.int64)
             return (n_ch, rate, samples.shape[0],
                     int(s[0]), int(s[1]) if n_ch == 2 else 0)
@@ -218,6 +250,114 @@ class WavDecoder:
             if r is None:
                 if self.strict:
                     raise ValueError("malformed WAV payload")
+                for c in self.OUT_COLS:
+                    cols[c].append(None)
+                errs.append("malformed")
+            else:
+                for c, v in zip(self.OUT_COLS, r):
+                    cols[c].append(v)
+                errs.append(None)
+        out = batch.drop_columns(["payload"])
+        for c in self.OUT_COLS:
+            out = out.append_column(c, pa.array(cols[c], pa.int64()))
+        return out.append_column("decode_err", pa.array(errs, pa.string()))
+
+
+def _y4m_frame_bytes(w: int, h: int, cspace: str) -> int | None:
+    """Frame payload size for a YUV4MPEG2 colorspace tag (public spec,
+    mjpegtools); None for tags we don't support."""
+    if cspace.startswith("420"):
+        if w % 2 or h % 2:
+            return None
+        return w * h + 2 * ((w // 2) * (h // 2))
+    if cspace.startswith("422"):
+        if w % 2:
+            return None
+        return w * h + 2 * ((w // 2) * h)
+    if cspace.startswith("444"):
+        return 3 * w * h
+    if cspace == "mono":
+        return w * h
+    return None
+
+
+def parse_y4m(p: bytes | None):
+    """REAL YUV4MPEG2 (.y4m) decode -- a pure byte VIDEO container
+    needing no codec library: an ASCII header line
+    ``YUV4MPEG2 W<w> H<h> F<n>:<d> ... C<space>\\n`` followed by frames,
+    each ``FRAME[ params]\\n`` + raw planar YUV bytes.  Returns
+    (width, height, n_frames, sum_luma, frame_offsets) where sum_luma is
+    the EXACT integer sum of every frame's Y plane and frame_offsets[i]
+    is the byte offset of frame i's pixel data; None on any malformation
+    -- bad magic, missing W/H, unsupported colorspace, or a truncated
+    frame (P11: the row survives with null metadata)."""
+    if p is None or len(p) < 10 or p[:9] != b"YUV4MPEG2":
+        return None
+    nl = p.find(b"\n", 9)
+    if nl < 0:
+        return None
+    w = h = None
+    cspace = "420jpeg"                       # spec default
+    try:
+        for tok in p[9:nl].split(b" "):
+            if not tok:
+                continue
+            tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"C":
+                cspace = val
+    except ValueError:
+        return None
+    if not w or not h or w <= 0 or h <= 0:
+        return None
+    fsz = _y4m_frame_bytes(w, h, cspace)
+    if fsz is None:
+        return None
+    i = nl + 1
+    n_frames, sum_luma, offsets = 0, 0, []
+    while i < len(p):
+        if p[i:i + 5] != b"FRAME":
+            return None
+        fnl = p.find(b"\n", i + 5)
+        if fnl < 0 or len(p) < fnl + 1 + fsz:
+            return None                      # truncated frame
+        data_at = fnl + 1
+        y = np.frombuffer(p, dtype=np.uint8, count=w * h, offset=data_at)
+        sum_luma += int(y.sum(dtype=np.int64))
+        offsets.append(data_at)
+        n_frames += 1
+        i = data_at + fsz
+    if n_frames == 0:
+        return None
+    return w, h, n_frames, sum_luma, offsets
+
+
+class Y4mDecoder:
+    """payload -> (width, height, n_frames, sum_luma, decode_err).
+
+    NOT a stub: YUV4MPEG2 is a pure byte format, so the full container
+    parse -> exact per-frame luma extraction runs for real (oracle-
+    checked against golden columns the corpus generator computed from
+    the same frame buffers).  Same actor-pool/batch-size plumbing shape
+    as a real video demux/decoder (state in __init__, payload-budgeted
+    batch_size -- video rows are the largest payloads in the table)."""
+
+    OUT_COLS = ("width", "height", "n_frames", "sum_luma")
+
+    def __init__(self, strict: bool = False) -> None:
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {c: [] for c in self.OUT_COLS}
+        errs = []
+        for p in batch.column("payload").to_pylist():
+            r = parse_y4m(p)
+            if r is None:
+                if self.strict:
+                    raise ValueError("malformed y4m payload")
                 for c in self.OUT_COLS:
                     cols[c].append(None)
                 errs.append("malformed")
@@ -294,16 +434,43 @@ class ImageEmbed:
 
 
 class FrameSample:
-    """video payload -> k sampled frame offsets (STUB: real impl seeks
-    keyframes; fake emits evenly spaced byte offsets)."""
+    """video payload -> up to k sampled frames: exact byte offsets of the
+    sampled frames' pixel data plus each sampled frame's integer luma sum.
 
-    def __init__(self, k: int = 4) -> None:
-        self.k = k
+    REAL for YUV4MPEG2 payloads (the container's frame positions are
+    computable from the header alone, so this is a genuine frame-seek):
+    samples k evenly spaced frame indices ``floor(i * n / k)`` and reads
+    only those frames' Y planes.  Non-y4m containers (mp4/mkv) genuinely
+    need a demux library absent from this env: strict mode raises, the
+    default emits null offsets/sums with ``sample_err`` set (P11)."""
+
+    def __init__(self, k: int = 4, strict: bool = False) -> None:
+        self.k = max(1, k)
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        offs = []
+        offs, sums, errs = [], [], []
         for p in batch.column("payload").to_pylist():
-            n = 0 if p is None else len(p)
-            offs.append([int(i * n / self.k) for i in range(self.k)])
-        return batch.append_column(
-            "frame_offsets", pa.array(offs, type=pa.list_(pa.int64())))
+            r = parse_y4m(p)
+            if r is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-y4m containers need a demux library")
+                offs.append(None)
+                sums.append(None)
+                errs.append("unsupported_container")
+                continue
+            w, h, n, _, frame_offs = r
+            idx = sorted({i * n // self.k for i in range(self.k)})
+            offs.append([frame_offs[i] for i in idx])
+            sums.append([
+                int(np.frombuffer(p, dtype=np.uint8, count=w * h,
+                                  offset=frame_offs[i]).sum(dtype=np.int64))
+                for i in idx])
+            errs.append(None)
+        return (batch
+                .append_column("frame_offsets",
+                               pa.array(offs, type=pa.list_(pa.int64())))
+                .append_column("frame_luma_sums",
+                               pa.array(sums, type=pa.list_(pa.int64())))
+                .append_column("sample_err", pa.array(errs, pa.string())))

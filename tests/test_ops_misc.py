@@ -100,8 +100,12 @@ def test_multimodal_stubs():
     emb = e.column("embedding").to_pylist()
     assert len(emb[0]) == 16
     assert abs(np.linalg.norm(emb[0]) - 1.0) < 1e-5
-    f = FrameSample(k=2)(t)
-    assert f.column("frame_offsets").to_pylist()[0] == [0, 102]
+    f = FrameSample(k=2)(t)           # non-y4m containers: demux lib needed
+    assert f.column("frame_offsets").to_pylist() == [None, None, None]
+    assert f.column("sample_err").to_pylist() == \
+        ["unsupported_container"] * 3
+    with pytest.raises(NotImplementedError):
+        FrameSample(k=2, strict=True)(t)
     with pytest.raises(NotImplementedError):
         ImageDecode(strict=True)(t)
     assert recommended_batch_size(1 << 20) == 64
@@ -134,6 +138,7 @@ def test_ppm_decode_real(corpus_dir):
     # corpus goldens, end to end through the actor stage
     t = pa.concat_tables([pq.read_table(f) for f in
                           sorted(glob.glob(f"{corpus_dir}/media/*.parquet"))])
+    t = t.filter(pa.compute.equal(t.column("kind"), "ppm"))
     dec = ray.data.from_arrow(t.select(["media_id", "payload"])) \
         .map_batches(PpmDecoder, batch_format="pyarrow", batch_size=32,
                      concurrency=1)
@@ -163,6 +168,7 @@ def test_ppm_thumbnail_real(corpus_dir):
 
     t = pa.concat_tables([pq.read_table(f) for f in
                           sorted(glob.glob(f"{corpus_dir}/media/*.parquet"))])
+    t = t.filter(pa.compute.equal(t.column("kind"), "ppm"))
     out = ray.data.from_arrow(t.select(["media_id", "payload"])) \
         .map_batches(PpmThumbnail, fn_constructor_kwargs={"factor": 3},
                      batch_format="pyarrow", batch_size=32, concurrency=1) \
@@ -411,3 +417,122 @@ def test_asof_join():
     merged = _asof_merge_tables(lt3, rt3, "k", "t", ["v"], sch)
     m = {r["lid"]: r["v"] for r in merged.to_pylist()}
     assert all(m[i] == float(i % 10) for i in range(20))
+
+
+def test_ulaw_decode_real(corpus_dir):
+    """The REAL compressed-audio path: G.711 mu-law expansion.  The
+    engine's vectorized table is cross-checked against CPython's
+    ``audioop`` (an independent reference implementation of the same
+    public spec), then corpus goldens verify end to end."""
+    import glob
+    import numpy as np
+    from go_distributed_log_search_ray.stages.multimodal import (
+        ULAW_TO_I16, WavDecoder, parse_wav)
+    import pyarrow.parquet as pq
+
+    try:
+        import audioop
+        ref = np.frombuffer(
+            audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2")
+        assert np.array_equal(ULAW_TO_I16, ref)
+    except ImportError:
+        pass                            # removed in py3.13+; LUT still
+                                        # golden-checked below
+
+    # hand-built mu-law clip: fmt code 7, 8-bit samples
+    enc = bytes([0x00, 0xFF, 0x80, 0x7F, 0x33])
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    body = b"WAVE" + fmt + b"data" + (5).to_bytes(4, "little") + enc
+    clip = b"RIFF" + len(body).to_bytes(4, "little") + body
+    want_sum = int(ULAW_TO_I16[list(enc)].astype(np.int64).sum())
+    assert parse_wav(clip) == (1, 8000, 5, want_sum, 0)
+    # mu-law declared with 16-bit width is malformed, as is PCM at 8-bit
+    bad = bytearray(clip)
+    bad[34] = 16
+    assert parse_wav(bytes(bad)) is None
+
+    # corpus goldens end to end (independent scalar formula on the
+    # generator side)
+    t = pa.concat_tables([pq.read_table(f) for f in
+                          sorted(glob.glob(f"{corpus_dir}/media/*.parquet"))])
+    t = t.filter(pa.compute.equal(t.column("kind"), "ulaw"))
+    assert t.num_rows >= 50
+    dec = ray.data.from_arrow(t.select(["media_id", "payload"])) \
+        .map_batches(WavDecoder, batch_format="pyarrow", batch_size=32,
+                     concurrency=1)
+    got = {r["media_id"]: r for r in dec.take_all()}
+    n_bad = 0
+    for r in t.to_pylist():
+        g = got[r["media_id"]]
+        for c in ("n_channels", "sample_rate", "n_samples",
+                  "sum_ch0", "sum_ch1"):
+            assert g[c] == r[c]
+        if r["n_samples"] is None:
+            n_bad += 1
+    assert n_bad > 0                                  # P11 path exercised
+
+
+def test_y4m_decode_real(corpus_dir):
+    """The REAL video path: YUV4MPEG2 container parse -> exact per-frame
+    luma sums, plus FrameSample doing genuine frame seeks."""
+    import glob
+    import numpy as np
+    from go_distributed_log_search_ray.stages.multimodal import (
+        FrameSample, Y4mDecoder, parse_y4m)
+    import pyarrow.parquet as pq
+
+    # kernel edge cases: hand-built 2-frame 4x2 C420 clip
+    w, h = 4, 2
+    fsz = w * h + 2 * ((w // 2) * (h // 2))
+    f0 = bytes(range(fsz))
+    f1 = bytes(range(100, 100 + fsz))
+    clip = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+            + b"FRAME\n" + f0 + b"FRAME\n" + f1)
+    luma = sum(f0[: w * h]) + sum(f1[: w * h])
+    r = parse_y4m(clip)
+    assert r[:4] == (4, 2, 2, luma)
+    assert parse_y4m(clip[:-3]) is None               # truncated frame
+    assert parse_y4m(clip[:20]) is None               # truncated header
+    assert parse_y4m(b"JUNK" + clip[4:]) is None      # bad magic
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C999\n" + f0) is None  # bad cspace
+    assert parse_y4m(b"YUV4MPEG2 W3 H2 C420jpeg\n") is None   # odd dim
+    assert parse_y4m(None) is None
+    # mono colorspace: frames are Y-plane only
+    mono = b"YUV4MPEG2 W4 H2 Cmono\n" + b"FRAME\n" + f0[: w * h]
+    assert parse_y4m(mono)[:4] == (4, 2, 1, sum(f0[: w * h]))
+
+    # FrameSample does a real seek: offsets point at frame pixel data
+    t1 = pa.table({"media_id": ["v"],
+                   "payload": pa.array([clip], pa.large_binary())})
+    fs = FrameSample(k=2)(t1)
+    offs = fs.column("frame_offsets").to_pylist()[0]
+    sums = fs.column("frame_luma_sums").to_pylist()[0]
+    assert len(offs) == 2
+    assert clip[offs[0]: offs[0] + fsz] == f0
+    assert clip[offs[1]: offs[1] + fsz] == f1
+    assert sums == [sum(f0[: w * h]), sum(f1[: w * h])]
+    # k larger than n_frames: every frame sampled once
+    fs3 = FrameSample(k=5)(t1)
+    assert len(fs3.column("frame_offsets").to_pylist()[0]) == 2
+
+    # corpus goldens end to end through the actor stage
+    t = pa.concat_tables([pq.read_table(f) for f in
+                          sorted(glob.glob(f"{corpus_dir}/media/*.parquet"))])
+    t = t.filter(pa.compute.equal(t.column("kind"), "y4m"))
+    assert t.num_rows >= 50
+    dec = ray.data.from_arrow(t.select(["media_id", "payload"])) \
+        .map_batches(Y4mDecoder, batch_format="pyarrow", batch_size=16,
+                     concurrency=1)
+    got = {r["media_id"]: r for r in dec.take_all()}
+    n_bad = 0
+    for r in t.to_pylist():
+        g = got[r["media_id"]]
+        for c in ("width", "height", "n_frames", "sum_luma"):
+            assert g[c] == r[c]
+        if r["n_frames"] is None:
+            n_bad += 1
+            assert g["decode_err"] == "malformed"
+    assert n_bad > 0                                  # P11 path exercised
