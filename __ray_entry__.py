@@ -636,6 +636,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_revenue": R.part_type_revenue,
         "revenue_by_region": R.revenue_by_region,
         "supplier_nation_acctbal": R.supplier_nation_acctbal,
+        "customers_without_orders": R.customers_without_orders,
+        "parts_with_lineitems": R.parts_with_lineitems,
+        "events_top_by_type": R.events_top_by_type,
+        "doc_length_quantiles": R.doc_length_quantiles,
         "events_props_agg": R.events_props_agg,
         "events_route_agg": R.events_route_agg,
         "events_hourly": R.events_hourly,
@@ -744,6 +748,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS supplier_count
             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name""",
+        "customers_without_orders": """
+            SELECT c.c_mktsegment, count(*) AS n_customers,
+                   CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS acctbal_cents
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c.c_mktsegment""",
+        "parts_with_lineitems": """
+            SELECT p.p_brand, count(*) AS n_parts
+            FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey)
+            GROUP BY p.p_brand""",
+        "events_top_by_type": """
+            SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS value_cents
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY value DESC, event_id ASC) AS rn
+                  FROM events)
+            WHERE rn <= 3""",
+        "doc_length_quantiles": """
+            SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q,
+                   unnest(quantile_disc(n_chars,
+                          [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS n_chars
+            FROM documents""",
         "events_props_agg": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k')

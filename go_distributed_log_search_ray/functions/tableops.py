@@ -82,3 +82,82 @@ def global_topk(ds: Dataset, k: int, sort_keys: list[tuple[str, str]]) -> pa.Tab
     if t.num_rows == 0:
         return t
     return t.take(pc.sort_indices(t, sort_keys=sort_keys).slice(0, k))
+
+
+def batch_grouped_topk(batch: pa.Table, group_keys: list[str], k: int,
+                       sort_keys: list[tuple[str, str]]) -> pa.Table:
+    """Per-batch top-k WITHIN each group present in the batch -- the
+    combine side of distributed grouped top-k: one vectorized sort per
+    batch, then run-length rank against numpy group boundaries (no
+    per-group Python).  Each block contributes <= k rows per group it
+    contains, so the downstream per-group fold sees O(k x groups x
+    blocks) rows instead of the full table."""
+    import numpy as np
+
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    full = [(g, "ascending") for g in group_keys] + list(sort_keys)
+    t = batch.take(pc.sort_indices(batch, sort_keys=full))
+    newgrp = np.zeros(n, dtype=bool)
+    newgrp[0] = True
+    for g in group_keys:
+        col = t.column(g)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(col.slice(0, n - 1), col.slice(1)), True)
+        # null != null is null in Arrow; adjacent nulls are the SAME group
+        both_null = pc.and_(pc.is_null(col.slice(0, n - 1)),
+                            pc.is_null(col.slice(1)))
+        neq = pc.and_not(neq, both_null)
+        newgrp[1:] |= np.asarray(neq.to_numpy(zero_copy_only=False),
+                                 dtype=bool)
+    starts = np.flatnonzero(newgrp)
+    rank = np.arange(n, dtype=np.int64) - starts[np.cumsum(newgrp) - 1]
+    return t.filter(pa.array(rank < k))
+
+
+def grouped_topk(ds: Dataset, group_keys: list[str], k: int,
+                 sort_keys: list[tuple[str, str]]) -> Dataset:
+    """Distributed exact top-k per group: per-block combine (each block
+    emits <= k rows/group), ONE shuffle of the reduced candidate set,
+    per-group fold.  Ties beyond ``sort_keys`` are nondeterministic --
+    include a unique tiebreak column for stable results."""
+    cand = ds.map_batches(
+        lambda b: batch_grouped_topk(b, group_keys, k, sort_keys),
+        batch_format="pyarrow")
+    return cand.groupby(group_keys).map_groups(
+        lambda g: batch_topk(g, k, sort_keys), batch_format="pyarrow")
+
+
+def exact_quantiles(ds: Dataset, col: str, qs: list[float]) -> pa.Table:
+    """EXACT discrete quantiles of a column, distributed: a value-counts
+    groupby moves one row per DISTINCT value (not per row), the tiny
+    (value, count) table folds on the driver via cumulative counts.
+    Matches DuckDB ``quantile_disc`` semantics: element at index
+    ``max(0, ceil(q*n) - 1)`` of the sorted non-null values.  Suited to
+    columns with bounded cardinality (lengths, counts, scores); for
+    unbounded float columns use a sketch instead."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    vc = ds.groupby(col).aggregate(Count(alias_name="cnt"))
+    t = small_table(vc, int64_cols=["cnt"])
+    t = t.filter(pc.is_valid(t.column(col)))
+    t = t.take(pc.sort_indices(t, sort_keys=[(col, "ascending")]))
+    cum = np.cumsum(t.column("cnt").to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    out_v = []
+    for q in qs:
+        if n == 0:
+            out_v.append(None)
+            continue
+        idx = max(0, math.ceil(q * n) - 1)
+        out_v.append(t.column(col)[
+            int(np.searchsorted(cum, idx + 1))].as_py())
+    return pa.table({
+        "q": pa.array([float(q) for q in qs], pa.float64()),
+        col: pa.array(out_v, t.schema.field(col).type)})

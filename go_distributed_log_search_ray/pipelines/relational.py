@@ -503,3 +503,109 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     return pa.table({"user_id": t.column("user_id"),
                      "n_sessions": t.column("n_sessions").cast(pa.int64()),
                      "n_events": t.column("n_events").cast(pa.int64())})
+
+
+# -- existence joins (semi / anti) -----------------------------------------
+
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Customers with NO urgent orders, aggregated per market segment --
+    the distributed ANTI join: same single co-partitioning shuffle as
+    the inner ``hash_join``, per-partition Arrow "left anti" (correct
+    because BOTH sides of a key land in the same partition, so absence
+    in the partition == absence globally).  The right side is filtered
+    AT THE READ (row-group predicate pushdown) and ships only its key
+    column."""
+    from ..stages.join import hash_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+    okeys = read_clean(f"{sf_dir}/orders.parquet",
+                       columns=["o_custkey", "o_orderpriority"],
+                       filter=pc.field("o_orderpriority") == "1-URGENT") \
+        .map_batches(lambda b: b.select(["o_custkey"]),
+                     batch_format="pyarrow")
+    j = hash_join(
+        cust, okeys, on="c_custkey", right_on="o_custkey",
+        join_type="left anti",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_mktsegment", pa.string()),
+                               ("c_acctbal", pa.float64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_mktsegment": b.column("c_mktsegment"),
+                      "acctbal_cents": _cents(b.column("c_acctbal"))})
+        out = t.group_by(["c_mktsegment"]).aggregate(
+            [("acctbal_cents", "sum"), ("acctbal_cents", "count")])
+        return out.rename_columns(
+            ["c_mktsegment", "acctbal_cents", "n_customers"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+            Sum("n_customers", alias_name="n_customers"))
+    return small_table(agg, sort_keys=["c_mktsegment"],
+                       int64_cols=["acctbal_cents", "n_customers"]) \
+        .select(["c_mktsegment", "n_customers", "acctbal_cents"])
+
+
+def parts_with_lineitems(sf_dir: str) -> pa.Table:
+    """Parts that DO appear in lineitem, per brand -- the SEMI join
+    twin of ``customers_without_orders``.  The many side (lineitem) is
+    pre-deduplicated to its distinct keys INSIDE map_batches before the
+    shuffle, so the exchange moves O(distinct keys), not O(rows)."""
+    from ..stages.join import hash_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    lkeys = _read(sf_dir, "lineitem", ["l_partkey"]) \
+        .map_batches(lambda b: b.group_by(["l_partkey"]).aggregate([]),
+                     batch_format="pyarrow")
+    j = hash_join(
+        part, lkeys, on="p_partkey", right_on="l_partkey",
+        join_type="left semi",
+        left_schema=pa.schema([("p_partkey", pa.int64()),
+                               ("p_brand", pa.string())]),
+        right_schema=pa.schema([("l_partkey", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["p_brand"]).aggregate([("p_partkey", "count")])
+        return out.rename_columns(["p_brand", "n_parts"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(Sum("n_parts", alias_name="n_parts"))
+    return small_table(agg, sort_keys=["p_brand"], int64_cols=["n_parts"]) \
+        .select(["p_brand", "n_parts"])
+
+
+# -- grouped top-k ----------------------------------------------------------
+
+def events_top_by_type(sf_dir: str) -> pa.Table:
+    """Top-3 events per event_type by value -- distributed grouped
+    top-k: each block contributes <= k rows per group (one vectorized
+    sort + numpy rank per block), the shuffle moves only that reduced
+    candidate set.  event_id is the unique tiebreak so results are
+    deterministic."""
+    from ..functions.tableops import grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    keys = [("value", "descending"), ("event_id", "ascending")]
+    out = grouped_topk(ds, ["event_type"], 3, keys)
+    t = small_table(out, sort_keys=["event_type", "event_id"])
+    return pa.table({
+        "event_type": t.column("event_type"),
+        "event_id": t.column("event_id").cast(pa.int64()),
+        "value_cents": _cents(t.column("value"))})
+
+
+# -- exact quantiles --------------------------------------------------------
+
+def doc_length_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT discrete quantiles of document length: the shuffle moves
+    one row per DISTINCT length (value-counts pre-aggregate), the
+    cumulative fold is O(distinct) on the driver.  Matches DuckDB
+    quantile_disc bit-exactly (no float interpolation)."""
+    from ..functions.tableops import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return exact_quantiles(ds, "n_chars",
+                           [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])

@@ -101,7 +101,12 @@ def hash_join(left: Dataset, right: Dataset, on: str,
     bounds average partition size; for a known-hot key the standard
     mitigations apply upstream -- pre-aggregate the many-side per key
     before joining, or broadcast the rows of the hot keys separately
-    (see stages/enrich.py) and join only the cold remainder."""
+    (see stages/enrich.py) and join only the cold remainder.
+
+    ``join_type``: any Arrow acero type -- "inner", "left outer",
+    "left semi" / "left anti" (existence filters: output is the LEFT
+    columns only, the right side contributes nothing but its key set),
+    and their "right ..." mirrors."""
     right_on = right_on or on
     # normalize to Arrow blocks (inputs may carry pandas blocks, e.g.
     # map_groups output, whose schema objects aren't pyarrow Schemas)
@@ -111,6 +116,14 @@ def hash_join(left: Dataset, right: Dataset, on: str,
     rsch: pa.Schema = right_schema or _infer_schema(right, right_on)
     lcols = [n for n in lsch.names if n != on]
     rcols = [n for n in rsch.names if n != right_on]
+    # existence joins emit one side only: the other side's payload
+    # columns never reach the output, so don't ship them through the
+    # shuffle at all (the pad stage nulls them anyway -- this just
+    # drops the dead columns from the union schema)
+    if join_type in ("left semi", "left anti"):
+        rcols = []
+    elif join_type in ("right semi", "right anti"):
+        lcols = []
     clash = set(lcols) & set(rcols)
     if clash:
         raise ValueError(f"non-key column name clash: {sorted(clash)}")
@@ -140,6 +153,10 @@ def hash_join(left: Dataset, right: Dataset, on: str,
             if side == 1 and right_on != on:
                 b = b.rename_columns(
                     [on if n == right_on else n for n in b.column_names])
+            # project to this side's shipped columns first: an existence
+            # join drops the non-output side's payload, which may shadow
+            # the padded names (e.g. a semi self-join)
+            b = b.select([on] + (lcols if side == 0 else rcols))
             for name, typ in other:
                 b = b.append_column(name, pa.nulls(b.num_rows, type=typ))
             b = b.append_column(
@@ -153,9 +170,16 @@ def hash_join(left: Dataset, right: Dataset, on: str,
     r2 = right.map_batches(pad(1), batch_format="pyarrow")
     unioned = l2.union(r2)
 
-    out_schema = pa.schema([(on, key_type)]
-                           + [(n, lsch.field(n).type) for n in lcols]
-                           + [(n, rsch.field(n).type) for n in rcols])
+    if join_type in ("left semi", "left anti"):
+        out_cols = [on] + lcols
+    elif join_type in ("right semi", "right anti"):
+        out_cols = [on] + rcols
+    else:
+        out_cols = [on] + lcols + rcols
+    out_schema = pa.schema(
+        [(n, key_type if n == on else
+          (lsch.field(n).type if n in lcols else rsch.field(n).type))
+         for n in out_cols])
     out_empty = out_schema.empty_table()
 
     def merge(t: pa.Table) -> pa.Table:
@@ -168,7 +192,7 @@ def hash_join(left: Dataset, right: Dataset, on: str,
         rt = t.filter(pc.equal(side, 1)).select([on] + rcols)
         out = lt.join(rt, keys=[on], join_type=join_type)
         # acero column order is not deterministic; canonicalize
-        return out.select([on] + lcols + rcols).cast(out_schema)
+        return out.select(out_cols).cast(out_schema)
 
     def canon(t: pa.Table) -> pa.Table:
         # Ray's groupby emits ZERO-COLUMN blocks for empty partitions;

@@ -536,3 +536,95 @@ def test_y4m_decode_real(corpus_dir):
             n_bad += 1
             assert g["decode_err"] == "malformed"
     assert n_bad > 0                                  # P11 path exercised
+
+
+def test_semi_anti_join():
+    """Existence-join modes of the shuffle join: left semi keeps exactly
+    the matched left rows (no duplication from a many-row right side),
+    left anti the unmatched ones; both emit LEFT columns only, and an
+    empty result is a typed empty table."""
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array(list("abcde"), pa.string())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 2, 2, 4, 9], pa.int64()),   # dup keys + stranger
+        "w": pa.array([1, 2, 3, 4, 5], pa.int64())}))
+    semi = hash_join(left, right, on="k", join_type="left semi",
+                     num_partitions=4).take_all()
+    assert sorted((r["k"], r["v"]) for r in semi) == [(2, "b"), (4, "d")]
+    assert all(set(r) == {"k", "v"} for r in semi)    # no right columns
+    anti = hash_join(left, right, on="k", join_type="left anti",
+                     num_partitions=4).take_all()
+    assert sorted(r["k"] for r in anti) == [1, 3, 5]
+    # all-matched: anti is EMPTY but keeps its typed schema
+    empty = hash_join(left, left, on="k", join_type="left anti",
+                      num_partitions=4)
+    t = pa.Table.from_pylist(empty.take_all(),
+                             schema=pa.schema([("k", pa.int64()),
+                                               ("v", pa.string())]))
+    assert t.num_rows == 0
+
+
+def test_grouped_topk_matches_bruteforce():
+    """Distributed grouped top-k == per-group brute force, across many
+    blocks, with ties broken by the unique id column."""
+    import numpy as np
+    from go_distributed_log_search_ray.functions.tableops import (
+        batch_grouped_topk, grouped_topk, small_table)
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 23, n), pa.int64()),
+        "s": pa.array(rng.integers(0, 40, n).astype(float)),  # many ties
+        "id": pa.array(np.arange(n), pa.int64())})
+    keys = [("s", "descending"), ("id", "ascending")]
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = small_table(grouped_topk(ds, ["g"], 5, keys),
+                      sort_keys=["g", "id"])
+
+    # brute force per group
+    want = []
+    for g in range(23):
+        rows = [(r["s"], r["id"]) for r in t.to_pylist() if r["g"] == g]
+        rows.sort(key=lambda x: (-x[0], x[1]))
+        want.extend((g, i) for _, i in rows[:5])
+    want.sort()
+    assert [(r["g"], r["id"]) for r in got.to_pylist()] == want
+
+    # kernel edges: empty batch, k > group size, null group key
+    empty = batch_grouped_topk(t.slice(0, 0), ["g"], 3, keys)
+    assert empty.num_rows == 0
+    tiny = pa.table({"g": pa.array([None, None, 1], pa.int64()),
+                     "s": pa.array([1.0, 2.0, 3.0]),
+                     "id": pa.array([0, 1, 2], pa.int64())})
+    out = batch_grouped_topk(tiny, ["g"], 1, keys)
+    assert sorted(r["id"] for r in out.to_pylist()) == [1, 2]  # null grp=1
+
+
+def test_exact_quantiles_match_duckdb():
+    """exact_quantiles must agree with DuckDB quantile_disc bit-exactly
+    across awkward n (including exact-integer q*n boundaries)."""
+    import duckdb
+    import numpy as np
+    from go_distributed_log_search_ray.functions.tableops import exact_quantiles
+
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    con = duckdb.connect()
+    rng = np.random.default_rng(3)
+    for n in (1, 10, 100, 357, 4000):
+        vals = rng.integers(0, 50, n)          # heavy duplication
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+        got = exact_quantiles(ds, "x", qs)
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT unnest(?) AS x",
+                    [[int(v) for v in vals]])
+        want = con.execute("SELECT quantile_disc(x, ?) FROM t",
+                           [qs]).fetchone()[0]
+        assert got.column("x").to_pylist() == want, n
+    # nulls are ignored, like SQL
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array([None, 5, None, 1, 3], pa.int64())}))
+    got = exact_quantiles(ds, "x", [0.5])
+    assert got.column("x").to_pylist() == [3]
