@@ -640,6 +640,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_with_lineitems": R.parts_with_lineitems,
         "events_top_by_type": R.events_top_by_type,
         "doc_length_quantiles": R.doc_length_quantiles,
+        "doc_length_quantiles_by_lang": R.doc_length_quantiles_by_lang,
+        "doc_hash_sample_agg": R.doc_hash_sample_agg,
+        "doc_split_counts": R.doc_split_counts,
+        "events_user_running_value": R.events_user_running_value,
+        "lineitem_rollup": R.lineitem_rollup,
         "events_props_agg": R.events_props_agg,
         "events_route_agg": R.events_route_agg,
         "events_hourly": R.events_hourly,
@@ -776,6 +781,48 @@ def oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(n_chars,
                           [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS n_chars
             FROM documents""",
+        "doc_length_quantiles_by_lang": """
+            SELECT lang, unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q,
+                   unnest(quantile_disc(n_chars,
+                          [0.25, 0.5, 0.75, 0.9])) AS n_chars
+            FROM documents GROUP BY lang""",
+        # the md5 bucket below is the SAME function the Ray operator
+        # computes (stages/sampling.py): first 8 hex chars of
+        # md5("{seed}:{id}") as a uint32
+        "doc_hash_sample_agg": f"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::UBIGINT < {int(round(0.1 * 2**32))}
+            GROUP BY lang""",
+        "doc_split_counts": (lambda th: f"""
+            SELECT CASE WHEN b < {th[0][1]} THEN 'train'
+                        WHEN b < {th[1][1]} THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM (SELECT ('0x' || substr(md5('11:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS b,
+                         n_chars FROM documents)
+            GROUP BY 1""")(__import__(
+                "go_distributed_log_search_ray.stages.sampling",
+                fromlist=["split_thresholds"]).split_thresholds(
+                    {"train": 0.8, "val": 0.1, "test": 0.1})),
+        "events_user_running_value": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS running_cents
+            FROM events""",
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents,
+                   count(*) AS row_count
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
         "events_props_agg": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k')

@@ -131,6 +131,25 @@ def grouped_topk(ds: Dataset, group_keys: list[str], k: int,
         lambda g: batch_topk(g, k, sort_keys), batch_format="pyarrow")
 
 
+def _quantile_fold(sorted_vals, counts, qs):
+    """Discrete quantiles from a (sorted value, count) run-length view:
+    element at index max(0, ceil(q*n) - 1) of the expanded sort order,
+    found by searchsorted over cumulative counts (never expands)."""
+    import math
+
+    import numpy as np
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append(None)
+            continue
+        idx = max(0, math.ceil(q * n) - 1)
+        out.append(sorted_vals[int(np.searchsorted(cum, idx + 1))])
+    return out
+
+
 def exact_quantiles(ds: Dataset, col: str, qs: list[float]) -> pa.Table:
     """EXACT discrete quantiles of a column, distributed: a value-counts
     groupby moves one row per DISTINCT value (not per row), the tiny
@@ -148,16 +167,41 @@ def exact_quantiles(ds: Dataset, col: str, qs: list[float]) -> pa.Table:
     t = small_table(vc, int64_cols=["cnt"])
     t = t.filter(pc.is_valid(t.column(col)))
     t = t.take(pc.sort_indices(t, sort_keys=[(col, "ascending")]))
-    cum = np.cumsum(t.column("cnt").to_numpy())
-    n = int(cum[-1]) if len(cum) else 0
-    out_v = []
-    for q in qs:
-        if n == 0:
-            out_v.append(None)
-            continue
-        idx = max(0, math.ceil(q * n) - 1)
-        out_v.append(t.column(col)[
-            int(np.searchsorted(cum, idx + 1))].as_py())
+    out_v = _quantile_fold(t.column(col).to_pylist(),
+                           t.column("cnt").to_numpy(), qs)
     return pa.table({
         "q": pa.array([float(q) for q in qs], pa.float64()),
+        col: pa.array(out_v, t.schema.field(col).type)})
+
+
+def grouped_exact_quantiles(ds: Dataset, group_col: str, col: str,
+                            qs: list[float]) -> pa.Table:
+    """EXACT per-group discrete quantiles: ONE value-counts groupby on
+    (group, value) moves a row per distinct (group, value) pair -- not
+    per input row -- then a vectorized run-length fold per group on the
+    tiny result.  Output: one row per (group, q).  Same bounded-
+    cardinality assumption as ``exact_quantiles``."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    vc = ds.groupby([group_col, col]).aggregate(Count(alias_name="cnt"))
+    t = small_table(vc, int64_cols=["cnt"])
+    t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
+                         pc.is_valid(t.column(col))))
+    t = t.take(pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                             (col, "ascending")]))
+    grp = t.column(group_col).to_pylist()
+    vals = t.column(col).to_pylist()
+    cnts = t.column("cnt").to_numpy()
+    starts = [i for i in range(len(grp)) if i == 0 or grp[i] != grp[i - 1]]
+    bounds = starts + [len(grp)]
+    out_g, out_q, out_v = [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        folded = _quantile_fold(vals[s:e], cnts[s:e], qs)
+        out_g.extend([grp[s]] * len(qs))
+        out_q.extend(float(q) for q in qs)
+        out_v.extend(folded)
+    return pa.table({
+        group_col: pa.array(out_g, t.schema.field(group_col).type),
+        "q": pa.array(out_q, pa.float64()),
         col: pa.array(out_v, t.schema.field(col).type)})

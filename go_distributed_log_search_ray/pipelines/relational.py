@@ -609,3 +609,160 @@ def doc_length_quantiles(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["n_chars"])
     return exact_quantiles(ds, "n_chars",
                            [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def doc_length_quantiles_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language exact length quantiles -- one (lang, n_chars)
+    value-counts shuffle, vectorized run-length fold per group."""
+    from ..functions.tableops import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_exact_quantiles(ds, "lang", "n_chars",
+                                   [0.25, 0.5, 0.75, 0.9])
+
+
+# -- deterministic sampling / splitting -------------------------------------
+
+def doc_hash_sample_agg(sf_dir: str, fraction: float = 0.1,
+                        seed: int = 7) -> pa.Table:
+    """Per-language accounting of a deterministic 10% document sample.
+    The sample decision is a pure per-row md5-bucket test (see
+    stages/sampling.py): shuffle-free, repartition-stable, and
+    reproducible bit-exactly in SQL, which is what makes this oracle
+    possible at all -- a random sample could only be rows-checked."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    s = hash_sample(ds, "doc_id", fraction, seed)
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return out.rename_columns(["lang", "sum_chars", "n_docs"])
+
+    agg = s.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("sum_chars", alias_name="sum_chars"),
+                                   Sum("n_docs", alias_name="n_docs"))
+    return small_table(agg, sort_keys=["lang"],
+                       int64_cols=["sum_chars", "n_docs"]) \
+        .select(["lang", "n_docs", "sum_chars"])
+
+
+def doc_split_counts(sf_dir: str, seed: int = 11) -> pa.Table:
+    """Train/val/test accounting for the deterministic 80/10/10 hash
+    split.  The same doc_id lands in the same split forever (no
+    test-into-train leakage across runs or appends); the oracle embeds
+    the SAME integer bucket thresholds the operator uses."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    s = hash_split(ds, "doc_id",
+                   {"train": 0.8, "val": 0.1, "test": 0.1}, seed)
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["split"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return out.rename_columns(["split", "sum_chars", "n_docs"])
+
+    agg = s.map_batches(partial, batch_format="pyarrow") \
+        .groupby("split").aggregate(Sum("sum_chars", alias_name="sum_chars"),
+                                    Sum("n_docs", alias_name="n_docs"))
+    return small_table(agg, sort_keys=["split"],
+                       int64_cols=["sum_chars", "n_docs"]) \
+        .select(["split", "n_docs", "sum_chars"])
+
+
+# -- running window aggregate ----------------------------------------------
+
+def events_user_running_value(sf_dir: str) -> Dataset:
+    """Per-event running total of value (cents) per user, ordered by
+    (ts, event_id) -- the SQL window function ``SUM() OVER (PARTITION BY
+    user ORDER BY ts)`` as a distributed operator.  Same shape as
+    sessionization: shuffle once on a coarse cluster-scaled user bucket,
+    then ONE Arrow sort + numpy cumsum-with-group-reset pass per bucket;
+    blocks stay Arrow and the result streams out as a Dataset (it is
+    O(input) rows -- never collected on the driver)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    nb = _session_buckets()
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        b = b.append_column("cents", _cents(b.column("value")))
+        b = b.append_column(
+            "ubucket", pc.cast(pc.bit_wise_and(b.column("user_id"),
+                                               pa.scalar(nb - 1)), pa.int32()))
+        return b.select(["event_id", "ts", "user_id", "cents", "ubucket"])
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("running_cents", pa.int64())])
+
+    def running(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        uid = np.asarray(t.column("user_id"))
+        cents = np.asarray(t.column("cents"))
+        n = len(uid)
+        cum = np.cumsum(cents)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        starts = np.nonzero(new_user)[0]
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        run = cum - base[np.cumsum(new_user) - 1]
+        return pa.table({"event_id": np.asarray(t.column("event_id")),
+                         "user_id": uid,
+                         "running_cents": run}, schema=out_schema)
+
+    return ds.map_batches(add_cols, batch_format="pyarrow") \
+        .groupby("ubucket").map_groups(running, batch_format="pyarrow")
+
+
+# -- rollup aggregate --------------------------------------------------------
+
+def lineitem_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(returnflag, linestatus): the leaf level is the
+    only distributed work (partial pre-agg inside map_batches, one tiny
+    groupby shuffle); the coarser levels are derived by re-aggregating
+    the O(groups) leaf table on the driver -- rollup never needs a
+    second pass over the data."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.append_column("qty_cents", _cents(b.column("l_quantity")))
+        out = b.select(["l_returnflag", "l_linestatus", "qty_cents"]) \
+            .group_by(["l_returnflag", "l_linestatus"]) \
+            .aggregate([("qty_cents", "sum"), ("qty_cents", "count")])
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_cents", "row_count"])
+
+    leaf = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("row_count", alias_name="row_count"))
+    t = small_table(leaf, sort_keys=["l_returnflag", "l_linestatus"],
+                    int64_cols=["sum_qty_cents", "row_count"]) \
+        .select(["l_returnflag", "l_linestatus", "sum_qty_cents", "row_count"])
+
+    lvl1 = t.group_by(["l_returnflag"]).aggregate(
+        [("sum_qty_cents", "sum"), ("row_count", "sum")])
+    lvl1 = pa.table({
+        "l_returnflag": lvl1.column("l_returnflag"),
+        "l_linestatus": pa.nulls(lvl1.num_rows, pa.string()),
+        "sum_qty_cents": lvl1.column("sum_qty_cents_sum"),
+        "row_count": lvl1.column("row_count_sum")})
+    total = pa.table({
+        "l_returnflag": pa.nulls(1, pa.string()),
+        "l_linestatus": pa.nulls(1, pa.string()),
+        "sum_qty_cents": pa.array(
+            [pc.sum(t.column("sum_qty_cents")).as_py() or 0], pa.int64()),
+        "row_count": pa.array(
+            [pc.sum(t.column("row_count")).as_py() or 0], pa.int64())})
+    return pa.concat_tables([t, lvl1, total])

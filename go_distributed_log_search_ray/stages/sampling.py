@@ -1,0 +1,103 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible across runs and cluster sizes, (b) stable under
+re-partitioning, and (c) computable without any coordination -- a pure
+per-row decision.  Random sampling (``ds.random_sample``) satisfies none
+of these: the sample changes with seed plumbing, block layout, and
+retries.  Hashing the row's stable id does: ``keep = h(seed, id) <
+fraction * 2^32`` is a property of the ROW, so any worker anywhere
+reaches the same verdict, failed tasks re-derive identical output, and
+the same id always lands in the same split (critical so a document can
+never migrate from test into train between runs).
+
+The hash is md5 over ``"{seed}:{id}"`` (first 4 big-endian bytes as
+uint32).  md5 here is a uniformity device, not cryptography -- chosen
+because it is C-backed in CPython's hashlib AND exactly reproducible in
+SQL (``('0x' || substr(md5(s), 1, 8))::UBIGINT`` in DuckDB), which makes
+every sampling decision oracle-checkable.  Cost is ~1 us/row inside the
+map_batches task -- a per-row C call like the md5 document fingerprint
+(stages/textstats.py), not a Python-level inner loop over Arrow cells.
+
+Scale shape: both operators are embarrassingly parallel map_batches
+filters -- no shuffle, no driver traffic, no state.  At 100 TB the
+sample/split decision adds one streaming pass fused into whatever reads
+the data next.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+_U32 = 1 << 32
+
+
+def hash_buckets(ids: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
+    """uint32 bucket per id: first 4 bytes of md5(f"{seed}:{id}").
+
+    Ids are rendered via Arrow's string cast (decimal for integers), so
+    the bucket matches ``md5(seed || ':' || CAST(id AS VARCHAR))`` in
+    SQL bit-for-bit.
+    """
+    import pyarrow.compute as pc
+    strs = pc.cast(ids, pa.string()).to_pylist()
+    pre = f"{seed}:".encode()
+    md5 = hashlib.md5
+    return np.array(
+        [int.from_bytes(md5(pre + s.encode()).digest()[:4], "big")
+         for s in strs],
+        dtype=np.uint64)
+
+
+def hash_sample(ds: Dataset, id_col: str, fraction: float,
+                seed: int = 0) -> Dataset:
+    """Keep rows whose hash bucket falls below ``fraction`` of the
+    uint32 space.  Deterministic, repartition-stable, shuffle-free."""
+    thresh = int(round(fraction * _U32))
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.filter(pa.array(
+            hash_buckets(b.column(id_col), seed) < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket bound) per split, in declaration
+    order; the last bound is forced to 2^32 so rounding never drops
+    rows.  Exposed so oracles can embed the SAME integer thresholds."""
+    total = sum(weights.values())
+    out, cum = [], 0.0
+    names = list(weights)
+    for name in names:
+        cum += weights[name] / total
+        out.append((name, int(round(cum * _U32))))
+    out[-1] = (names[-1], _U32)
+    return out
+
+
+def hash_split(ds: Dataset, id_col: str, weights: dict[str, float],
+               seed: int = 0, out_col: str = "split") -> Dataset:
+    """Append a split-assignment column (e.g. train/val/test) chosen by
+    hash bucket.  The same id maps to the same split for all time --
+    documents cannot leak between train and test across runs, appends,
+    or cluster-size changes.  Pure map_batches: no shuffle."""
+    bounds = split_thresholds(weights)
+    names = [n for n, _ in bounds]
+    uppers = np.array([u for _, u in bounds], dtype=np.uint64)
+    lut = pa.array(names, pa.string())
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(out_col, pa.nulls(0, pa.string()))
+        idx = np.searchsorted(uppers, hash_buckets(b.column(id_col), seed),
+                              side="right")
+        return b.append_column(out_col, lut.take(pa.array(idx)))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -628,3 +628,71 @@ def test_exact_quantiles_match_duckdb():
         "x": pa.array([None, 5, None, 1, 3], pa.int64())}))
     got = exact_quantiles(ds, "x", [0.5])
     assert got.column("x").to_pylist() == [3]
+
+
+def test_hash_sample_properties():
+    """Deterministic sampling invariants: block-layout independence,
+    nesting across fractions (a 10% sample is a subset of the 20% one),
+    and agreement with a direct md5 computation."""
+    import hashlib
+    from go_distributed_log_search_ray.stages.sampling import (
+        hash_buckets, hash_sample)
+
+    t = pa.table({"id": pa.array(range(2000), pa.int64())})
+    kept1 = {r["id"] for r in hash_sample(
+        ray.data.from_arrow(t), "id", 0.1, seed=3).take_all()}
+    kept1b = {r["id"] for r in hash_sample(
+        ray.data.from_arrow(t).repartition(7), "id", 0.1, seed=3).take_all()}
+    assert kept1 == kept1b                       # repartition-stable
+    kept2 = {r["id"] for r in hash_sample(
+        ray.data.from_arrow(t), "id", 0.2, seed=3).take_all()}
+    assert kept1 < kept2                         # nested
+    assert 0.05 < len(kept1) / 2000 < 0.15       # roughly the fraction
+    # bucket == md5 reference
+    b = hash_buckets(t.column("id").slice(0, 3), seed=3)
+    for i in range(3):
+        want = int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:8], 16)
+        assert int(b[i]) == want
+
+
+def test_hash_split_stability():
+    """Splits partition the data, are deterministic, and an id keeps its
+    split when the dataset grows (no train/test migration)."""
+    import collections
+    from go_distributed_log_search_ray.stages.sampling import hash_split
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = pa.table({"id": pa.array(range(500), pa.int64())})
+    big = pa.table({"id": pa.array(range(1500), pa.int64())})
+    s_small = {r["id"]: r["split"] for r in hash_split(
+        ray.data.from_arrow(small), "id", w, seed=5).take_all()}
+    s_big = {r["id"]: r["split"] for r in hash_split(
+        ray.data.from_arrow(big).repartition(5), "id", w, seed=5).take_all()}
+    assert len(s_small) == 500 and len(s_big) == 1500     # total partition
+    for i, sp in s_small.items():
+        assert s_big[i] == sp                             # stable on append
+    frac = collections.Counter(s_big.values())
+    assert frac["train"] > frac["val"] and frac["train"] > frac["test"]
+    assert set(frac) == {"train", "val", "test"}
+
+
+def test_grouped_quantiles_match_duckdb():
+    import duckdb
+    import numpy as np
+    from go_distributed_log_search_ray.functions.tableops import (
+        grouped_exact_quantiles)
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table({"g": pa.array(rng.integers(0, 7, n), pa.int64()),
+                  "x": pa.array(rng.integers(0, 40, n), pa.int64())})
+    qs = [0.1, 0.5, 0.9, 1.0]
+    got = grouped_exact_quantiles(
+        ray.data.from_arrow(t).repartition(8), "g", "x", qs)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT g, unnest(?::DOUBLE[]) AS q, unnest(quantile_disc(x, ?)) "
+        "AS x FROM t GROUP BY g ORDER BY g, q", [qs, qs]).fetch_arrow_table()
+    got = got.sort_by([("g", "ascending"), ("q", "ascending")])
+    assert got.cast(want.schema).equals(want)
