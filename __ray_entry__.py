@@ -371,6 +371,17 @@ def _events_approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id", p=12)
 
 
+def _events_value_quantiles_approx(sf_dir: str):
+    """Histogram-sketch quantiles of the unbounded float value column:
+    two streaming passes (Min/Max, then per-block bincount folded by an
+    associative blob-sum INSIDE reduce tasks), deterministic error
+    bound <= range/bins.  Approximate by design: rows-only driver
+    check; the error bound is asserted in pytest vs exact quantiles."""
+    from go_distributed_log_search_ray.stages.sketches import approx_quantiles
+    ds = _read_table(sf_dir, "events", columns=["value"])
+    return approx_quantiles(ds, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _events_windowed_counts(sf_dir: str):
     """The windowed STREAMING pipeline as an oracle-checked query: run
     the full consumer (chunked pushed-down range scans, per-window atomic
@@ -642,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": R.doc_length_quantiles,
         "doc_length_quantiles_by_lang": R.doc_length_quantiles_by_lang,
         "doc_hash_sample_agg": R.doc_hash_sample_agg,
+        "doc_mixture_sample_agg": R.doc_mixture_sample_agg,
         "doc_split_counts": R.doc_split_counts,
         "events_user_running_value": R.events_user_running_value,
         "lineitem_rollup": R.lineitem_rollup,
@@ -651,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "events_distinct_users": R.events_distinct_users,
         "events_approx_distinct_users": _events_approx_distinct_users,
+        "events_value_quantiles_approx": _events_value_quantiles_approx,
         "events_asof_last_click": _events_asof_last_click,
         "events_sliding_counts": _events_sliding_counts,
         "events_windowed_counts": _events_windowed_counts,
@@ -795,6 +808,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
                                   1, 8))::UBIGINT < {int(round(0.1 * 2**32))}
+            GROUP BY lang""",
+        "doc_mixture_sample_agg": f"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::UBIGINT <
+                  CASE lang WHEN 'en' THEN {int(round(0.25 * 2**32))}
+                            WHEN 'zh' THEN {int(round(0.8 * 2**32))}
+                            WHEN 'de' THEN {int(round(1.0 * 2**32))}
+                            ELSE {int(round(0.05 * 2**32))} END
             GROUP BY lang""",
         "doc_split_counts": (lambda th: f"""
             SELECT CASE WHEN b < {th[0][1]} THEN 'train'

@@ -766,3 +766,29 @@ def lineitem_rollup(sf_dir: str) -> pa.Table:
         "row_count": pa.array(
             [pc.sum(t.column("row_count")).as_py() or 0], pa.int64())})
     return pa.concat_tables([t, lvl1, total])
+
+
+def doc_mixture_sample_agg(sf_dir: str, seed: int = 13) -> pa.Table:
+    """Per-language accounting of a stratified mixture resample
+    (per-group rates, e.g. downsample dominant English, keep all
+    German, near-drop unlisted languages) -- the corpus-mixing
+    operator every training-data pipeline ends with.  Deterministic
+    md5 buckets, so value-hash oracle-checkable like the flat sample."""
+    from ..stages.sampling import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    s = stratified_hash_sample(ds, "doc_id", "lang",
+                               {"en": 0.25, "zh": 0.8, "de": 1.0},
+                               default=0.05, seed=seed)
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return out.rename_columns(["lang", "sum_chars", "n_docs"])
+
+    agg = s.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("sum_chars", alias_name="sum_chars"),
+                                   Sum("n_docs", alias_name="n_docs"))
+    return small_table(agg, sort_keys=["lang"],
+                       int64_cols=["sum_chars", "n_docs"]) \
+        .select(["lang", "n_docs", "sum_chars"])

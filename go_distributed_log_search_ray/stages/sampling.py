@@ -82,6 +82,34 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
     return out
 
 
+def stratified_hash_sample(ds: Dataset, id_col: str, group_col: str,
+                           fractions: dict, default: float = 0.0,
+                           seed: int = 0) -> Dataset:
+    """Per-group sampling rates -- the data-MIXTURE operator: resample a
+    corpus to target proportions by language/source/domain (upsample is
+    out of scope; rates are <= 1).  Same per-row hash decision as
+    ``hash_sample`` but the threshold is looked up from the row's group
+    via one vectorized ``index_in`` against the broadcast rate table;
+    still shuffle-free and repartition-stable.  Groups absent from
+    ``fractions`` keep ``default`` (0 = drop)."""
+    keys = pa.array(list(fractions))
+    thr = np.array([int(round(f * _U32)) for f in fractions.values()]
+                   + [int(round(default * _U32))], dtype=np.uint64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        import pyarrow.compute as pc
+        idx = pc.fill_null(pc.index_in(b.column(group_col), value_set=keys),
+                           len(keys))
+        row_thr = thr[np.asarray(idx.combine_chunks()
+                                 if isinstance(idx, pa.ChunkedArray) else idx)]
+        return b.filter(pa.array(
+            hash_buckets(b.column(id_col), seed) < row_thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def hash_split(ds: Dataset, id_col: str, weights: dict[str, float],
                seed: int = 0, out_col: str = "split") -> Dataset:
     """Append a split-assignment column (e.g. train/val/test) chosen by

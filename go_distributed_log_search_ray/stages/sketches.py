@@ -163,3 +163,90 @@ def approx_distinct(ds: Dataset, group_col: str, value_col: str,
             [int(round(hll_estimate(r["hll_regs"], p))) for r in rows],
             pa.int64()),
     })
+
+
+# -- approximate quantiles (fixed-bin histogram sketch) ---------------------
+
+class HistSum(AggregateFnV2):
+    """Groupby aggregate summing int64 histogram blobs elementwise --
+    the merge is associative and runs inside the reduce tasks, so the
+    driver never sees O(blocks) partials, only the final vector."""
+
+    def __init__(self, on: str = "hist",
+                 alias_name: str = "hist") -> None:
+        super().__init__(alias_name, zero_factory=lambda: b"",
+                         on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block) -> bytes:
+        col = block.column(self._target_col_name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        acc = b""
+        for v in col.to_pylist():
+            acc = self.combine(acc, v)
+        return acc
+
+    def combine(self, a: bytes, b: bytes) -> bytes:
+        if not a:
+            return b
+        if not b:
+            return a
+        return (np.frombuffer(a, np.int64)
+                + np.frombuffer(b, np.int64)).tobytes()
+
+
+def approx_quantiles(ds: Dataset, col: str, qs: list[float],
+                     bins: int = 8192) -> pa.Table:
+    """Approximate quantiles of an UNBOUNDED numeric column -- the
+    companion to ``tableops.exact_quantiles``, whose value-counts
+    shuffle assumes bounded cardinality.  Two streaming passes:
+
+    1. global Min/Max (tiny built-in aggregate);
+    2. per-block fixed-bin histogram (one vectorized ``np.bincount``)
+       folded by an associative blob-sum aggregate -- the exchange moves
+       one ``8 * bins``-byte row per block and merges inside reduce
+       tasks, never on the driver.
+
+    The returned value is the lower edge of the bin holding the exact
+    discrete quantile, so the error is deterministic and bounded:
+    ``<= (max - min) / bins`` -- no sampling, reproducible across runs
+    and cluster sizes.  Nulls are ignored, like SQL."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.tableops import small_table
+
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = mm[f"min({col})"], mm[f"max({col})"]
+    if lo is None:                                  # empty / all-null
+        return pa.table({"q": pa.array([float(q) for q in qs]),
+                         col: pa.nulls(len(qs), pa.float64())})
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def part(b: pa.Table) -> pa.Table:
+        v = b.column(col)
+        v = pc.cast(v.filter(pc.is_valid(v)) if v.null_count else v,
+                    pa.float64())
+        x = np.asarray(v.combine_chunks()
+                       if isinstance(v, pa.ChunkedArray) else v)
+        idx = np.clip(((x - lo) / width).astype(np.int64), 0, bins - 1)
+        h = np.bincount(idx, minlength=bins).astype(np.int64)
+        return pa.table({"k": pa.array([0], pa.int32()),
+                         "hist": pa.array([h.tobytes()], pa.binary())})
+
+    merged = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("k").aggregate(HistSum())
+    t = small_table(merged)
+    h = np.frombuffer(t.column("hist")[0].as_py(), np.int64)
+    cum = np.cumsum(h)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append(None)
+            continue
+        rank = max(0, int(np.ceil(q * n)) - 1)
+        out.append(lo + float(np.searchsorted(cum, rank + 1)) * width)
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     col: pa.array(out, pa.float64())})

@@ -696,3 +696,53 @@ def test_grouped_quantiles_match_duckdb():
         "AS x FROM t GROUP BY g ORDER BY g, q", [qs, qs]).fetch_arrow_table()
     got = got.sort_by([("g", "ascending"), ("q", "ascending")])
     assert got.cast(want.schema).equals(want)
+
+
+def test_stratified_sample_matches_flat_per_group():
+    """Per-group rates: each group's kept set equals a flat hash_sample
+    at that group's rate (same seed), absent groups get the default."""
+    from go_distributed_log_search_ray.stages.sampling import (
+        hash_sample, stratified_hash_sample)
+
+    n = 3000
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "g": pa.array(["a", "b", "c"][i % 3] for i in range(n))})
+    rates = {"a": 0.5, "b": 0.05}
+    kept = [(r["id"], r["g"]) for r in stratified_hash_sample(
+        ray.data.from_arrow(t).repartition(6), "id", "g", rates,
+        default=0.0, seed=9).take_all()]
+    by_g = {}
+    for i, g in kept:
+        by_g.setdefault(g, set()).add(i)
+    assert "c" not in by_g                              # default=0 drops
+    for g, rate in rates.items():
+        flat = {r["id"] for r in hash_sample(
+            ray.data.from_arrow(t), "id", rate, seed=9).take_all()}
+        assert by_g.get(g, set()) == {i for i in flat if ["a", "b", "c"][i % 3] == g}
+
+
+def test_approx_quantiles_error_bound():
+    """Sketch quantiles are within the documented (max-min)/bins bound
+    of the exact discrete quantile, on uniform AND heavily skewed
+    float data; nulls ignored; degenerate single-value column exact."""
+    import math
+    import numpy as np
+    from go_distributed_log_search_ray.stages.sketches import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    qs = [0.01, 0.1, 0.5, 0.9, 0.999]
+    for data in (rng.uniform(-50, 200, 20000),
+                 rng.lognormal(0, 2, 20000)):
+        vals = np.sort(data)
+        bound = (vals[-1] - vals[0]) / 4096
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(data)})) \
+            .repartition(9)
+        got = approx_quantiles(ds, "x", qs, bins=4096)
+        for q, v in zip(qs, got.column("x").to_pylist()):
+            exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            assert abs(v - exact) <= bound + 1e-9, (q, v, exact, bound)
+    # nulls + constant column
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array([None, 7.0, None, 7.0, 7.0], pa.float64())}))
+    got = approx_quantiles(ds, "x", [0.5])
+    assert got.column("x").to_pylist() == [7.0]
