@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v6"
+GEN_VERSION = "v7"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -262,7 +262,10 @@ def _write_media(d: str, n_docs: int) -> None:
       per-byte form of the public G.711 formula (the engine decodes
       with an independently built vectorized table);
     * YUV4MPEG2 video (kind="y4m"): width/height + frame count + exact
-      integer luma sum over every frame's Y plane.
+      integer luma sum over every frame's Y plane;
+    * baseline JPEG (kind="jpeg"): encoded by corpus/jpegenc.py with
+      goldens from its independent brute-force-IDCT decode (see the
+      inline comment below).
 
     ~4% of payloads are truncated with null goldens (P11 path)."""
     os.makedirs(d, exist_ok=True)
@@ -383,6 +386,47 @@ def _write_media(d: str, n_docs: int) -> None:
         else:
             put(3 * n + m, "y4m", payload, width=w, height=h,
                 n_frames=frames, sum_luma=luma)
+
+    # baseline JPEG (kind="jpeg"): REAL lossy codec round-trip.  The
+    # encoder + the brute-force basis-IDCT golden path live in
+    # corpus/jpegenc.py, deliberately independent of the engine decoder
+    # (functions/jpeg.py); goldens are the decoded per-channel sums.
+    # Images whose decode lands within 1e-6 of a rounding boundary are
+    # regenerated (different float evaluation orders could disagree
+    # there); corrupt cuts are retried until the decoder provably
+    # rejects them, mirroring the y4m first-frame clamp.
+    from .jpegenc import encode_jpeg, golden_decode
+    from ..functions.jpeg import decode_jpeg
+    jrng = np.random.default_rng(SEED + 6)
+    n_jpeg = max(50, n_docs // 40)
+    for q in range(n_jpeg):
+        for _attempt in range(50):
+            w = int(jrng.integers(8, 49))
+            h = int(jrng.integers(8, 41))
+            img = jrng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, coefs = encode_jpeg(img)
+            g = golden_decode(coefs, w, h)
+            if g is not None:
+                break
+        else:
+            raise RuntimeError("jpeg golden generation failed to converge")
+        if q % 25 == 12:                       # deterministic ~4% (P11)
+            for _attempt in range(50):
+                cut = int(jrng.integers(3, max(4, len(payload) - 2)))
+                if decode_jpeg(payload[:cut]) is None:
+                    payload = payload[:cut]
+                    break
+            else:
+                payload = payload[:10]         # header-killing fallback
+            put(4 * n + q, "jpeg", payload)
+        else:
+            dec = decode_jpeg(payload)
+            assert dec is not None and (dec[0], dec[1], dec[2]) == (w, h, 3)
+            s = dec[3].reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            assert (int(s[0]), int(s[1]), int(s[2])) == g, \
+                "jpeg decoder/golden divergence"
+            put(4 * n + q, "jpeg", payload, width=w, height=h,
+                sum_r=g[0], sum_g=g[1], sum_b=g[2])
 
     t = pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),

@@ -4,14 +4,16 @@ with typed metadata.
 The Ray-side plumbing (schema, actor-pool signature, batch sizing,
 output layout) is real and tested.  Formats with a pure-math decode
 run for REAL with no codec library, oracle-checked against golden
-columns: P6 PPM images (``PpmDecoder``/``PpmThumbnail``), RIFF/WAVE
-audio in both PCM and G.711 mu-law -- a genuine compressed codec --
-(``WavDecoder``), and YUV4MPEG2 video (``Y4mDecoder`` +
-``FrameSample`` frame seeks).  Only formats that genuinely require a
-codec library absent from this container (JPEG decode, vision-model
-embed, mp4/mkv demux) are STUBBED: those stages raise
+columns: P6 PPM images (``PpmDecoder``/``PpmThumbnail``), baseline
+JPEG (``ImageDecode`` over the pure-numpy decoder in
+``functions/jpeg.py`` -- Huffman entropy decode, dequant, exact-
+integer IDCT), RIFF/WAVE audio in both PCM and G.711 mu-law -- a
+genuine compressed codec -- (``WavDecoder``), and YUV4MPEG2 video
+(``Y4mDecoder`` + ``FrameSample`` frame seeks).  Only stages that
+genuinely require an artifact absent from this container are STUBBED
+(vision-MODEL embedding, mp4/mkv demux, PNG/webp codecs): those raise
 ``NotImplementedError`` (strict mode) or produce a deterministic fake
-(default) so pipelines exercise end-to-end.
+/ tagged null (default) so pipelines exercise end-to-end.
 
 Scale notes: binary payloads can be MBs/row, so these stages default to
 SMALL batch_size (see ``recommended_batch_size``) and should be mapped
@@ -20,8 +22,6 @@ model weights) belongs in ``__init__``.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -372,36 +372,70 @@ class Y4mDecoder:
 
 
 class ImageDecode:
-    """payload -> (width, height, channels, decode_err).
+    """payload -> (width, height, channels, sum_r, sum_g, sum_b,
+    decode_err) -- the image-decode dispatch stage, REAL for the two
+    formats this corpus carries:
 
-    STUB: real impl would use PIL/opencv in __init__ (loaded once per
-    actor).  Deterministic fake derives dims from a crc32 of the bytes,
-    and flags truncated payloads as errors -- preserving the per-record
-    error-tolerance contract (P11)."""
+    * baseline JPEG via the pure-numpy decoder in ``functions/jpeg.py``
+      (marker parse, canonical Huffman from the file's own DHT, exact
+      integer IDCT rounding) -- oracle-checked against golden sums the
+      generator computed through an INDEPENDENT brute-force IDCT;
+    * P6 PPM via ``parse_ppm``.
+
+    Per-payload dispatch on magic bytes, like the reference's parser
+    dispatch (P1).  Malformed payloads (including truncated JPEG
+    entropy data, which the decoder detects by bit-consumption
+    accounting) null out with decode_err="malformed"; formats needing
+    an absent codec library (PNG, webp, ...) null out with
+    "unsupported_format" -- both P11.  strict mode raises instead."""
+
+    OUT_COLS = ("width", "height", "channels", "sum_r", "sum_g", "sum_b")
 
     def __init__(self, strict: bool = False) -> None:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("image codecs not available in this env")
-        payloads = batch.column("payload").to_pylist()
-        w, h, c, err = [], [], [], []
-        for p in payloads:
-            if p is None or len(p) < 8:
-                w.append(None); h.append(None); c.append(None)
-                err.append("truncated")
-                continue
-            crc = zlib.crc32(p)
-            w.append(64 + crc % 1920)
-            h.append(64 + (crc >> 8) % 1080)
-            c.append(3)
-            err.append(None)
-        return (batch
-                .append_column("width", pa.array(w, pa.int32()))
-                .append_column("height", pa.array(h, pa.int32()))
-                .append_column("channels", pa.array(c, pa.int32()))
-                .append_column("decode_err", pa.array(err, pa.string())))
+        from ..functions.jpeg import decode_jpeg
+        cols = {c: [] for c in self.OUT_COLS}
+        errs = []
+
+        def emit(w=None, h=None, c=None, sr=None, sg=None, sb=None,
+                 err=None):
+            for k, v in zip(self.OUT_COLS, (w, h, c, sr, sg, sb)):
+                cols[k].append(v)
+            errs.append(err)
+
+        for p in batch.column("payload").to_pylist():
+            if p is not None and p[:2] == b"\xff\xd8":
+                r = decode_jpeg(p)
+                if r is None:
+                    if self.strict:
+                        raise ValueError("malformed JPEG payload")
+                    emit(err="malformed")
+                else:
+                    w, h, c, pix = r
+                    s = pix.reshape(-1, c).sum(axis=0, dtype=np.int64)
+                    emit(w, h, c, int(s[0]),
+                         int(s[1]) if c == 3 else None,
+                         int(s[2]) if c == 3 else None)
+            elif p is not None and p[:2] == b"P6":
+                r = parse_ppm(p)
+                if r is None:
+                    if self.strict:
+                        raise ValueError("malformed PPM payload")
+                    emit(err="malformed")
+                else:
+                    w, h, sr, sg, sb = r
+                    emit(w, h, 3, sr, sg, sb)
+            else:
+                if self.strict:
+                    raise NotImplementedError(
+                        "format needs a codec library absent from this env")
+                emit(err="unsupported_format")
+        out = batch.drop_columns(["payload"])
+        for c in self.OUT_COLS:
+            out = out.append_column(c, pa.array(cols[c], pa.int64()))
+        return out.append_column("decode_err", pa.array(errs, pa.string()))
 
 
 class ImageEmbed:

@@ -94,8 +94,8 @@ def test_multimodal_stubs():
     t = pa.table({"media_id": ["a", "b", "c"],
                   "payload": pa.array(payloads, type=pa.large_binary())})
     d = ImageDecode()(t)
-    assert d.column("decode_err").to_pylist() == [None, "truncated", "truncated"]
-    assert d.column("width").to_pylist()[0] >= 64
+    assert d.column("decode_err").to_pylist() == ["unsupported_format"] * 3
+    assert d.column("width").to_pylist() == [None] * 3
     e = ImageEmbed(dim=16)(t)
     emb = e.column("embedding").to_pylist()
     assert len(emb[0]) == 16
@@ -746,3 +746,72 @@ def test_approx_quantiles_error_bound():
         "x": pa.array([None, 7.0, None, 7.0, 7.0], pa.float64())}))
     got = approx_quantiles(ds, "x", [0.5])
     assert got.column("x").to_pylist() == [7.0]
+
+
+def test_jpeg_decode_real(corpus_dir):
+    """The REAL JPEG path: generated baseline payloads decode to the
+    exact golden per-channel sums (golden path uses an independent
+    brute-force IDCT); corrupt payloads null out as malformed (P11)."""
+    import glob
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.stages.multimodal import ImageDecode
+
+    files = sorted(glob.glob(f"{corpus_dir}/media/*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    t = t.filter(pa.compute.equal(t.column("kind"), "jpeg"))
+    assert t.num_rows >= 50
+    out = ImageDecode()(t.select(["media_id", "kind", "payload"]))
+    n_ok = n_bad = 0
+    for i in range(t.num_rows):
+        g = {c: t.column(c)[i].as_py() for c in
+             ("width", "height", "sum_r", "sum_g", "sum_b")}
+        d = {c: out.column(c)[i].as_py() for c in
+             ("width", "height", "channels", "sum_r", "sum_g", "sum_b")}
+        if g["width"] is None:                     # corrupt payload
+            n_bad += 1
+            assert out.column("decode_err")[i].as_py() == "malformed"
+            assert d["width"] is None
+        else:
+            n_ok += 1
+            assert d["channels"] == 3
+            for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                assert d[c] == g[c], (i, c)
+    assert n_ok >= 40 and n_bad > 0
+
+
+def test_jpeg_codec_edge_cases():
+    """Decoder robustness beyond the corpus: 4:2:0 subsampling with
+    restart markers round-trips bit-exactly vs the independent golden
+    path; grayscale-free 3-channel contract; zigzag literal == derived
+    walk; arbitrary (non-multiple-of-8) dims crop correctly."""
+    import numpy as np
+    from go_distributed_log_search_ray.corpus.jpegenc import (
+        encode_jpeg, golden_decode, zigzag_walk)
+    from go_distributed_log_search_ray.functions.jpeg import ZIGZAG, decode_jpeg
+
+    assert np.array_equal(zigzag_walk(), ZIGZAG)
+    rng = np.random.default_rng(17)
+    checked = 0
+    for trial in range(40):
+        w = int(rng.integers(9, 50))
+        h = int(rng.integers(9, 42))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        sub = bool(trial % 2)
+        ri = (0, 3)[trial % 2]
+        payload, coefs = encode_jpeg(img, subsample=sub, restart_interval=ri)
+        g = golden_decode(coefs, w, h, subsample=sub)
+        if g is None:                      # rounding-ambiguous: skip
+            continue
+        d = decode_jpeg(payload)
+        assert d is not None and (d[0], d[1], d[2]) == (w, h, 3)
+        s = d[3].reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        assert (int(s[0]), int(s[1]), int(s[2])) == g, (trial, sub, ri)
+        checked += 1
+    assert checked >= 20
+    # truncations must never decode as valid images
+    payload, _ = encode_jpeg(
+        rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8))
+    for cut in range(4, len(payload) - 1, 11):
+        assert decode_jpeg(payload[:cut]) is None, cut
+    assert decode_jpeg(None) is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
