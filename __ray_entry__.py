@@ -512,6 +512,37 @@ def _media_jpeg_agg(sf_dir: str):
         .select(["width", "height", "n_images", "tot_r", "tot_g", "tot_b"])
 
 
+def _media_png_agg(sf_dir: str):
+    """REAL PNG decode: chunk parse with CRC verification, zlib
+    inflate, all five scanline reconstruction filters -> per-channel
+    pixel sums per image size.  PNG is lossless, so the goldens are the
+    generator's SOURCE pixel sums -- no shared math with the decoder at
+    all.  Corrupt payloads null out (P11), excluded identically on both
+    sides."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from go_distributed_log_search_ray.stages.multimodal import ImageDecode
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    media_dir = os.path.join(_corpus(sf_dir), "media")
+    ds = ray.data.read_parquet(
+        media_dir, columns=["media_id", "kind", "payload"],
+        filter=pc.field("kind") == "png")
+    dec = ds.map_batches(ImageDecode, batch_size=64, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    ok = dec.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("width"))),
+        batch_format="pyarrow")
+    agg = ok.groupby(["width", "height"]).aggregate(
+        Count(alias_name="n_images"),
+        Sum("sum_r", alias_name="tot_r"),
+        Sum("sum_g", alias_name="tot_g"),
+        Sum("sum_b", alias_name="tot_b"))
+    return small_table(agg, sort_keys=["width", "height"],
+                       int64_cols=["n_images", "tot_r", "tot_g", "tot_b"]) \
+        .select(["width", "height", "n_images", "tot_r", "tot_g", "tot_b"])
+
+
 def _media_audio_agg(sf_dir: str):
     """REAL audio decode: RIFF/WAVE PCM payloads (pure byte format, no
     codec library needed) -> exact int16 sample sums per channel,
@@ -719,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (real PPM + WAV decode paths; jpeg/video stay stubbed)
         "media_decode_agg": _media_decode_agg,
         "media_jpeg_agg": _media_jpeg_agg,
+        "media_png_agg": _media_png_agg,
         "media_audio_agg": _media_audio_agg,
         "media_ulaw_agg": _media_ulaw_agg,
         "media_video_agg": _media_video_agg,
@@ -1071,6 +1103,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sum_b) AS BIGINT) AS tot_b
             FROM read_parquet('{media}')
             WHERE kind = 'jpeg' AND width IS NOT NULL
+            GROUP BY width, height""",
+        "media_png_agg": f"""
+            SELECT width, height, count(*) AS n_images,
+                   CAST(sum(sum_r) AS BIGINT) AS tot_r,
+                   CAST(sum(sum_g) AS BIGINT) AS tot_g,
+                   CAST(sum(sum_b) AS BIGINT) AS tot_b
+            FROM read_parquet('{media}')
+            WHERE kind = 'png' AND width IS NOT NULL
             GROUP BY width, height""",
         "media_audio_agg": f"""
             SELECT n_channels, sample_rate, count(*) AS n_clips,

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v7"
+GEN_VERSION = "v8"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -265,7 +265,9 @@ def _write_media(d: str, n_docs: int) -> None:
       integer luma sum over every frame's Y plane;
     * baseline JPEG (kind="jpeg"): encoded by corpus/jpegenc.py with
       goldens from its independent brute-force-IDCT decode (see the
-      inline comment below).
+      inline comment below);
+    * PNG (kind="png"): encoded by corpus/pngenc.py cycling all five
+      scanline filters; lossless, so goldens are the source pixel sums.
 
     ~4% of payloads are truncated with null goldens (P11 path)."""
     os.makedirs(d, exist_ok=True)
@@ -427,6 +429,26 @@ def _write_media(d: str, n_docs: int) -> None:
                 "jpeg decoder/golden divergence"
             put(4 * n + q, "jpeg", payload, width=w, height=h,
                 sum_r=g[0], sum_g=g[1], sum_b=g[2])
+
+    # PNG (kind="png"): lossless, so goldens are simply the SOURCE
+    # pixels' channel sums -- zero shared math with the decoder.  The
+    # encoder (corpus/pngenc.py) cycles all five scanline filters so
+    # every reconstruction path is corpus-exercised.
+    from .pngenc import encode_png
+    prng = np.random.default_rng(SEED + 7)
+    n_png = max(50, n_docs // 40)
+    for r in range(n_png):
+        w = int(prng.integers(4, 64))
+        h = int(prng.integers(6, 48))          # >= 6 rows: all 5 filters
+        img = prng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_png(img)
+        if r % 25 == 7:                        # deterministic ~4% (P11)
+            payload = payload[: int(prng.integers(9, len(payload) - 5))]
+            put(5 * n + r, "png", payload)
+        else:
+            s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            put(5 * n + r, "png", payload, width=w, height=h,
+                sum_r=int(s[0]), sum_g=int(s[1]), sum_b=int(s[2]))
 
     t = pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),

@@ -380,14 +380,19 @@ class ImageDecode:
       (marker parse, canonical Huffman from the file's own DHT, exact
       integer IDCT rounding) -- oracle-checked against golden sums the
       generator computed through an INDEPENDENT brute-force IDCT;
+    * PNG via ``functions/png.py`` (stdlib zlib inflate + all five
+      reconstruction filters, CRC-verified) -- lossless, so goldens
+      are the source pixels' sums, fully decoder-independent;
     * P6 PPM via ``parse_ppm``.
 
     Per-payload dispatch on magic bytes, like the reference's parser
     dispatch (P1).  Malformed payloads (including truncated JPEG
     entropy data, which the decoder detects by bit-consumption
     accounting) null out with decode_err="malformed"; formats needing
-    an absent codec library (PNG, webp, ...) null out with
-    "unsupported_format" -- both P11.  strict mode raises instead."""
+    an absent codec library (webp, tiff, ...) null out with
+    "unsupported_format" -- both P11.  strict mode raises instead.
+    For images with an alpha channel, sums cover the color channels
+    only; single-channel images populate sum_r."""
 
     OUT_COLS = ("width", "height", "channels", "sum_r", "sum_g", "sum_b")
 
@@ -406,18 +411,23 @@ class ImageDecode:
             errs.append(err)
 
         for p in batch.column("payload").to_pylist():
-            if p is not None and p[:2] == b"\xff\xd8":
-                r = decode_jpeg(p)
+            if p is not None and (p[:2] == b"\xff\xd8"
+                                  or p[:8] == b"\x89PNG\r\n\x1a\n"):
+                if p[:2] == b"\xff\xd8":
+                    r = decode_jpeg(p)
+                else:
+                    from ..functions.png import decode_png
+                    r = decode_png(p)
                 if r is None:
                     if self.strict:
-                        raise ValueError("malformed JPEG payload")
+                        raise ValueError("malformed image payload")
                     emit(err="malformed")
                 else:
                     w, h, c, pix = r
                     s = pix.reshape(-1, c).sum(axis=0, dtype=np.int64)
                     emit(w, h, c, int(s[0]),
-                         int(s[1]) if c == 3 else None,
-                         int(s[2]) if c == 3 else None)
+                         int(s[1]) if c >= 3 else None,
+                         int(s[2]) if c >= 3 else None)
             elif p is not None and p[:2] == b"P6":
                 r = parse_ppm(p)
                 if r is None:

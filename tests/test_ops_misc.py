@@ -90,11 +90,13 @@ def test_compaction(corpus_dir, tmp_path):
 
 
 def test_multimodal_stubs():
-    payloads = [b"\x89PNG" + bytes(range(200)), b"xx", None]
+    payloads = [b"\x89PNG\r\n\x1a\n" + bytes(range(200)),  # broken PNG
+                b"xx", None]                               # unknown format
     t = pa.table({"media_id": ["a", "b", "c"],
                   "payload": pa.array(payloads, type=pa.large_binary())})
     d = ImageDecode()(t)
-    assert d.column("decode_err").to_pylist() == ["unsupported_format"] * 3
+    assert d.column("decode_err").to_pylist() == \
+        ["malformed", "unsupported_format", "unsupported_format"]
     assert d.column("width").to_pylist() == [None] * 3
     e = ImageEmbed(dim=16)(t)
     emb = e.column("embedding").to_pylist()
@@ -106,8 +108,10 @@ def test_multimodal_stubs():
         ["unsupported_container"] * 3
     with pytest.raises(NotImplementedError):
         FrameSample(k=2, strict=True)(t)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):            # malformed known format
         ImageDecode(strict=True)(t)
+    with pytest.raises(NotImplementedError):   # genuinely unsupported
+        ImageDecode(strict=True)(t.slice(1))
     assert recommended_batch_size(1 << 20) == 64
     # actor-pool plumbing end-to-end
     ds = ray.data.from_arrow(t).map_batches(
@@ -815,3 +819,46 @@ def test_jpeg_codec_edge_cases():
         assert decode_jpeg(payload[:cut]) is None, cut
     assert decode_jpeg(None) is None
     assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
+
+
+def test_png_decode_real(corpus_dir):
+    """The REAL PNG path: lossless round-trip, goldens are source pixel
+    sums (zero shared math with the decoder); CRC-checked corruption
+    nulls out (P11).  Edge variants (gray, RGBA, every filter type)
+    covered synthetically."""
+    import glob
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.corpus.pngenc import encode_png
+    from go_distributed_log_search_ray.functions.png import decode_png
+    from go_distributed_log_search_ray.stages.multimodal import ImageDecode
+
+    files = sorted(glob.glob(f"{corpus_dir}/media/*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    t = t.filter(pa.compute.equal(t.column("kind"), "png"))
+    assert t.num_rows >= 50
+    out = ImageDecode()(t.select(["media_id", "kind", "payload"]))
+    n_ok = n_bad = 0
+    for i in range(t.num_rows):
+        if t.column("width")[i].as_py() is None:
+            n_bad += 1
+            assert out.column("decode_err")[i].as_py() == "malformed"
+        else:
+            n_ok += 1
+            for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                assert out.column(c)[i].as_py() == t.column(c)[i].as_py(), c
+            assert out.column("channels")[i].as_py() == 3
+    assert n_ok >= 40 and n_bad > 0
+
+    # gray + RGBA + bit-exact pixels + CRC corruption
+    rng = np.random.default_rng(23)
+    for nch in (1, 3, 4):
+        img = rng.integers(0, 256, size=(11, 9, nch), dtype=np.uint8)
+        d = decode_png(encode_png(img if nch > 1 else img[..., 0]))
+        assert d is not None and d[:3] == (9, 11, nch)
+        assert np.array_equal(d[3], img)
+    p = encode_png(rng.integers(0, 256, size=(12, 12, 3), dtype=np.uint8))
+    pb = bytearray(p)
+    pb[45] ^= 0x01
+    assert decode_png(bytes(pb)) is None       # CRC catches a bit flip
+    assert decode_png(p[:-8]) is None          # truncation
+    assert decode_png(None) is None
