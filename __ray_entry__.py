@@ -720,6 +720,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample_agg": R.doc_mixture_sample_agg,
         "doc_split_counts": R.doc_split_counts,
         "events_user_running_value": R.events_user_running_value,
+        "events_user_value_delta": R.events_user_value_delta,
+        "events_user_path": R.events_user_path,
+        "events_hour_type_pivot": R.events_hour_type_pivot,
         "lineitem_rollup": R.lineitem_rollup,
         "events_props_agg": R.events_props_agg,
         "events_route_agg": R.events_route_agg,
@@ -906,6 +909,27 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id)
                         AS BIGINT) AS running_cents
             FROM events""",
+        "events_user_value_delta": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(floor(value * 100) AS BIGINT)
+                   - LAG(CAST(floor(value * 100) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                       AS delta_cents
+            FROM events""",
+        "events_user_path": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id""",
+        "events_hour_type_pivot": """
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY 1""",
         "lineitem_rollup": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))

@@ -792,3 +792,140 @@ def doc_mixture_sample_agg(sf_dir: str, seed: int = 13) -> pa.Table:
     return small_table(agg, sort_keys=["lang"],
                        int64_cols=["sum_chars", "n_docs"]) \
         .select(["lang", "n_docs", "sum_chars"])
+
+
+# -- lag/lead window (event-to-event delta) ---------------------------------
+
+def events_user_value_delta(sf_dir: str) -> Dataset:
+    """Per-event change in value (cents) vs the user's PREVIOUS event --
+    SQL's ``x - LAG(x) OVER (PARTITION BY user ORDER BY ts)`` as a
+    distributed operator (null for each user's first event).  Same
+    partitioning contract as the running-sum window: ONE shuffle on a
+    coarse cluster-scaled user bucket, then one Arrow sort + numpy diff
+    per bucket; blocks stay Arrow and the O(input) result streams out as
+    a Dataset."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    nb = _session_buckets()
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        b = b.append_column("cents", _cents(b.column("value")))
+        b = b.append_column(
+            "ubucket", pc.cast(pc.bit_wise_and(b.column("user_id"),
+                                               pa.scalar(nb - 1)), pa.int32()))
+        return b.select(["event_id", "ts", "user_id", "cents", "ubucket"])
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("delta_cents", pa.int64())])
+
+    def delta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        uid = np.asarray(t.column("user_id"))
+        cents = np.asarray(t.column("cents"))
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        d = np.empty(n, dtype=np.int64)
+        d[0] = 0
+        np.subtract(cents[1:], cents[:-1], out=d[1:])
+        return pa.table({"event_id": np.asarray(t.column("event_id")),
+                         "user_id": uid,
+                         "delta_cents": pa.array(d, mask=new_user)},
+                        schema=out_schema)
+
+    return ds.map_batches(add_cols, batch_format="pyarrow") \
+        .groupby("ubucket").map_groups(delta, batch_format="pyarrow")
+
+
+# -- ordered grouped collect (string_agg) -----------------------------------
+
+def events_user_path(sf_dir: str) -> Dataset:
+    """Per-user ordered event-type path ("view>click>purchase") -- the
+    order-sensitive grouped collect (SQL ``string_agg(x, '>' ORDER BY
+    ts)``), the clickstream/funnel primitive.  One coarse user-bucket
+    shuffle, then per bucket: one Arrow sort, numpy boundary detection,
+    and a zero-copy ``ListArray.from_arrays`` + ``pc.binary_join`` --
+    the join over each user's slice is a single C kernel call, no
+    per-user Python.  O(users) result streams out as a Dataset."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    nb = _session_buckets()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ubucket", pc.cast(pc.bit_wise_and(b.column("user_id"),
+                                               pa.scalar(nb - 1)), pa.int32()))
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("path", pa.string()),
+                            ("n_events", pa.int64())])
+
+    def paths(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        uid = np.asarray(t.column("user_id"))
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        bounds = np.nonzero(new_user)[0]
+        # ListArray offsets: [b0, ..., n]; b0 == 0 since new_user[0] is True
+        offsets = np.append(bounds, n).astype(np.int32)
+        vals = t.column("event_type").combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                         vals)
+        joined = pc.binary_join(lists, ">")
+        return pa.table({"user_id": pa.array(uid[bounds]),
+                         "path": joined,
+                         "n_events": pa.array(np.diff(
+                             np.append(bounds, n)).astype(np.int64))},
+                        schema=out_schema)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("ubucket").map_groups(paths, batch_format="pyarrow")
+
+
+# -- pivot (long -> wide conditional aggregate) ------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_hour_type_pivot(sf_dir: str) -> pa.Table:
+    """Events pivoted long->wide: one row per hour-of-day, one count
+    column per event type (SQL ``SUM(CASE WHEN type='x' ...)``).  The
+    pivot is computed as a per-batch bincount over ``hour * T + type``
+    (each batch collapses to <= 24 rows BEFORE the shuffle), then a tiny
+    24-row groupby-sum -- the shuffle moves O(hours x types), never
+    O(rows), no matter the corpus size."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    tcodes = {t: i for i, t in enumerate(_EVENT_TYPES)}
+    T = len(_EVENT_TYPES)
+    ncols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"hour": pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.int64()) for c in ncols}})
+        hour = np.asarray(pc.hour(b.column("ts")), dtype=np.int64)
+        code = np.asarray(
+            pc.index_in(b.column("event_type"),
+                        value_set=pa.array(_EVENT_TYPES)), dtype=np.int64)
+        counts = np.bincount(hour * T + code, minlength=24 * T) \
+            .reshape(24, T)
+        nz = np.nonzero(counts.sum(axis=1))[0]
+        return pa.table({"hour": pa.array(nz, type=pa.int64()),
+                         **{c: pa.array(counts[nz, i], type=pa.int64())
+                            for i, c in enumerate(ncols)}})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hour").aggregate(
+            *[Sum(c, alias_name=c) for c in ncols])
+    return small_table(agg, sort_keys=["hour"], int64_cols=["hour"] + ncols) \
+        .select(["hour"] + ncols)

@@ -862,3 +862,65 @@ def test_png_decode_real(corpus_dir):
     assert decode_png(bytes(pb)) is None       # CRC catches a bit flip
     assert decode_png(p[:-8]) is None          # truncation
     assert decode_png(None) is None
+
+
+def test_window_delta_path_pivot_match_duckdb(tmp_path):
+    """Lag-delta, ordered path collect, and hour/type pivot vs DuckDB
+    window functions on an adversarial synthetic events table (single
+    user bucket collisions, ts ties broken by event_id, negative
+    deltas)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+    from go_distributed_log_search_ray.pipelines.relational import (
+        events_user_value_delta, events_user_path, events_hour_type_pivot)
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    base = datetime(2024, 3, 1)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array([base + timedelta(seconds=int(s))
+                        for s in rng.integers(0, 86400 * 2, n)],
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 37, n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["click", "error", "purchase", "signup", "view"], n)),
+        "value": pa.array(rng.normal(0, 40, n), pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.register("events", t)
+
+    got = events_user_value_delta(str(tmp_path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = con.sql("""
+        SELECT event_id, user_id,
+               CAST(floor(value*100) AS BIGINT)
+               - LAG(CAST(floor(value*100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+        FROM events ORDER BY event_id""").df()
+    assert (got["delta_cents"].fillna(-10**18).astype("int64") ==
+            want["delta_cents"].fillna(-10**18).astype("int64")).all()
+
+    got = events_user_path(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    want = con.sql("""
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id""").df()
+    assert got["path"].tolist() == want["path"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+
+    got = events_hour_type_pivot(str(tmp_path)).to_pandas()
+    want = con.sql("""
+        SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+               CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY 1 ORDER BY 1""").df()
+    assert got.values.tolist() == want.values.tolist()
