@@ -121,6 +121,41 @@ def _pages_enrich_agg(sf_dir: str):
     return small_table(agg, int64_cols=["doc_count", "byte_count"])
 
 
+def _pages_ip_geo_agg(sf_dir: str):
+    """GeoIP-style range enrichment: grok log_ip out of the html, locate
+    it in a broadcast table of non-overlapping synthetic geo ranges (one
+    searchsorted per batch, zero shuffle), then aggregate doc/byte
+    counts per geo -- the reference's host-map enrichment as a
+    broadcast range join."""
+    import ray.data
+    from ray.data.aggregate import Sum
+    from go_distributed_log_search_ray.stages.extract import HtmlExtractor
+    from go_distributed_log_search_ray.stages.rangejoin import (
+        range_lookup, synthetic_geo_ranges)
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                               columns=["url", "html"])
+    ds = ds.map_batches(HtmlExtractor, batch_size=512,
+                        batch_format="pyarrow", concurrency=(1, 8))
+    ds = ds.map_batches(lambda b: b.select(["log_ip", "text_bytes"]),
+                        batch_format="pyarrow")
+    edges, labels = synthetic_geo_ranges()
+    ds = range_lookup(ds, edges, labels, "log_ip", "geo",
+                      default="unknown", parse_ipv4=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.select(["geo", "text_bytes"]).group_by(["geo"]).aggregate(
+            [("text_bytes", "count"), ("text_bytes", "sum")])
+        return out.rename_columns(["geo", "doc_count", "byte_count"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("geo").aggregate(
+            Sum("doc_count", alias_name="doc_count"),
+            Sum("byte_count", alias_name="byte_count"))
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["doc_count", "byte_count"]) \
+        .select(["geo", "doc_count", "byte_count"])
+
+
 def _pages_exact_dedup(sf_dir: str):
     import ray.data
     from go_distributed_log_search_ray.stages.dedup import exact_dedup
@@ -702,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_exact_dedup": _pages_exact_dedup,
         "pages_status_agg": _pages_status_agg,
         "pages_host_count": _pages_host_count,
+        "pages_ip_geo_agg": _pages_ip_geo_agg,
         # relational / windowed operators over driver tables
         "q1_pricing": R.q1_pricing,
         "revenue_filter": R.revenue_filter,
@@ -789,6 +825,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN read_parquet('{lookups}/lang_locale.parquet') l USING (lang)
             LEFT JOIN read_parquet('{lookups}/site_meta.parquet') s ON p.host = s.host
             GROUP BY 1, 2""",
+        "pages_ip_geo_agg": f"""
+            WITH edges AS (
+                SELECT CAST(range AS BIGINT) AS i,
+                       CAST(range AS BIGINT) * 16777216
+                       + (CAST(range AS BIGINT) * 2654435761) % 16777216 AS lo
+                FROM range(256)),
+            geo AS (
+                SELECT i AS gid, lo,
+                       LEAD(lo) OVER (ORDER BY i) AS hi
+                FROM edges),
+            ips AS (
+                SELECT text_bytes,
+                       CASE WHEN log_ip IS NULL THEN NULL ELSE
+                           CAST(split_part(log_ip, '.', 1) AS BIGINT) * 16777216
+                           + CAST(split_part(log_ip, '.', 2) AS BIGINT) * 65536
+                           + CAST(split_part(log_ip, '.', 3) AS BIGINT) * 256
+                           + CAST(split_part(log_ip, '.', 4) AS BIGINT)
+                       END AS ipn
+                FROM read_parquet('{pages}'))
+            SELECT coalesce('geo_' || CAST(g.gid AS VARCHAR), 'unknown') AS geo,
+                   count(*) AS doc_count,
+                   CAST(sum(ips.text_bytes) AS BIGINT) AS byte_count
+            FROM ips LEFT JOIN geo g
+                 ON ips.ipn >= g.lo AND ips.ipn < g.hi
+            GROUP BY 1""",
         "pages_exact_dedup": f"""
             SELECT md5(text) AS fingerprint, min(url) AS url
             FROM read_parquet('{pages}') GROUP BY md5(text)""",

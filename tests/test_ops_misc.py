@@ -924,3 +924,46 @@ def test_window_delta_path_pivot_match_duckdb(tmp_path):
                CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         FROM events GROUP BY 1 ORDER BY 1""").df()
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_range_lookup_geo():
+    """Broadcast range join: boundary exactness (lo inclusive, hi
+    exclusive), malformed/null/out-of-range keys -> default, and the
+    vectorized dotted-quad parse."""
+    import ray
+    from go_distributed_log_search_ray.stages.rangejoin import (
+        RangeLookup, ipv4_to_uint32, range_lookup, synthetic_geo_ranges)
+
+    # dotted-quad parse
+    ips = pa.table({"ip": pa.array([
+        "0.0.0.0", "255.255.255.255", "1.2.3.4", "999.1.1.1", "1.2.3",
+        "a.b.c.d", None, " 1.2.3.4", "01.002.3.4"])})
+    got = ipv4_to_uint32(ips.column("ip")).to_pylist()
+    assert got == [0, 4294967295, 16909060, None, None, None, None,
+                   None, 16909060]
+
+    # boundary semantics on a hand-built table
+    edges = np.array([10, 20, 30], dtype=np.int64)
+    rl = RangeLookup((edges, ["a", "b"]), "k", "lab", default="none")
+    t = pa.table({"k": pa.array([9, 10, 19, 20, 29, 30, None], pa.int64())})
+    assert rl(t).column("lab").to_pylist() == [
+        "none", "a", "a", "b", "b", "none", "none"]
+
+    # dataset path + synthetic geo table vs brute force
+    edges, labels = synthetic_geo_ranges()
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 32, 5000)
+    strs = [f"{k >> 24 & 255}.{k >> 16 & 255}.{k >> 8 & 255}.{k & 255}"
+            for k in keys]
+    ds = ray.data.from_arrow(pa.table({"ip": pa.array(strs)}))
+    out = range_lookup(ds, edges, labels, "ip", "geo", default="unknown",
+                       parse_ipv4=True).to_pandas()
+    idx = np.searchsorted(edges, keys, side="right") - 1
+    want = np.where((idx >= 0) & (idx < len(labels)),
+                    np.array(labels + ["unknown"])[np.clip(idx, 0, None)],
+                    "unknown")
+    assert out["geo"].tolist() == list(want)
+
+    # misordered edges rejected
+    with pytest.raises(ValueError):
+        RangeLookup((np.array([5, 5, 6]), ["x", "y"]), "k")
