@@ -227,6 +227,14 @@ def _doc_search_topk(sf_dir: str):
     return top.select_columns(["doc_id", "score"])
 
 
+def _doc_tfidf_topk(sf_dir: str):
+    """TF-IDF ranked search over documents (integer idf weights so the
+    score is bit-exact vs the SQL oracle)."""
+    from go_distributed_log_search_ray.stages.search import tfidf_topk
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, ["hash", "merge", "window"], k=15)
+
+
 def _pages_search(sf_dir: str):
     """Top-k weighted substring search over the extracted corpus text --
     reference `search` command parity (A2/A3) on the flagship data."""
@@ -779,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _doc_fingerprint,
         "doc_lang_agg": _doc_lang_agg,
         "doc_search_topk": _doc_search_topk,
+        "doc_tfidf_topk": _doc_tfidf_topk,
         "pages_search": _pages_search,
         "doc_minhash_keep": _doc_minhash_keep,
         "doc_prep_agg": _doc_prep_agg,
@@ -1173,6 +1182,23 @@ def oracle_sql() -> dict[str, str]:
                      AS score
               FROM documents) s
             WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "doc_tfidf_topk": """
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM toks WHERE tok IN ('hash', 'merge', 'window')
+                GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf * ((1000000 * n.n) // df.df)) AS BIGINT)
+                       AS score
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
         "media_decode_agg": f"""
             SELECT width, height, count(*) AS n_images,
                    CAST(sum(sum_r) AS BIGINT) AS tot_r,

@@ -967,3 +967,38 @@ def test_range_lookup_geo():
     # misordered edges rejected
     with pytest.raises(ValueError):
         RangeLookup((np.array([5, 5, 6]), ["x", "y"]), "k")
+
+
+def test_tfidf_topk_matches_bruteforce():
+    """tfidf_topk vs a per-doc Python reference computation (integer
+    idf), including null text, docs with no query terms, tf > 1, and
+    score ties broken by doc_id."""
+    from go_distributed_log_search_ray.stages.search import tfidf_topk
+    import re
+
+    rng = np.random.default_rng(7)
+    vocab = ["hash", "merge", "window", "scan", "row", "agg"]
+    docs = []
+    for i in range(300):
+        words = rng.choice(vocab, rng.integers(0, 12))
+        docs.append(" ".join(words) if len(words) else
+                    (None if i % 17 == 0 else ""))
+    t = pa.table({"doc_id": pa.array(np.arange(300), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    terms = ["hash", "merge"]
+
+    # reference: integer idf, floor division
+    tfs = []
+    for i, d in enumerate(docs):
+        toks = re.split(r"\s+", (d or "").lower())
+        tfs.append({q: toks.count(q) for q in terms})
+    df = {q: sum(1 for f in tfs if f[q] > 0) for q in terms}
+    idf = {q: (1_000_000 * 300) // df[q] for q in terms}
+    scores = [(i, sum(f[q] * idf[q] for q in terms))
+              for i, f in enumerate(tfs) if any(f.values())]
+    want = sorted(scores, key=lambda r: (-r[1], r[0]))[:10]
+
+    ds = ray.data.from_arrow(t)
+    got = tfidf_topk(ds, terms, k=10)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
