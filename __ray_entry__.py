@@ -752,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": R.top_orders,
         "orders_by_segment": R.orders_by_segment,
         "order_lineitem_join": R.order_lineitem_join,
+        "order_lineitem_skew_join": R.order_lineitem_skew_join,
         "part_type_revenue": R.part_type_revenue,
         "revenue_by_region": R.revenue_by_region,
         "supplier_nation_acctbal": R.supplier_nation_acctbal,
@@ -1021,6 +1022,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS line_count
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority""",
+        "order_lineitem_skew_join": """
+            SELECT o.o_orderstatus,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_cents,
+                   count(*) AS line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,

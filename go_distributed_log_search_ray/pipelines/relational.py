@@ -929,3 +929,52 @@ def events_hour_type_pivot(sf_dir: str) -> pa.Table:
             *[Sum(c, alias_name=c) for c in ncols])
     return small_table(agg, sort_keys=["hour"], int64_cols=["hour"] + ncols) \
         .select(["hour"] + ncols)
+
+
+# -- skew-defused shuffle join ----------------------------------------------
+
+def order_lineitem_skew_join(sf_dir: str) -> pa.Table:
+    """Same join as ``order_lineitem_join`` but via ``skew_join`` with a
+    deterministic forced hot-key set, so BOTH execution paths -- the
+    broadcast hot path and the co-partitioned cold path -- carry real
+    rows and the union must still reproduce the SQL inner join exactly.
+    (TPC-H-style orderkeys are not naturally skewed; at 100 TB the hot
+    set would come from ``detect_hot_keys``, whose misses only cost
+    speed, never rows.)"""
+    from ..stages.join import skew_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    hot = [int(k) for k in range(1, 2000, 7)]      # forced, deterministic
+    j = skew_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        hot_keys=hot,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderstatus", pa.string())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderstatus": pa.array([], pa.string()),
+                             "rev_cents": pa.array([], pa.int64()),
+                             "line_count": pa.array([], pa.int64())})
+        rev = _cents(pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount"))))
+        t = pa.table({"o_orderstatus": b.column("o_orderstatus"),
+                      "rev_cents": rev})
+        out = t.group_by(["o_orderstatus"]).aggregate(
+            [("rev_cents", "sum"), ("rev_cents", "count")])
+        return out.rename_columns(["o_orderstatus", "rev_cents",
+                                   "line_count"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderstatus").aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("line_count", alias_name="line_count"))
+    return small_table(agg, sort_keys=["o_orderstatus"],
+                       int64_cols=["rev_cents", "line_count"]) \
+        .select(["o_orderstatus", "rev_cents", "line_count"])

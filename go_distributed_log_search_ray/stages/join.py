@@ -203,3 +203,146 @@ def hash_join(left: Dataset, right: Dataset, on: str,
     return unioned.groupby("__part") \
         .map_groups(merge, batch_format="pyarrow") \
         .map_batches(canon, batch_format="pyarrow")
+
+
+# -- skew-aware join ---------------------------------------------------------
+
+def detect_hot_keys(ds: Dataset, on: str, threshold_frac: float = 0.01,
+                    per_batch: int = 32) -> list:
+    """Approximate heavy hitters of ``ds[on]``: each batch emits its own
+    top-``per_batch`` (key, count) pairs (one vectorized value_counts),
+    the tiny candidate set folds on the driver, and keys whose folded
+    count is >= ``threshold_frac`` of the total row count are hot.
+
+    This is a PERFORMANCE HINT, not a correctness input: a key that
+    slips detection just takes the (correct, slower) co-partitioned
+    path in ``skew_join``.  A key holding >= 1% of an entire dataset is
+    top-32 of essentially every batch it appears in, so folded counts
+    are near-exact for true heavy hitters."""
+    import pyarrow.compute as pc
+
+    total = ds.count()
+    if total == 0:
+        return []
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], b.column(on).type),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        vc = b.column(on).combine_chunks().value_counts()
+        keys, cnts = vc.field("values"), vc.field("counts")
+        if len(keys) > per_batch:
+            idx = pc.sort_indices(pa.table({"c": cnts}),
+                                  sort_keys=[("c", "descending")]) \
+                .slice(0, per_batch)
+            keys, cnts = keys.take(idx), cnts.take(idx)
+        return pa.table({"key": keys, "cnt": pc.cast(cnts, pa.int64())})
+
+    from ..functions.tableops import small_table
+    cand = small_table(ds.map_batches(partial, batch_format="pyarrow"))
+    if cand.num_rows == 0:
+        return []
+    fold = cand.group_by(["key"]).aggregate([("cnt", "sum")])
+    cut = max(1, int(total * threshold_frac))
+    hot = fold.filter(pc.greater_equal(fold.column("cnt_sum"), cut))
+    return hot.column("key").to_pylist()
+
+
+def skew_join(left: Dataset, right: Dataset, on: str,
+              right_on: str | None = None,
+              join_type: str = "inner",
+              hot_keys: list | None = None,
+              threshold_frac: float = 0.01,
+              num_partitions: int | None = None,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None,
+              concurrency=(1, 8)) -> Dataset:
+    """Skew-defused shuffle join: rows of HOT keys never enter the
+    shuffle -- their right-side matches are broadcast once (``ray.put``)
+    and joined per-batch on the left, so the hot key's rows stream
+    through an embarrassingly-parallel map instead of piling into one
+    partition's merge task.  Cold keys take the normal co-partitioned
+    ``hash_join``.  Output = hot-path union cold-path (same rows as a
+    plain join, any order).
+
+    Assumes the RIGHT side has broadcastable row volume for the hot
+    keys (the fact-skew/dimension-bounded case -- a hot key with huge
+    volume on BOTH sides produces a quadratic output no partitioning
+    can defuse).  ``join_type``: "inner" or "left outer"."""
+    import ray
+    import pyarrow.compute as pc
+
+    if join_type not in ("inner", "left outer"):
+        raise ValueError("skew_join supports inner / left outer")
+    right_on = right_on or on
+    left = left.map_batches(lambda b: b, batch_format="pyarrow")
+    right = right.map_batches(lambda b: b, batch_format="pyarrow")
+    lsch: pa.Schema = left_schema or _infer_schema(left, on)
+    rsch: pa.Schema = right_schema or _infer_schema(right, right_on)
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left, on, threshold_frac)
+    if not hot_keys:
+        return hash_join(left, right, on, right_on,
+                         num_partitions=num_partitions, join_type=join_type,
+                         left_schema=lsch, right_schema=rsch)
+
+    hot_arr = pa.array(hot_keys, type=lsch.field(on).type)
+    rcols = [n for n in rsch.names if n != right_on]
+    out_cols = [on] + [n for n in lsch.names if n != on] + rcols
+    out_schema = pa.schema(
+        [(n, lsch.field(n).type if n in lsch.names else rsch.field(n).type)
+         for n in out_cols])
+    out_empty = out_schema.empty_table()
+
+    # broadcast the hot right rows (collected once; small by assumption)
+    from ..functions.tableops import small_table
+    rhot_ds = right.map_batches(
+        lambda b: b.filter(pc.fill_null(
+            pc.is_in(b.column(right_on), value_set=hot_arr), False))
+        if b.num_rows else b,
+        batch_format="pyarrow")
+    rhot = small_table(rhot_ds)
+    if right_on != on:
+        rhot = rhot.rename_columns(
+            [on if n == right_on else n for n in rhot.column_names])
+    rhot_ref = ray.put(rhot)
+
+    class HotJoin:
+        def __init__(self, rtab):
+            if isinstance(rtab, ray.ObjectRef):
+                rtab = ray.get(rtab)
+            self.rtab = rtab
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_empty
+            mask = pc.fill_null(pc.is_in(b.column(on), value_set=hot_arr),
+                                False)
+            lh = b.filter(mask)
+            if lh.num_rows == 0:
+                return out_empty
+            out = lh.join(self.rtab, keys=[on], join_type=join_type)
+            return out.select(out_cols).cast(out_schema)
+
+    hot_out = left.map_batches(
+        HotJoin, fn_constructor_args=(rhot_ref,), batch_format="pyarrow",
+        concurrency=concurrency)
+
+    def drop_hot(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            return b.filter(pc.fill_null(
+                pc.invert(pc.is_in(b.column(col), value_set=hot_arr)), True))
+        return f
+
+    cold = hash_join(
+        left.map_batches(drop_hot(on), batch_format="pyarrow"),
+        right.map_batches(drop_hot(right_on), batch_format="pyarrow"),
+        on, right_on, num_partitions=num_partitions, join_type=join_type,
+        left_schema=lsch, right_schema=rsch)
+    cold = cold.map_batches(
+        lambda b: b.select(out_cols).cast(out_schema) if b.num_rows
+        else out_empty, batch_format="pyarrow")
+    return hot_out.union(cold)

@@ -1002,3 +1002,52 @@ def test_tfidf_topk_matches_bruteforce():
     got = tfidf_topk(ds, terms, k=10)
     assert list(zip(got.column("doc_id").to_pylist(),
                     got.column("score").to_pylist())) == want
+
+
+def test_skew_join_equals_hash_join():
+    """skew_join == plain hash_join row-for-row on a 50%-hot-key corpus,
+    with the hot path actually engaged (detected AND forced), null keys,
+    and left-outer semantics."""
+    from go_distributed_log_search_ray.stages.join import (
+        hash_join, skew_join, detect_hot_keys)
+
+    rng = np.random.default_rng(13)
+    n = 20_000
+    # 50% of left rows share key 7; the rest spread over 1000 keys
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(100, 1100, n))
+    lt = pa.table({"k": pa.array(keys, pa.int64()),
+                   "lv": pa.array(np.arange(n), pa.int64())})
+    rt = pa.table({"k": pa.array(np.arange(0, 1100), pa.int64()),
+                   "rv": pa.array(np.arange(0, 1100) * 10, pa.int64())})
+    left = ray.data.from_arrow(lt)
+    right = ray.data.from_arrow(rt)
+
+    hot = detect_hot_keys(left, "k", threshold_frac=0.01)
+    assert 7 in hot                      # the hot key is found
+    assert len(hot) < 20                 # and not much else
+
+    for jt in ("inner", "left outer"):
+        a = skew_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                      on="k", join_type=jt).to_pandas() \
+            .sort_values(["k", "lv"]).reset_index(drop=True)
+        b = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                      on="k", join_type=jt).to_pandas() \
+            .sort_values(["k", "lv"]).reset_index(drop=True)
+        assert a.equals(b), jt
+
+    # null keys + forced hot list that includes absent keys
+    lt2 = pa.table({"k": pa.array([1, None, 7, 7, 2], pa.int64()),
+                    "lv": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    rt2 = pa.table({"k": pa.array([7, 2], pa.int64()),
+                    "rv": pa.array([70, 20], pa.int64())})
+    a = skew_join(ray.data.from_arrow(lt2), ray.data.from_arrow(rt2),
+                  on="k", join_type="left outer",
+                  hot_keys=[7, 99999]).to_pandas() \
+        .sort_values(["lv"]).reset_index(drop=True)
+    b = hash_join(ray.data.from_arrow(lt2), ray.data.from_arrow(rt2),
+                  on="k", join_type="left outer").to_pandas() \
+        .sort_values(["lv"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    with pytest.raises(ValueError):
+        skew_join(left, right, on="k", join_type="right outer")
