@@ -235,6 +235,19 @@ def _doc_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, ["hash", "merge", "window"], k=15)
 
 
+def _doc_top_terms_by_lang(sf_dir: str):
+    """Vocabulary extraction: top-5 tokens per language (the word-count
+    wide aggregate; shuffle moves per-block distinct (lang, term)
+    pairs, never the token stream)."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        top_terms_by_group)
+    ds = _read_table(sf_dir, "documents", columns=["lang", "text"])
+    out = top_terms_by_group(ds, "lang", "text", k=5)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(out, sort_keys=["lang", "term"], int64_cols=["n"]) \
+        .select(["lang", "term", "n"])
+
+
 def _pages_search(sf_dir: str):
     """Top-k weighted substring search over the extracted corpus text --
     reference `search` command parity (A2/A3) on the flagship data."""
@@ -789,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_agg": _doc_lang_agg,
         "doc_search_topk": _doc_search_topk,
         "doc_tfidf_topk": _doc_tfidf_topk,
+        "doc_top_terms_by_lang": _doc_top_terms_by_lang,
         "pages_search": _pages_search,
         "doc_minhash_keep": _doc_minhash_keep,
         "doc_prep_agg": _doc_prep_agg,
@@ -1208,6 +1222,21 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "doc_top_terms_by_lang": """
+            WITH toks AS (
+                SELECT lang, t.tok AS term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+                WHERE t.tok <> ''),
+            counts AS (
+                SELECT lang, term, count(*) AS n FROM toks GROUP BY 1, 2),
+            ranked AS (
+                SELECT lang, term, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, term ASC) AS r
+                FROM counts)
+            SELECT lang, term, CAST(n AS BIGINT) AS n
+            FROM ranked WHERE r <= 5""",
         "media_decode_agg": f"""
             SELECT width, height, count(*) AS n_images,
                    CAST(sum(sum_r) AS BIGINT) AS tot_r,

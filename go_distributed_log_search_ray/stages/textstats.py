@@ -174,3 +174,63 @@ class LangId:
         langs = self._classify(batch.column("text"))
         return batch.append_column(
             "lang_pred", pa.array(langs, type=pa.string()))
+
+
+# -- vocabulary / token frequency -------------------------------------------
+
+def token_counts_by_group(ds, group_col: str, text_col: str = "text"):
+    """Distributed word count per group (vocabulary building): tokenize
+    (RE2 ``\\s+`` over lowercased text), pair each token with its row's
+    group, and collapse INSIDE the batch to one (group, term, n) row per
+    distinct pair via dictionary-encode + bincount -- so the shuffle
+    moves per-block DISTINCT pairs, never the token stream.  The global
+    fold is one groupby-sum.  This is the wide-aggregate building block
+    for vocab extraction over a 100 TB corpus: output is bounded by
+    |groups| x |vocab|."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).combine_chunks()
+        empty = pa.table({group_col: pa.array([], g.type),
+                          "term": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b.column(text_col), "")),
+            r"\s+").combine_chunks()
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "")          # RE2 split edge artifacts
+        parent = np.repeat(np.arange(b.num_rows),
+                           np.diff(np.asarray(toks.offsets)))
+        flat = flat.filter(keep)
+        parent = parent[np.asarray(keep)]
+        if len(flat) == 0:
+            return empty
+        genc = g.dictionary_encode()
+        gcode = np.asarray(genc.indices, dtype=np.int64)[parent]
+        tenc = flat.dictionary_encode()
+        tcode = np.asarray(tenc.indices, dtype=np.int64)
+        nt = len(tenc.dictionary)
+        pair = gcode * nt + tcode
+        cnt = np.bincount(pair, minlength=len(genc.dictionary) * nt)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            group_col: genc.dictionary.take(pa.array(nz // nt, pa.int64())),
+            "term": tenc.dictionary.take(pa.array(nz % nt, pa.int64())),
+            "n": pa.array(cnt[nz], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "term"]).aggregate(Sum("n", alias_name="n"))
+
+
+def top_terms_by_group(ds, group_col: str, text_col: str = "text",
+                       k: int = 5):
+    """Top-k most frequent tokens per group (count desc, term asc) --
+    vocab counts + distributed grouped top-k."""
+    from ..functions.tableops import grouped_topk
+
+    counts = token_counts_by_group(ds, group_col, text_col)
+    return grouped_topk(counts, [group_col], k,
+                        [("n", "descending"), ("term", "ascending")])

@@ -1051,3 +1051,34 @@ def test_skew_join_equals_hash_join():
 
     with pytest.raises(ValueError):
         skew_join(left, right, on="k", join_type="right outer")
+
+
+def test_token_counts_by_group_matches_python():
+    """Vocab word count vs a plain Python Counter, incl. null/empty text
+    and whitespace-only docs."""
+    from collections import Counter
+    import re
+    from go_distributed_log_search_ray.stages.textstats import (
+        token_counts_by_group, top_terms_by_group)
+
+    docs = ["The cat and the DOG", "cat  cat\tdog", None, "", "  ",
+            "unique", "the\nthe the"]
+    langs = ["en", "en", "de", "de", "en", "de", "en"]
+    t = pa.table({"lang": pa.array(langs), "text": pa.array(docs)})
+
+    want = Counter()
+    for lg, d in zip(langs, docs):
+        for tok in re.split(r"\s+", (d or "").lower()):
+            if tok:
+                want[(lg, tok)] += 1
+
+    ds = ray.data.from_arrow(t)
+    got = token_counts_by_group(ds, "lang").to_pandas()
+    got_map = {(r.lang, r.term): r.n for r in got.itertuples()}
+    assert got_map == dict(want)
+
+    top = top_terms_by_group(ray.data.from_arrow(t), "lang", k=2) \
+        .to_pandas().sort_values(["lang", "term"]).reset_index(drop=True)
+    # en: the(5), cat(3); de: unique(1) ... ties broken by term asc
+    en = top[top.lang == "en"]
+    assert set(zip(en.term, en.n)) == {("the", 5), ("cat", 3)}
