@@ -782,6 +782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_path": R.events_user_path,
         "events_hour_type_pivot": R.events_hour_type_pivot,
         "lineitem_rollup": R.lineitem_rollup,
+        "lineitem_cube": R.lineitem_cube,
+        "lineitem_unpivot_agg": R.lineitem_unpivot_agg,
         "events_props_agg": R.events_props_agg,
         "events_route_agg": R.events_route_agg,
         "events_hourly": R.events_hourly,
@@ -1022,6 +1024,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS row_count
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents,
+                   count(*) AS row_count
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)""",
+        "lineitem_unpivot_agg": """
+            WITH long_form AS (
+                SELECT l_returnflag, 'l_quantity' AS measure,
+                       CAST(floor(l_quantity * 100) AS BIGINT) AS val_cents
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_extendedprice',
+                       CAST(floor(l_extendedprice * 100) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_discount',
+                       CAST(floor(l_discount * 100) AS BIGINT)
+                FROM lineitem)
+            SELECT l_returnflag, measure,
+                   CAST(sum(val_cents) AS BIGINT) AS sum_cents,
+                   count(*) AS n_rows
+            FROM long_form GROUP BY l_returnflag, measure""",
         "events_props_agg": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k')

@@ -978,3 +978,87 @@ def order_lineitem_skew_join(sf_dir: str) -> pa.Table:
     return small_table(agg, sort_keys=["o_orderstatus"],
                        int64_cols=["rev_cents", "line_count"]) \
         .select(["o_orderstatus", "rev_cents", "line_count"])
+
+
+# -- cube aggregate ----------------------------------------------------------
+
+def lineitem_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(returnflag, linestatus): like rollup, the leaf
+    level is the ONLY distributed pass; all 2^2 grouping sets are
+    derived by re-aggregating the O(groups) leaf table on the driver."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.append_column("qty_cents", _cents(b.column("l_quantity")))
+        out = b.select(["l_returnflag", "l_linestatus", "qty_cents"]) \
+            .group_by(["l_returnflag", "l_linestatus"]) \
+            .aggregate([("qty_cents", "sum"), ("qty_cents", "count")])
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_cents", "row_count"])
+
+    leaf = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("row_count", alias_name="row_count"))
+    t = small_table(leaf, sort_keys=["l_returnflag", "l_linestatus"],
+                    int64_cols=["sum_qty_cents", "row_count"]) \
+        .select(["l_returnflag", "l_linestatus", "sum_qty_cents",
+                 "row_count"])
+
+    def coarse(keys: list[str]) -> pa.Table:
+        if keys:
+            g = t.group_by(keys).aggregate(
+                [("sum_qty_cents", "sum"), ("row_count", "sum")])
+            cols = {}
+            for c in ("l_returnflag", "l_linestatus"):
+                cols[c] = (g.column(c) if c in keys
+                           else pa.nulls(g.num_rows, pa.string()))
+            cols["sum_qty_cents"] = g.column("sum_qty_cents_sum")
+            cols["row_count"] = g.column("row_count_sum")
+            return pa.table(cols)
+        return pa.table({
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "sum_qty_cents": pa.array(
+                [pc.sum(t.column("sum_qty_cents")).as_py() or 0], pa.int64()),
+            "row_count": pa.array(
+                [pc.sum(t.column("row_count")).as_py() or 0], pa.int64())})
+
+    return pa.concat_tables(
+        [t, coarse(["l_returnflag"]), coarse(["l_linestatus"]), coarse([])])
+
+
+# -- unpivot / melt ----------------------------------------------------------
+
+_MELT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def lineitem_unpivot_agg(sf_dir: str) -> pa.Table:
+    """UNPIVOT the three lineitem measures into (measure, value) long
+    form, then aggregate per (returnflag, measure) -- the melt is a
+    per-batch column stack (3 zero-copy column selects + concat, no
+    row loops), and the long form NEVER materializes globally: each
+    batch pre-aggregates before the tiny groupby shuffle."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", *_MELT_MEASURES])
+
+    def partial(b: pa.Table) -> pa.Table:
+        longs = []
+        for m in _MELT_MEASURES:
+            longs.append(pa.table({
+                "l_returnflag": b.column("l_returnflag"),
+                "measure": pa.array([m] * b.num_rows, pa.string()),
+                "val_cents": _cents(b.column(m))}))
+        long_t = pa.concat_tables(longs)
+        out = long_t.group_by(["l_returnflag", "measure"]).aggregate(
+            [("val_cents", "sum"), ("val_cents", "count")])
+        return out.rename_columns(
+            ["l_returnflag", "measure", "sum_cents", "n_rows"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "measure"]).aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_rows", alias_name="n_rows"))
+    return small_table(agg, sort_keys=["l_returnflag", "measure"],
+                       int64_cols=["sum_cents", "n_rows"]) \
+        .select(["l_returnflag", "measure", "sum_cents", "n_rows"])
