@@ -783,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_type_pivot": R.events_hour_type_pivot,
         "lineitem_rollup": R.lineitem_rollup,
         "lineitem_cube": R.lineitem_cube,
+        "events_value_quartile_agg": R.events_value_quartile_agg,
         "lineitem_unpivot_agg": R.lineitem_unpivot_agg,
         "events_props_agg": R.events_props_agg,
         "events_route_agg": R.events_route_agg,
@@ -1024,6 +1025,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS row_count
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "events_value_quartile_agg": """
+            WITH cents AS (
+                SELECT CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+            th AS (
+                SELECT quantile_disc(c, 0.25) AS t1,
+                       quantile_disc(c, 0.5)  AS t2,
+                       quantile_disc(c, 0.75) AS t3
+                FROM cents)
+            SELECT CASE WHEN c <= th.t1 THEN 'q1'
+                        WHEN c <= th.t2 THEN 'q2'
+                        WHEN c <= th.t3 THEN 'q3'
+                        ELSE 'q4' END AS bucket,
+                   count(*) AS n_events,
+                   CAST(sum(c) AS BIGINT) AS sum_cents
+            FROM cents CROSS JOIN th
+            GROUP BY 1""",
         "lineitem_cube": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))

@@ -1062,3 +1062,55 @@ def lineitem_unpivot_agg(sf_dir: str) -> pa.Table:
     return small_table(agg, sort_keys=["l_returnflag", "measure"],
                        int64_cols=["sum_cents", "n_rows"]) \
         .select(["l_returnflag", "measure", "sum_cents", "n_rows"])
+
+
+# -- quantile bucketing (NTILE-by-value) ------------------------------------
+
+def events_value_quartile_agg(sf_dir: str) -> pa.Table:
+    """Bucket every event by which QUARTILE of the global value
+    distribution it falls in, then aggregate per bucket -- the
+    feature-binning primitive.  Two bounded passes: (1) exact
+    distributed quantiles for the 3 thresholds (value-counts shuffle,
+    bit-exact with DuckDB quantile_disc -- proven by
+    test_exact_quantiles_match_duckdb); (2) broadcast the 3 thresholds,
+    one searchsorted per batch, partial pre-agg, tiny groupby."""
+    from ..functions.tableops import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"cents": _cents(b.column("value"))})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    th = exact_quantiles(cents_ds, "cents", [0.25, 0.5, 0.75]) \
+        .column("cents").to_pylist()
+    th_np = np.asarray(th, dtype=np.int64)
+    labels = pa.array(["q1", "q2", "q3", "q4"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_cents": pa.array([], pa.int64())})
+        cents = np.asarray(b.column("cents"))
+        idx = np.searchsorted(th_np, cents, side="left")
+        cnt = np.bincount(idx, minlength=4)
+        # integer segment sums (bincount weights= would round-trip
+        # through float64): stable sort by bucket, one add.reduceat
+        order = np.argsort(idx, kind="stable")
+        s_idx, s_c = idx[order], cents[order]
+        bounds = np.searchsorted(s_idx, np.arange(4))
+        sums = np.add.reduceat(np.append(s_c, 0), np.append(bounds, len(s_c)))[:4]
+        sums[cnt == 0] = 0
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": labels.take(pa.array(nz, pa.int64())),
+                         "n_events": pa.array(cnt[nz], pa.int64()),
+                         "sum_cents": pa.array(sums[nz], pa.int64())})
+
+    agg = cents_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_cents", alias_name="sum_cents"))
+    return small_table(agg, sort_keys=["bucket"],
+                       int64_cols=["n_events", "sum_cents"]) \
+        .select(["bucket", "n_events", "sum_cents"])

@@ -1082,3 +1082,36 @@ def test_token_counts_by_group_matches_python():
     # en: the(5), cat(3); de: unique(1) ... ties broken by term asc
     en = top[top.lang == "en"]
     assert set(zip(en.term, en.n)) == {("the", 5), ("cat", 3)}
+
+
+def test_quartile_bucketing_degenerate(tmp_path):
+    """Quantile bucketing when thresholds collide (heavy duplication):
+    searchsorted(side='left') must match SQL's cascaded `<=` CASE."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from datetime import datetime
+    from go_distributed_log_search_ray.pipelines.relational import (
+        events_value_quartile_agg)
+
+    rng = np.random.default_rng(3)
+    vals = np.where(rng.random(500) < 0.8, 1.0, rng.normal(5, 3, 500))
+    t = pa.table({
+        "event_id": pa.array(np.arange(500), pa.int64()),
+        "ts": pa.array([datetime(2024, 1, 1)] * 500, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(500), pa.int64()),
+        "event_type": pa.array(["view"] * 500),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * 500)})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = events_value_quartile_agg(str(tmp_path)).to_pandas()
+    con = duckdb.connect(); con.register("events", t)
+    want = con.sql("""
+        WITH cents AS (SELECT CAST(floor(value*100) AS BIGINT) AS c FROM events),
+        th AS (SELECT quantile_disc(c,0.25) t1, quantile_disc(c,0.5) t2,
+                      quantile_disc(c,0.75) t3 FROM cents)
+        SELECT CASE WHEN c <= th.t1 THEN 'q1' WHEN c <= th.t2 THEN 'q2'
+                    WHEN c <= th.t3 THEN 'q3' ELSE 'q4' END AS bucket,
+               count(*) AS n_events, CAST(sum(c) AS BIGINT) AS sum_cents
+        FROM cents CROSS JOIN th GROUP BY 1 ORDER BY 1""").df()
+    assert got.values.tolist() == want.values.tolist()
