@@ -695,6 +695,51 @@ def _media_video_agg(sf_dir: str):
         .select(["width", "height", "n_clips", "tot_frames", "tot_luma"])
 
 
+def _emb_centroid_assign(sf_dir: str):
+    """K-means assignment step over the embeddings table: centroids =
+    the 8 lowest-vec_id embeddings, dot products integer-quantized so
+    the argmax is bit-deterministic vs the SQL oracle; per-centroid
+    count + label sum."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from go_distributed_log_search_ray.stages.similarity import (
+        centroid_assign, quantize_embeddings, _emb_matrix)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+
+    # centroid pick is O(k): tiny deterministic read of the 8 lowest ids
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head, sort_keys=[("vec_id", "ascending")])
+    cent_t = head.take(order.slice(0, 8))
+    cent_ids = np.asarray(cent_t.column("vec_id"), dtype=np.int64)
+    cent_q = quantize_embeddings(_emb_matrix(cent_t))
+
+    ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                                    "label"])
+    assigned = centroid_assign(ds, cent_q)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"centroid_id": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             "sum_label": pa.array([], pa.int64())})
+        cid = b.column("centroid_id")
+        t = pa.table({"centroid_id": pa.array(
+                          cent_ids[np.asarray(cid)], pa.int64()),
+                      "label": pc.cast(b.column("label"), pa.int64())})
+        out = t.group_by(["centroid_id"]).aggregate(
+            [("label", "count"), ("label", "sum")])
+        return out.rename_columns(["centroid_id", "n_vecs", "sum_label"])
+
+    agg = assigned.map_batches(partial, batch_format="pyarrow") \
+        .groupby("centroid_id").aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_label", alias_name="sum_label"))
+    return small_table(agg, sort_keys=["centroid_id"],
+                       int64_cols=["centroid_id", "n_vecs", "sum_label"]) \
+        .select(["centroid_id", "n_vecs", "sum_label"])
+
+
 def _knn_bruteforce(sf_dir: str):
     import ray.data
     import pyarrow.parquet as pq
@@ -821,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_ulaw_agg": _media_ulaw_agg,
         "media_video_agg": _media_video_agg,
         # similarity search
+        "emb_centroid_assign": _emb_centroid_assign,
         "knn_bruteforce": _knn_bruteforce,
         "knn_multi": _knn_multi,
         "knn_ivf": _knn_ivf,
@@ -1265,6 +1311,29 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "emb_centroid_assign": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                     AS BIGINT)) AS e,
+                       label
+                FROM embeddings),
+            c AS (
+                SELECT vec_id AS cid, e AS ce FROM q
+                ORDER BY vec_id LIMIT 8),
+            dots AS (
+                SELECT q.vec_id, q.label, c.cid,
+                       list_dot_product(q.e, c.ce) AS dot
+                FROM q CROSS JOIN c),
+            best AS (
+                SELECT vec_id, label, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cid ASC) AS r
+                FROM dots)
+            SELECT cid AS centroid_id, count(*) AS n_vecs,
+                   CAST(sum(label) AS BIGINT) AS sum_label
+            FROM best WHERE r = 1 GROUP BY cid""",
         "doc_top_terms_by_lang": """
             WITH toks AS (
                 SELECT lang, t.tok AS term

@@ -194,3 +194,50 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, ncells: int = 16,
         if own:
             import shutil
             shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# -- k-means assignment step (oracle-exact) ---------------------------------
+
+def quantize_embeddings(m: np.ndarray, scale: int = 1000) -> np.ndarray:
+    """floor(x * scale) as int64 -- the embedding quantization that makes
+    dot products EXACT integers, so centroid argmax is bit-deterministic
+    across engines (float dots differ in summation order / SIMD width
+    and can flip argmax on near-ties)."""
+    return np.floor(m.astype(np.float64) * scale).astype(np.int64)
+
+
+class CentroidAssign:
+    """Actor-pool stage of the Lloyd assignment step: the quantized
+    centroid matrix rides a broadcast ObjectRef (resolved once per
+    actor); each batch is one integer matmul + argmax.  Ties go to the
+    smallest centroid id (numpy argmax = first index; centroid rows are
+    ordered by id)."""
+
+    def __init__(self, cent_ref, col: str = "embedding",
+                 out_col: str = "centroid_id", scale: int = 1000):
+        if isinstance(cent_ref, ray.ObjectRef):
+            cent_ref = ray.get(cent_ref)
+        self.c = np.asarray(cent_ref, dtype=np.int64)   # (k, d)
+        self.col, self.out_col, self.scale = col, out_col, scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(self.out_col,
+                                       pa.array([], pa.int64()))
+        e = quantize_embeddings(_emb_matrix(batch, self.col), self.scale)
+        dots = e @ self.c.T                             # exact int64
+        idx = np.argmax(dots, axis=1).astype(np.int64)
+        return batch.append_column(self.out_col, pa.array(idx))
+
+
+def centroid_assign(ds: Dataset, centroids_q: np.ndarray,
+                    col: str = "embedding", out_col: str = "centroid_id",
+                    concurrency=(1, 8), batch_size: int = 1024) -> Dataset:
+    """Assign every row to its max-integer-dot centroid (k-means
+    assignment step, exact): centroids broadcast once, per-batch matmul,
+    zero shuffle."""
+    ref = ray.put(np.asarray(centroids_q, dtype=np.int64))
+    return ds.map_batches(
+        CentroidAssign, fn_constructor_args=(ref, col, out_col),
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)

@@ -1115,3 +1115,30 @@ def test_quartile_bucketing_degenerate(tmp_path):
                count(*) AS n_events, CAST(sum(c) AS BIGINT) AS sum_cents
         FROM cents CROSS JOIN th GROUP BY 1 ORDER BY 1""").df()
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_centroid_assign_matches_bruteforce():
+    """Integer-quantized centroid argmax vs per-row Python, incl. exact
+    ties resolved to the smallest centroid id."""
+    from go_distributed_log_search_ray.stages.similarity import (
+        centroid_assign, quantize_embeddings)
+
+    rng = np.random.default_rng(23)
+    d, n, k = 16, 400, 5
+    m = rng.normal(0, 1, (n, d)).astype(np.float32)
+    m[7] = m[0]                     # duplicate row: guaranteed tie later
+    cents = np.vstack([m[0], m[1], m[2], m[0], m[3]])  # cent 0 == cent 3
+    cq = quantize_embeddings(cents.astype(np.float64))
+
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in m],
+                                        pa.list_(pa.float32()))})
+    out = centroid_assign(ray.data.from_arrow(t), cq).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    eq = quantize_embeddings(m.astype(np.float64))
+    dots = eq @ cq.T
+    want = dots.argmax(axis=1)      # first max = smallest centroid id
+    assert out["centroid_id"].tolist() == want.tolist()
+    # the duplicated centroid tie resolves to id 0, never 3
+    assert out["centroid_id"][0] == 0 and out["centroid_id"][7] == 0
