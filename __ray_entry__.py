@@ -794,7 +794,32 @@ def _knn_ivf(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from go_distributed_log_search_ray.pipelines import relational as R
+    # ORDER MATTERS: the driver's correctness gate records only the
+    # FIRST 50 entries, so queries that have never (or not recently)
+    # had a driver-recorded row lead the dict; long-stable driver-green
+    # entries rotate to the tail (all were 3/3 in CORRECTNESS_r01-r03).
     return {
+        # never/rarely driver-checked (VERDICT r3 item 1) -- keep first
+        "doc_tfidf_topk": _doc_tfidf_topk,
+        "doc_top_terms_by_lang": _doc_top_terms_by_lang,
+        "doc_prep_agg": _doc_prep_agg,
+        "emb_centroid_assign": _emb_centroid_assign,
+        "media_jpeg_agg": _media_jpeg_agg,
+        "media_png_agg": _media_png_agg,
+        "media_audio_agg": _media_audio_agg,
+        "media_ulaw_agg": _media_ulaw_agg,
+        "media_video_agg": _media_video_agg,
+        "media_decode_agg": _media_decode_agg,
+        "doc_search_topk": _doc_search_topk,
+        "pages_search": _pages_search,
+        "doc_minhash_keep": _doc_minhash_keep,
+        "doc_quality_score": _doc_quality_score,
+        "doc_langid": _doc_langid,
+        "doc_simhash_pairs": _doc_simhash_pairs,
+        "emb_near_dups": _emb_near_dups,
+        "knn_bruteforce": _knn_bruteforce,
+        "knn_multi": _knn_multi,
+        "knn_ivf": _knn_ivf,
         # flagship web-page pipeline (corpus synthesized per BASELINE input_hint)
         "pages_extract": _pages_extract,
         "pages_grok": _pages_grok,
@@ -804,43 +829,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_status_agg": _pages_status_agg,
         "pages_host_count": _pages_host_count,
         "pages_ip_geo_agg": _pages_ip_geo_agg,
-        # relational / windowed operators over driver tables
-        "q1_pricing": R.q1_pricing,
-        "revenue_filter": R.revenue_filter,
-        "top_orders": R.top_orders,
-        "orders_by_segment": R.orders_by_segment,
-        "order_lineitem_join": R.order_lineitem_join,
-        "order_lineitem_skew_join": R.order_lineitem_skew_join,
-        "part_type_revenue": R.part_type_revenue,
-        "revenue_by_region": R.revenue_by_region,
-        "supplier_nation_acctbal": R.supplier_nation_acctbal,
-        "customers_without_orders": R.customers_without_orders,
-        "parts_with_lineitems": R.parts_with_lineitems,
-        "events_top_by_type": R.events_top_by_type,
-        "doc_length_quantiles": R.doc_length_quantiles,
-        "doc_length_quantiles_by_lang": R.doc_length_quantiles_by_lang,
-        "doc_hash_sample_agg": R.doc_hash_sample_agg,
-        "doc_mixture_sample_agg": R.doc_mixture_sample_agg,
-        "doc_split_counts": R.doc_split_counts,
-        "events_user_running_value": R.events_user_running_value,
-        "events_user_value_delta": R.events_user_value_delta,
-        "events_user_path": R.events_user_path,
-        "events_hour_type_pivot": R.events_hour_type_pivot,
-        "lineitem_rollup": R.lineitem_rollup,
-        "lineitem_cube": R.lineitem_cube,
-        "events_value_quartile_agg": R.events_value_quartile_agg,
-        "lineitem_unpivot_agg": R.lineitem_unpivot_agg,
-        "events_props_agg": R.events_props_agg,
-        "events_route_agg": R.events_route_agg,
-        "events_hourly": R.events_hourly,
-        "events_sessions": R.events_sessions,
-        "events_distinct_users": R.events_distinct_users,
-        "events_approx_distinct_users": _events_approx_distinct_users,
-        "events_value_quantiles_approx": _events_value_quantiles_approx,
-        "events_asof_last_click": _events_asof_last_click,
-        "events_sliding_counts": _events_sliding_counts,
-        "events_windowed_counts": _events_windowed_counts,
-        "events_tail_windowed_counts": _events_tail_windowed_counts,
         # training-data text ops
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_count": _doc_token_count,
@@ -848,28 +836,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_features": _doc_quality_features,
         "doc_fingerprint": _doc_fingerprint,
         "doc_lang_agg": _doc_lang_agg,
-        "doc_search_topk": _doc_search_topk,
-        "doc_tfidf_topk": _doc_tfidf_topk,
-        "doc_top_terms_by_lang": _doc_top_terms_by_lang,
-        "pages_search": _pages_search,
-        "doc_minhash_keep": _doc_minhash_keep,
-        "doc_prep_agg": _doc_prep_agg,
-        "doc_quality_score": _doc_quality_score,
-        "doc_langid": _doc_langid,
-        "doc_simhash_pairs": _doc_simhash_pairs,
-        "emb_near_dups": _emb_near_dups,
-        # multimodal (real PPM + WAV decode paths; jpeg/video stay stubbed)
-        "media_decode_agg": _media_decode_agg,
-        "media_jpeg_agg": _media_jpeg_agg,
-        "media_png_agg": _media_png_agg,
-        "media_audio_agg": _media_audio_agg,
-        "media_ulaw_agg": _media_ulaw_agg,
-        "media_video_agg": _media_video_agg,
-        # similarity search
-        "emb_centroid_assign": _emb_centroid_assign,
-        "knn_bruteforce": _knn_bruteforce,
-        "knn_multi": _knn_multi,
-        "knn_ivf": _knn_ivf,
+        # windowed / streaming / sketch operators
+        "events_approx_distinct_users": _events_approx_distinct_users,
+        "events_value_quantiles_approx": _events_value_quantiles_approx,
+        "events_asof_last_click": _events_asof_last_click,
+        "events_sliding_counts": _events_sliding_counts,
+        "events_windowed_counts": _events_windowed_counts,
+        "events_tail_windowed_counts": _events_tail_windowed_counts,
+        "events_hour_type_pivot": R.events_hour_type_pivot,
+        "events_sessions": R.events_sessions,
+        "events_user_running_value": R.events_user_running_value,
+        "events_user_value_delta": R.events_user_value_delta,
+        "events_user_path": R.events_user_path,
+        "events_value_quartile_agg": R.events_value_quartile_agg,
+        # joins (the round-4 partition-default change runs through these)
+        "order_lineitem_join": R.order_lineitem_join,
+        "order_lineitem_skew_join": R.order_lineitem_skew_join,
+        "customers_without_orders": R.customers_without_orders,
+        "parts_with_lineitems": R.parts_with_lineitems,
+        # ---- position 51+: long-stable driver-green rows below ----
+        "q1_pricing": R.q1_pricing,
+        "revenue_filter": R.revenue_filter,
+        "top_orders": R.top_orders,
+        "orders_by_segment": R.orders_by_segment,
+        "part_type_revenue": R.part_type_revenue,
+        "revenue_by_region": R.revenue_by_region,
+        "supplier_nation_acctbal": R.supplier_nation_acctbal,
+        "events_top_by_type": R.events_top_by_type,
+        "doc_length_quantiles": R.doc_length_quantiles,
+        "doc_length_quantiles_by_lang": R.doc_length_quantiles_by_lang,
+        "doc_hash_sample_agg": R.doc_hash_sample_agg,
+        "doc_mixture_sample_agg": R.doc_mixture_sample_agg,
+        "doc_split_counts": R.doc_split_counts,
+        "lineitem_rollup": R.lineitem_rollup,
+        "lineitem_cube": R.lineitem_cube,
+        "lineitem_unpivot_agg": R.lineitem_unpivot_agg,
+        "events_props_agg": R.events_props_agg,
+        "events_route_agg": R.events_route_agg,
+        "events_hourly": R.events_hourly,
+        "events_distinct_users": R.events_distinct_users,
     }
 
 

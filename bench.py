@@ -214,7 +214,18 @@ def _wait_for_ray_teardown(max_wait: int = 90) -> None:
     time.sleep(10)  # let page cache / shm settle
 
 
+def _loadavg() -> list:
+    """1/5/15-min load at bench start: the box hosts an external
+    co-tenant (clean runs repeat +/-20%, contended runs 2-3x slower),
+    so contention must be machine-readable next to every timing."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
 def main() -> None:
+    loadavg_start = _loadavg()
     if "--scaling" in sys.argv:
         # N vs 4N evidence (sandbox stand-in for two cluster sizes):
         # fresh process per size, pinned with taskset so the small size
@@ -249,6 +260,8 @@ def main() -> None:
             "scaling_efficiency": round((thi / tlo) / ratio, 3),
             "cpu_sizes": [lo, hi],
             "sf_dir": SF_DIR,
+            "loadavg_start": loadavg_start,
+            "loadavg_end": _loadavg(),
         }))
         return
 
@@ -287,6 +300,8 @@ def main() -> None:
         "extras": extras,
         "sf": sf,
         "num_cpus": NUM_CPUS,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": _loadavg(),
     }))
     import ray
     ray.shutdown()

@@ -128,13 +128,19 @@ def build_routed_dataset(
     every block of every operator from ONE driver loop, so block count --
     not CPU count -- becomes the serial bottleneck when shards are small
     (measured 7x throughput loss at 1000 tiny blocks).  Default: 4 blocks
-    per CPU, floor of 8."""
+    per CPU, floor of 8 -- NOT capped at the file count: read_parquet
+    splits within files at row-group granularity, so a partition with
+    few LARGE shards still fans out across the extract pool (a
+    file-count cap starved it: "operator only received 3 inputs" at 6
+    requested actors in the round-3 bench).  When files have too few
+    row groups to split, Ray simply emits fewer blocks -- the override
+    is an upper target, so tiny corpora cannot over-split either."""
     files = files if files is not None else shard_files(corpus_dir)
     if lookups_ref is None:
         lookups_ref = broadcast_lookups(os.path.join(corpus_dir, "lookups"))
     if num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_blocks = min(len(files), max(8, cpus * 4))
+        num_blocks = max(8, cpus * 4)
     ds = ray.data.read_parquet(files, columns=INPUT_COLUMNS,
                                override_num_blocks=num_blocks)
     ds = ds.map_batches(

@@ -914,11 +914,17 @@ def events_hour_type_pivot(sf_dir: str) -> pa.Table:
             return pa.table({"hour": pa.array([], pa.int64()),
                              **{c: pa.array([], pa.int64()) for c in ncols}})
         hour = np.asarray(pc.hour(b.column("ts")), dtype=np.int64)
-        code = np.asarray(
+        # index_in yields null for any type outside _EVENT_TYPES; a
+        # null->NaN int cast would poison bincount, so route unknowns
+        # (and null types) to a reject code and mask them out -- one
+        # surprise enum value must not kill the whole pivot job.
+        code = np.asarray(pc.fill_null(
             pc.index_in(b.column("event_type"),
-                        value_set=pa.array(_EVENT_TYPES)), dtype=np.int64)
-        counts = np.bincount(hour * T + code, minlength=24 * T) \
-            .reshape(24, T)
+                        value_set=pa.array(_EVENT_TYPES)), T),
+            dtype=np.int64)
+        known = code < T
+        counts = np.bincount(hour[known] * T + code[known],
+                             minlength=24 * T).reshape(24, T)
         nz = np.nonzero(counts.sum(axis=1))[0]
         return pa.table({"hour": pa.array(nz, type=pa.int64()),
                          **{c: pa.array(counts[nz, i], type=pa.int64())

@@ -298,6 +298,13 @@ def sliding_window_agg(ds, window_us: int, hop_us: int,
     k = (window_us + hop_us - 1) // hop_us      # windows covering a row
 
     def expand_partial(b: pa.Table) -> pa.Table:
+        # null ts or value would cast to INT64_MIN / NaN and corrupt the
+        # window sums -- drop such rows up front (matches the _cents
+        # valid-filtering used by the tumbling-window path).
+        valid = pc.and_(pc.is_valid(b.column(ts_col)),
+                        pc.is_valid(b.column(value_col)))
+        if not pc.all(valid).as_py():
+            b = b.filter(valid)
         if b.num_rows == 0:
             return pa.table({"window_start_us": pa.array([], pa.int64()),
                              "event_count": pa.array([], pa.int64()),

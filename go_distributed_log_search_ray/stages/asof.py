@@ -90,7 +90,8 @@ def _asof_merge_tables(lt: pa.Table, rt: pa.Table, by: str, on: str,
 def asof_join(left: Dataset, right: Dataset, by: str, on: str,
               num_partitions: int | None = None,
               left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None) -> Dataset:
+              right_schema: pa.Schema | None = None,
+              est_bytes: int | None = None) -> Dataset:
     """Backward as-of left join: every left row, plus the value columns
     of the latest right row with the same ``by`` key and
     ``right.on <= left.on`` (null if none).  Column names other than
@@ -106,7 +107,7 @@ def asof_join(left: Dataset, right: Dataset, by: str, on: str,
         raise ValueError(f"non-key column name clash: {sorted(clash)}")
 
     p = 1
-    target_p = num_partitions or _num_partitions()
+    target_p = num_partitions or _num_partitions(est_bytes)
     while p < target_p:
         p *= 2
 

@@ -30,10 +30,8 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
-def _num_partitions() -> int:
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, min(cpus, 16))
+from .partitions import num_partitions as _num_partitions  # noqa: F401
+
 
 
 def _part_of(col: pa.Array, p: int) -> pa.Array:
@@ -83,7 +81,8 @@ def hash_join(left: Dataset, right: Dataset, on: str,
               num_partitions: int | None = None,
               join_type: str = "inner",
               left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None) -> Dataset:
+              right_schema: pa.Schema | None = None,
+              est_bytes: int | None = None) -> Dataset:
     """Co-partitioned shuffle join of two Datasets on a single key.
 
     Both sides move once (the union shuffle); per-partition joins are
@@ -129,7 +128,7 @@ def hash_join(left: Dataset, right: Dataset, on: str,
         raise ValueError(f"non-key column name clash: {sorted(clash)}")
     key_type = lsch.field(on).type
     p = 1
-    target = num_partitions or _num_partitions()
+    target = num_partitions or _num_partitions(est_bytes)
     while p < target:
         p *= 2
     order = [on] + lcols + rcols + ["__side"]

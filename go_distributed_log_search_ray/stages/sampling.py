@@ -42,13 +42,19 @@ def hash_buckets(ids: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
     Ids are rendered via Arrow's string cast (decimal for integers), so
     the bucket matches ``md5(seed || ':' || CAST(id AS VARCHAR))`` in
     SQL bit-for-bit.
+
+    Null ids bucket to the sentinel 2^32 (one past the uint32 range):
+    every ``< threshold`` sample test then rejects them -- exactly the
+    SQL semantics, where ``md5(NULL) < t`` is NULL and the WHERE drops
+    the row.  ``hash_split`` maps the sentinel to a null split label.
     """
     import pyarrow.compute as pc
     strs = pc.cast(ids, pa.string()).to_pylist()
     pre = f"{seed}:".encode()
     md5 = hashlib.md5
     return np.array(
-        [int.from_bytes(md5(pre + s.encode()).digest()[:4], "big")
+        [_U32 if s is None
+         else int.from_bytes(md5(pre + s.encode()).digest()[:4], "big")
          for s in strs],
         dtype=np.uint64)
 
@@ -119,7 +125,10 @@ def hash_split(ds: Dataset, id_col: str, weights: dict[str, float],
     bounds = split_thresholds(weights)
     names = [n for n, _ in bounds]
     uppers = np.array([u for _, u in bounds], dtype=np.uint64)
-    lut = pa.array(names, pa.string())
+    # trailing None catches the null-id sentinel bucket (2^32): a row
+    # with no id gets a null split label rather than crashing or being
+    # silently assigned to the last split.
+    lut = pa.array(names + [None], pa.string())
 
     def tag(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -129,3 +138,45 @@ def hash_split(ds: Dataset, id_col: str, weights: dict[str, float],
         return b.append_column(out_col, lut.take(pa.array(idx)))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def weighted_hash_sample(ds: Dataset, id_col: str, weight_col: str,
+                         rate_num: int, rate_den: int,
+                         seed: int = 0) -> Dataset:
+    """Weighted Poisson sampling: keep a row with probability
+    ``min(1, weight * rate_num / rate_den)`` -- the standard way to
+    upweight long/high-quality documents in a corpus mixture while
+    keeping the decision per-row (no shuffle, no coordination,
+    repartition-stable).
+
+    The inclusion test is INTEGER-EXACT: ``bucket * rate_den <
+    weight * rate_num * 2^32`` over int64 (no floats, no ln()), so a
+    SQL oracle using the same md5 bucket reproduces every decision
+    bit-for-bit -- float weighted-sampling (exp-hash A-Res priorities)
+    would diverge from SQL in the last ulp and flip marginal rows.
+    Caller must keep ``weight * rate_num < 2^31`` and
+    ``rate_den <= 2^31`` so neither product overflows int64.  Null ids
+    hash to the 2^32 sentinel: ``sentinel * rate_den`` is >= any valid
+    threshold only when weight*rate >= 1 -- so null-id rows are dropped
+    explicitly first (SQL NULL semantics, like ``hash_sample``).
+    """
+    if rate_den > (1 << 31):
+        raise ValueError("rate_den too large for exact int64 arithmetic")
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if b.num_rows == 0:
+            return b
+        valid = pc.is_valid(b.column(id_col))
+        if not pc.all(valid).as_py():
+            b = b.filter(valid)
+            if b.num_rows == 0:
+                return b
+        w = np.asarray(pc.cast(b.column(weight_col), pa.int64()))
+        if (w * rate_num).max(initial=0) >= (1 << 31):
+            raise ValueError("weight * rate_num overflows the exact test")
+        lhs = hash_buckets(b.column(id_col), seed).astype(np.int64) * rate_den
+        rhs = (w * rate_num) << 32
+        return b.filter(pa.array(lhs < rhs))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

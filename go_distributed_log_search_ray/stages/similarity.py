@@ -117,9 +117,34 @@ class CellAssigner:
         return batch.append_column("ivf_cell", pa.array(cell))
 
 
+def _unbiased_sample(ds: Dataset, id_col: str, sample_size: int,
+                     seed: int) -> np.ndarray:
+    """Deterministic bottom-k-by-hash sample of the embedding column.
+
+    ``take(sample_size)`` reads the HEAD of the dataset in file order;
+    on sorted/clustered parquet (the common layout) that trains biased
+    centroids and skews cell sizes.  Instead: a shuffle-free
+    ``hash_sample`` keeps ~4x the target uniformly over the WHOLE
+    corpus (only the kept rows reach the driver), then the sample is
+    the lowest-hash ``sample_size`` of those -- a uniform
+    without-replacement draw independent of row order, reproducible
+    across runs and partitionings."""
+    from .sampling import hash_buckets, hash_sample
+
+    n = ds.count()
+    frac = min(1.0, (4.0 * sample_size) / max(1, n))
+    slim = ds.select_columns([id_col, "embedding"])
+    rows = hash_sample(slim, id_col, frac, seed=seed).take_all()
+    if not rows:                      # degenerate tiny corpus
+        rows = slim.take(sample_size)
+    buckets = hash_buckets(pa.array([r[id_col] for r in rows]), seed)
+    order = np.argsort(buckets, kind="stable")[:sample_size]
+    return np.stack([rows[i]["embedding"] for i in order])
+
+
 def build_ivf_index(ds: Dataset, index_dir: str, ncells: int = 16,
                     sample_size: int = 2048, seed: int = 3,
-                    force: bool = False) -> str:
+                    force: bool = False, id_col: str = "vec_id") -> str:
     """ONE-TIME index build: train centroids on a sample, assign every
     row to its nearest cell, and persist as CELL-PARTITIONED parquet
     (``ivf_cell=N/`` directories) plus ``centroids.npy``.  Probes then
@@ -133,8 +158,7 @@ def build_ivf_index(ds: Dataset, index_dir: str, ncells: int = 16,
         return index_dir
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
-    sample = np.stack([r["embedding"] for r in
-                       ds.select_columns(["embedding"]).take(sample_size)])
+    sample = _unbiased_sample(ds, id_col, sample_size, seed)
     cent = train_centroids(sample.astype(np.float64), ncells, seed=seed)
     cref = ray.put(cent)
     assigned = ds.map_batches(CellAssigner, fn_constructor_args=(cref,),
@@ -187,7 +211,7 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, ncells: int = 16,
         index_dir = tempfile.mkdtemp(prefix="graft_ivf_")
     try:
         build_ivf_index(ds, index_dir, ncells=ncells,
-                        sample_size=sample_size, force=own)
+                        sample_size=sample_size, force=own, id_col=id_col)
         return knn_ivf_probe(index_dir, queries, k=k, nprobe=nprobe,
                              id_col=id_col)
     finally:

@@ -22,6 +22,11 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import AggregateFnV2
 
+# Arrow binary() offsets are int32: one block's register payload must
+# stay under 2^31 bytes or the offsets silently wrap.  Module-level so
+# tests can shrink it to exercise the chunked-emission path.
+_MAX_BINARY_BYTES = (1 << 31) - 1
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -95,12 +100,27 @@ def hll_partial_batch(batch: pa.Table, group_col: str, value_col: str,
     regs = np.zeros((ng, m), dtype=np.uint8)
     np.maximum.at(regs, (gidx, idx), rho)
 
-    offsets = pa.array((np.arange(ng + 1, dtype=np.int64) * m)
-                       .astype(np.int32))
-    reg_col = pa.Array.from_buffers(
-        pa.binary(), ng,
-        [None, offsets.buffers()[1], pa.py_buffer(regs.tobytes())])
-    return pa.table({group_col: enc.dictionary, "hll_regs": reg_col})
+    # binary() carries int32 offsets: past 2^31 register bytes in one
+    # array they would silently wrap and corrupt every blob.  Emit the
+    # groups in chunks that each stay under the limit (schema stays
+    # plain binary for every block, so downstream unification is safe).
+    max_groups = max(1, _MAX_BINARY_BYTES // m)
+    if ng == 0:
+        return pa.table({group_col: enc.dictionary,
+                         "hll_regs": pa.array([], pa.binary())})
+    chunks = []
+    for start in range(0, ng, max_groups):
+        stop = min(start + max_groups, ng)
+        n = stop - start
+        offsets = pa.array((np.arange(n + 1, dtype=np.int64) * m)
+                           .astype(np.int32))
+        reg_col = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, offsets.buffers()[1],
+             pa.py_buffer(regs[start:stop].tobytes())])
+        chunks.append(pa.table({group_col: enc.dictionary[start:stop],
+                                "hll_regs": reg_col}))
+    return chunks[0] if len(chunks) == 1 else pa.concat_tables(chunks)
 
 
 class HLLMerge(AggregateFnV2):
