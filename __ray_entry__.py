@@ -792,6 +792,61 @@ def _knn_ivf(sf_dir: str):
     return t.select(["vec_id", "rank"])
 
 
+def _pages_redact_agg(sf_dir: str):
+    """Per-lang PII (IPv4) redaction stats over raw html: one streaming
+    RE2 pass, partial per-batch aggregation, O(langs) shuffle.  DuckDB's
+    regex engine is RE2 too, so the oracle uses the SAME pattern."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.redact import (
+        IPV4_PATTERN, redaction_agg)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                               columns=["lang", "html"])
+    agg = redaction_agg(ds, "html", IPV4_PATTERN, "lang")
+    return small_table(agg, sort_keys=["lang"],
+                       int64_cols=["doc_count", "docs_with_match",
+                                   "match_count"]) \
+        .select(["lang", "doc_count", "docs_with_match", "match_count"])
+
+
+def _doc_weighted_sample_agg(sf_dir: str):
+    """Integer-exact weighted Poisson sample (keep prob = n_chars/2000),
+    aggregated per lang.  Every inclusion decision is reproducible in
+    SQL (same md5 bucket, same int64 comparison), so the oracle matches
+    row-for-row."""
+    from ray.data.aggregate import Count, Sum
+    from go_distributed_log_search_ray.stages.sampling import (
+        weighted_hash_sample)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    ds = _read_table(sf_dir, "documents",
+                     columns=["doc_id", "lang", "n_chars"])
+    kept = weighted_hash_sample(ds, "doc_id", "n_chars",
+                                rate_num=1, rate_den=2000, seed=17)
+    agg = kept.groupby("lang").aggregate(
+        Count("doc_id", alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"))
+    return small_table(agg, sort_keys=["lang"],
+                       int64_cols=["n_docs", "sum_chars"]) \
+        .select(["lang", "n_docs", "sum_chars"])
+
+
+def _doc_pack_bins(sf_dir: str):
+    """Greedy sequence packing into 512-token bins (rows-only check:
+    greedy packing is not SQL-expressible; bin-cap/fill properties are
+    asserted in pytest).  num_buckets is FIXED so the bin layout is
+    deterministic across cluster sizes."""
+    from go_distributed_log_search_ray.stages.packing import pack_documents
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bins = pack_documents(ds, seq_len=512, num_buckets=32)
+    t = pa.Table.from_pylist(bins.take_all(),
+                             schema=pa.schema([("bucket", pa.int64()),
+                                               ("bin_id", pa.int64()),
+                                               ("n_docs", pa.int64()),
+                                               ("tokens", pa.int64())]))
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("bucket", "ascending"), ("bin_id", "ascending")]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from go_distributed_log_search_ray.pipelines import relational as R
     # ORDER MATTERS: the driver's correctness gate records only the
@@ -799,6 +854,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # had a driver-recorded row lead the dict; long-stable driver-green
     # entries rotate to the tail (all were 3/3 in CORRECTNESS_r01-r03).
     return {
+        # new in round 4 -- never driver-checked
+        "pages_redact_agg": _pages_redact_agg,
+        "doc_weighted_sample_agg": _doc_weighted_sample_agg,
+        "events_funnel_agg": R.events_funnel_agg,
+        "doc_pack_bins": _doc_pack_bins,
         # never/rarely driver-checked (VERDICT r3 item 1) -- keep first
         "doc_tfidf_topk": _doc_tfidf_topk,
         "doc_top_terms_by_lang": _doc_top_terms_by_lang,
@@ -845,16 +905,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tail_windowed_counts": _events_tail_windowed_counts,
         "events_hour_type_pivot": R.events_hour_type_pivot,
         "events_sessions": R.events_sessions,
-        "events_user_running_value": R.events_user_running_value,
-        "events_user_value_delta": R.events_user_value_delta,
-        "events_user_path": R.events_user_path,
-        "events_value_quartile_agg": R.events_value_quartile_agg,
         # joins (the round-4 partition-default change runs through these)
         "order_lineitem_join": R.order_lineitem_join,
         "order_lineitem_skew_join": R.order_lineitem_skew_join,
         "customers_without_orders": R.customers_without_orders,
         "parts_with_lineitems": R.parts_with_lineitems,
         # ---- position 51+: long-stable driver-green rows below ----
+        "events_user_running_value": R.events_user_running_value,
+        "events_user_value_delta": R.events_user_value_delta,
+        "events_user_path": R.events_user_path,
+        "events_value_quartile_agg": R.events_value_quartile_agg,
         "q1_pricing": R.q1_pricing,
         "revenue_filter": R.revenue_filter,
         "top_orders": R.top_orders,
@@ -885,6 +945,35 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "pages_redact_agg": f"""
+            SELECT lang, count(*) AS doc_count,
+                   CAST(sum(CASE WHEN regexp_matches(CAST(html AS VARCHAR),
+                        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_match,
+                   CAST(sum(len(regexp_extract_all(CAST(html AS VARCHAR),
+                        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')))
+                        AS BIGINT) AS match_count
+            FROM read_parquet('{pages}') GROUP BY lang""",
+        "doc_weighted_sample_agg": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE CAST(('0x' || substr(md5('17:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       AS HUGEINT) * 2000
+                  < CAST(n_chars AS HUGEINT) * 4294967296
+            GROUP BY lang""",
+        "events_funnel_agg": """
+            WITH m AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+                FROM events GROUP BY user_id)
+            SELECT CAST(hour(fc) AS BIGINT) AS click_hour,
+                   count(*) AS users_clicked,
+                   CAST(sum(CASE WHEN fp > fc THEN 1 ELSE 0 END) AS BIGINT)
+                       AS users_converted
+            FROM m WHERE fc IS NOT NULL GROUP BY 1""",
         "pages_extract": f"""
             SELECT url, text FROM read_parquet('{pages}')""",
         "pages_grok": f"""

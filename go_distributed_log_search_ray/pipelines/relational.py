@@ -1120,3 +1120,76 @@ def events_value_quartile_agg(sf_dir: str) -> pa.Table:
     return small_table(agg, sort_keys=["bucket"],
                        int64_cols=["n_events", "sum_cents"]) \
         .select(["bucket", "n_events", "sum_cents"])
+
+
+# -- conversion funnel --------------------------------------------------------
+
+def events_funnel_agg(sf_dir: str) -> pa.Table:
+    """Click->purchase conversion funnel, grouped by the hour of each
+    user's FIRST click: users who clicked, and how many of them later
+    purchased (first purchase strictly after first click).
+
+    Distributed shape: batches collapse to per-user (min click ts, min
+    purchase ts) partials BEFORE the user shuffle (the shuffle moves
+    <= one 24-byte row per distinct user per batch, never events);
+    groupby(user) folds the mins; a second partial collapses users to
+    <= 24 hour rows before the tiny final groupby.  No sort, no join,
+    nothing O(events) past the first map."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    part_schema = pa.schema([("user_id", pa.int64()),
+                             ("click_us", pa.int64()),
+                             ("pur_us", pa.int64())])
+
+    def per_user_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("event_type"),
+                              value_set=pa.array(["click", "purchase"])))
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        is_click = pc.equal(t.column("event_type"), "click")
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "click_us": pc.if_else(is_click, us, pa.scalar(None, pa.int64())),
+            "pur_us": pc.if_else(is_click, pa.scalar(None, pa.int64()), us),
+        }).group_by(["user_id"]).aggregate(
+            [("click_us", "min"), ("pur_us", "min")])
+        return g.rename_columns(["user_id", "click_us", "pur_us"])
+
+    per_user = ds.map_batches(per_user_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("click_us", alias_name="click_us"),
+            Min("pur_us", alias_name="pur_us"))
+
+    hour_schema = pa.schema([("click_hour", pa.int64()),
+                             ("users_clicked", pa.int64()),
+                             ("users_converted", pa.int64())])
+
+    def per_hour_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("click_us")))
+        if b.num_rows == 0:
+            return hour_schema.empty_table()
+        click = np.asarray(b.column("click_us"))
+        hour = (click // 3_600_000_000) % 24
+        pur = b.column("pur_us")
+        conv = (pc.fill_null(pur, np.iinfo(np.int64).min).to_numpy(
+            zero_copy_only=False) > click).astype(np.int64)
+        # note: a purchase at/before the first click does NOT convert
+        clicked = np.bincount(hour, minlength=24)
+        converted = np.bincount(hour, weights=conv, minlength=24) \
+            .astype(np.int64)
+        nz = np.nonzero(clicked)[0]
+        return pa.table({"click_hour": pa.array(nz, pa.int64()),
+                         "users_clicked": pa.array(clicked[nz], pa.int64()),
+                         "users_converted": pa.array(converted[nz],
+                                                     pa.int64())})
+
+    agg = per_user.map_batches(per_hour_partial, batch_format="pyarrow") \
+        .groupby("click_hour").aggregate(
+            Sum("users_clicked", alias_name="users_clicked"),
+            Sum("users_converted", alias_name="users_converted"))
+    return small_table(agg, sort_keys=["click_hour"],
+                       int64_cols=["click_hour", "users_clicked",
+                                   "users_converted"]) \
+        .select(["click_hour", "users_clicked", "users_converted"])

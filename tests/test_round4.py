@@ -193,3 +193,84 @@ def test_merge_then_search_preserves_results(corpus_dir, tmp_path):
     assert len(before) == 5 and all(s > 0 for _, s in before)
     compact(out, target_partitions=2)
     assert search() == before      # compaction never changes query results
+
+
+# -- round-4 new operators -----------------------------------------------------
+
+def test_redact_batch_counts_and_replaces():
+    from go_distributed_log_search_ray.stages.redact import (
+        IPV4_PATTERN, redact_batch)
+
+    b = pa.table({"lang": ["en", "de"],
+                  "html": [b"ip 10.0.0.1 and 192.168.1.2 end", b"none here"]})
+    out = redact_batch(b, "html", IPV4_PATTERN, replacement="[IP]")
+    assert out.column("redactions").to_pylist() == [2, 0]
+    assert out.column("html_redacted").to_pylist() == \
+        ["ip [IP] and [IP] end", "none here"]
+
+
+def test_weighted_sample_probability_and_guard():
+    from go_distributed_log_search_ray.stages.sampling import (
+        weighted_hash_sample)
+
+    rows = [{"doc_id": i, "w": 100 if i % 2 else 0} for i in range(2000)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    kept = weighted_hash_sample(ds, "doc_id", "w", 1, 1000).take_all()
+    ids = [r["doc_id"] for r in kept]
+    assert all(i % 2 == 1 for i in ids)          # zero weight never kept
+    # keep prob 0.1 over 1000 eligible rows: binomial, 5 sigma ~ 47
+    assert 50 <= len(ids) <= 150
+    big = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": 1, "w": 1 << 32}]))
+    with pytest.raises(Exception):               # overflow guard raises
+        weighted_hash_sample(big, "doc_id", "w", 1, 1000).take_all()
+
+
+def test_pack_documents_properties():
+    from go_distributed_log_search_ray.stages.packing import (
+        _greedy_next_fit, pack_documents, packing_stats)
+
+    # kernel: next-fit reference semantics
+    assert _greedy_next_fit(np.array([3, 3, 3, 3]), 7).tolist() == [0, 0, 1, 1]
+    assert _greedy_next_fit(np.array([9, 1]), 8).tolist() == [0, 1]
+
+    rows = [{"doc_id": i, "text": " ".join(["w"] * (10 + i % 90))}
+            for i in range(500)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    bins = pack_documents(ds, seq_len=128, num_buckets=8)
+    t = pa.Table.from_pylist(bins.take_all())
+    toks = t.column("tokens").to_pylist()
+    assert all(x <= 128 for x in toks)                    # bin cap holds
+    assert sum(t.column("n_docs").to_pylist()) == 500     # every doc packed
+    stats = packing_stats(ray.data.from_arrow(t), 128)
+    assert stats.column("mean_fill")[0].as_py() > 0.5     # next-fit bound
+    # deterministic: same input, same bins regardless of partitioning
+    t2 = pa.Table.from_pylist(
+        pack_documents(ds.repartition(7), seq_len=128,
+                       num_buckets=8).take_all())
+    key = lambda tb: sorted(map(tuple, tb.to_pylist()[0].items())) and sorted(
+        (r["bucket"], r["bin_id"], r["n_docs"], r["tokens"])
+        for r in tb.to_pylist())
+    assert key(t) == key(t2)
+
+
+def test_funnel_excludes_purchase_before_click():
+    from go_distributed_log_search_ray.pipelines.relational import (
+        events_funnel_agg)
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    h = 3_600_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["click", "purchase", "purchase", "click",
+                                "click"]),
+        "ts": pa.array([h * 2, h * 3, h * 1, h * 2 + 5, h * 2],
+                       pa.timestamp("us")),
+    })
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = {r["click_hour"]: r for r in events_funnel_agg(d).to_pylist()}
+    # hour 2: users 1,2,3 clicked; only user 1 purchased AFTER clicking
+    assert out[2]["users_clicked"] == 3
+    assert out[2]["users_converted"] == 1
