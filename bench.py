@@ -224,8 +224,35 @@ def _loadavg() -> list:
         return []
 
 
+def _cpu_jiffies() -> list:
+    """First /proc/stat line: the co-tenant runs OUTSIDE this PID
+    namespace (ps shows nothing) but its cycles still appear here as
+    'nice' time, and hypervisor contention as 'steal' -- the only
+    machine-readable contention signal available in this sandbox."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+    except OSError:
+        return []
+
+
+def _cpu_pct(a: list, b: list) -> dict:
+    """% of total CPU time between two _cpu_jiffies snapshots, keyed by
+    who got it.  nice_pct = external co-tenant, steal_pct = hypervisor;
+    both at ~0 means the measurement window was clean."""
+    if not a or not b:
+        return {}
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    keys = ["user", "nice", "system", "idle", "iowait", "irq", "softirq",
+            "steal"]
+    return {f"{k}_pct": round(v / tot * 100, 1) for k, v in zip(keys, d)
+            if k in ("user", "nice", "idle", "steal")}
+
+
 def main() -> None:
     loadavg_start = _loadavg()
+    jiffies_start = _cpu_jiffies()
     if "--scaling" in sys.argv:
         # N vs 4N evidence (sandbox stand-in for two cluster sizes):
         # fresh process per size, pinned with taskset so the small size
@@ -262,6 +289,7 @@ def main() -> None:
             "sf_dir": SF_DIR,
             "loadavg_start": loadavg_start,
             "loadavg_end": _loadavg(),
+            "cpu_share": _cpu_pct(jiffies_start, _cpu_jiffies()),
         }))
         return
 
@@ -302,6 +330,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "loadavg_start": loadavg_start,
         "loadavg_end": _loadavg(),
+        "cpu_share": _cpu_pct(jiffies_start, _cpu_jiffies()),
     }))
     import ray
     ray.shutdown()

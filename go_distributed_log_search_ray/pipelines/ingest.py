@@ -128,19 +128,26 @@ def build_routed_dataset(
     every block of every operator from ONE driver loop, so block count --
     not CPU count -- becomes the serial bottleneck when shards are small
     (measured 7x throughput loss at 1000 tiny blocks).  Default: 4 blocks
-    per CPU, floor of 8 -- NOT capped at the file count: read_parquet
-    splits within files at row-group granularity, so a partition with
-    few LARGE shards still fans out across the extract pool (a
-    file-count cap starved it: "operator only received 3 inputs" at 6
-    requested actors in the round-3 bench).  When files have too few
-    row groups to split, Ray simply emits fewer blocks -- the override
-    is an upper target, so tiny corpora cannot over-split either."""
+    per CPU, floor of 8, capped at the input's ROW-GROUP count -- not at
+    the file count: read_parquet splits within files at row-group
+    granularity, so a partition with few LARGE (multi-row-group) shards
+    still fans out across the extract pool (a file-count cap starved
+    it: "operator only received 3 inputs" at 6 requested actors in the
+    round-3 bench), while single-row-group shards are NOT shattered
+    into tiny post-read blocks (requesting 128 blocks from 4
+    one-row-group files measured 3x slower end to end)."""
     files = files if files is not None else shard_files(corpus_dir)
     if lookups_ref is None:
         lookups_ref = broadcast_lookups(os.path.join(corpus_dir, "lookups"))
     if num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_blocks = max(8, cpus * 4)
+        try:
+            import pyarrow.parquet as pq
+            rgs = sum(pq.ParquetFile(f).metadata.num_row_groups
+                      for f in files)
+        except Exception:          # URI/fs inputs: footer probe n/a
+            rgs = len(files)
+        num_blocks = min(max(rgs, 1), max(8, cpus * 4))
     ds = ray.data.read_parquet(files, columns=INPUT_COLUMNS,
                                override_num_blocks=num_blocks)
     ds = ds.map_batches(
