@@ -108,11 +108,18 @@ def order_lineitem_join(sf_dir: str) -> pa.Table:
     partial-combine + tiny groupby."""
     from ..stages.join import hash_join
 
+    import os
+
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # bytes-aware partitioning: parquet file sizes x3 (columnar
+    # decompression expansion) feed the 256 MiB/partition target
+    est = 3 * sum(os.path.getsize(f"{sf_dir}/{t}.parquet")
+                  for t in ("lineitem", "orders"))
     j = hash_join(
         li, orders, on="l_orderkey", right_on="o_orderkey",
+        est_bytes=est,
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("l_extendedprice", pa.float64()),
                                ("l_discount", pa.float64())]),
