@@ -57,6 +57,33 @@ def test_cli_stream_and_tail(sf001, tmp_path):
     assert len(Manifest(str(tmp_path / "tout")).entries()) == 1
 
 
+def test_cli_merge_then_search_contract(corpus_dir, tmp_path, capsys):
+    """Compaction -> query contract (reference flow README.md:30-47):
+    `search` over compacted sinks must return the exact result set the
+    pre-merge sinks returned -- compaction is invisible to readers."""
+    out = str(tmp_path / "idx2")
+    cli_main(["create", "--name", "pages", "--out", out,
+              "--fields", "url,text,lang"])
+    capsys.readouterr()
+    cli_main(["index", "--corpus", corpus_dir, "--out", out,
+              "--partitions", "4", "--no-resume"])
+    capsys.readouterr()
+
+    def search(q):
+        cli_main(["search", "--out", out, "--query", q, "--limit", "10"])
+        res = json.loads(capsys.readouterr().out.strip())["results"]
+        return sorted((r["url"], r["score"], r["lang"]) for r in res)
+
+    before = {q: search(q) for q in ("kernel", "error")}
+    assert any(before.values())
+
+    cli_main(["merge", "--out", out])
+    capsys.readouterr()
+
+    for q, expect in before.items():
+        assert search(q) == expect
+
+
 def test_cli_tail_window(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
