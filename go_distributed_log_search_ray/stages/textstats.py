@@ -234,3 +234,90 @@ def top_terms_by_group(ds, group_col: str, text_col: str = "text",
     counts = token_counts_by_group(ds, group_col, text_col)
     return grouped_topk(counts, [group_col], k,
                         [("n", "descending"), ("term", "ascending")])
+
+
+# -- repetition features (Gopher-style quality filter signals) --------------
+
+def _flat_with_doc(col: pa.ChunkedArray | pa.Array, pattern: str,
+                   regex: bool) -> tuple[pa.Array, np.ndarray]:
+    """Split each row by ``pattern``, drop empty pieces, return the flat
+    piece array plus each piece's row index (order-preserving)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    split = (pc.split_pattern_regex(filled, pattern) if regex
+             else pc.split_pattern(filled, pattern))
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    flat = split.flatten()
+    doc_of = np.repeat(np.arange(len(col), dtype=np.int64),
+                       np.diff(np.asarray(split.offsets, dtype=np.int64)))
+    keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False),
+                      dtype=bool)
+    return flat.filter(pa.array(keep)), doc_of[keep]
+
+
+def repetition_features_batch(batch: pa.Table,
+                              text_col: str = "text") -> pa.Table:
+    """Integer repetition signals per document (the Gopher repetition
+    rules, Rae et al. 2021 table A1): duplicate-line counts/chars and the
+    most-frequent token-bigram multiplicity.  A quality filter drops docs
+    where ``n_dup_lines/n_lines`` or ``top_bigram_count/n_bigrams``
+    exceeds a threshold; keeping the raw integer counts makes the DuckDB
+    oracle comparison exact.
+
+    All vectorized: one split kernel + dictionary-encode per signal, the
+    per-doc distinct/multiplicity folds are np.unique/bincount over
+    integer codes -- no per-row Python.  SQL twins: lines via
+    string_split(text, chr(10)) grouped per (doc, line); bigrams via
+    regexp_extract_all(text, '\\S+') + generate_series pairing."""
+    n = batch.num_rows
+    t = batch.column(text_col)
+    zeros = np.zeros(n, dtype=np.int64)
+    out = {k: zeros.copy() for k in
+           ("n_lines", "n_dup_lines", "n_line_chars", "n_dup_line_chars",
+            "top_bigram_count", "n_bigrams")}
+
+    # -- duplicate lines ----------------------------------------------
+    lines, ldoc = _flat_with_doc(t, "\n", regex=False)
+    if len(lines):
+        enc = lines.dictionary_encode()
+        code = np.asarray(enc.indices, dtype=np.int64)
+        nch = np.asarray(pc.utf8_length(enc.dictionary), dtype=np.int64)
+        nu = max(len(enc.dictionary), 1)
+        uniq, cnt = np.unique(ldoc * nu + code, return_counts=True)
+        udoc, ucode = uniq // nu, uniq % nu
+        out["n_lines"] = np.bincount(ldoc, minlength=n).astype(np.int64)
+        out["n_dup_lines"] = np.bincount(
+            udoc, weights=cnt - 1, minlength=n).astype(np.int64)
+        out["n_line_chars"] = np.bincount(
+            ldoc, weights=nch[code], minlength=n).astype(np.int64)
+        out["n_dup_line_chars"] = np.bincount(
+            udoc, weights=(cnt - 1) * nch[ucode], minlength=n).astype(np.int64)
+
+    # -- top token-bigram ----------------------------------------------
+    toks, tdoc = _flat_with_doc(t, r"\s+", regex=True)
+    if len(toks):
+        enc = toks.dictionary_encode()
+        code = np.asarray(enc.indices, dtype=np.int64)
+        nu = max(len(enc.dictionary), 1)
+        adj = tdoc[:-1] == tdoc[1:] if len(code) > 1 else np.zeros(0, bool)
+        bdoc = tdoc[:-1][adj]
+        bpair = (code[:-1][adj] * nu + code[1:][adj])
+        if len(bpair):
+            order = np.lexsort((bpair, bdoc))
+            sd, sp = bdoc[order], bpair[order]
+            new_run = np.ones(len(sd), dtype=bool)
+            new_run[1:] = (sd[1:] != sd[:-1]) | (sp[1:] != sp[:-1])
+            starts = np.nonzero(new_run)[0]
+            runlen = np.diff(np.append(starts, len(sd)))
+            rdoc = sd[starts]
+            out["n_bigrams"] = np.bincount(bdoc, minlength=n).astype(np.int64)
+            top = np.zeros(n, dtype=np.int64)
+            np.maximum.at(top, rdoc, runlen)
+            out["top_bigram_count"] = top
+
+    res = batch
+    for k, v in out.items():
+        res = res.append_column(k, pa.array(v, pa.int64()))
+    return res

@@ -274,3 +274,101 @@ def test_funnel_excludes_purchase_before_click():
     # hour 2: users 1,2,3 clicked; only user 1 purchased AFTER clicking
     assert out[2]["users_clicked"] == 3
     assert out[2]["users_converted"] == 1
+
+
+# -- connected components (duplicate-cluster labeling) ------------------------
+
+def test_connected_components_key_graph():
+    from go_distributed_log_search_ray.stages.components import (
+        connected_components)
+    t = pa.table({
+        "id": [f"d{i:02d}" for i in range(8)],
+        # k1 connects (0,1) (2,3) (4,5); k2 chains (1,2) and (5,6);
+        # 7 is isolated with null keys (null must never connect)
+        "k1": ["a", "a", "b", "b", "c", "c", "x", None],
+        "k2": ["p", "q", "q", "r", "s", "t", "t", None],
+    })
+    out = connected_components(ray.data.from_arrow(t), "id", ["k1", "k2"])
+    comp = {r["id"]: r["component"] for r in out.take_all()}
+    assert comp == {"d00": "d00", "d01": "d00", "d02": "d00", "d03": "d00",
+                    "d04": "d04", "d05": "d04", "d06": "d04", "d07": "d07"}
+
+
+def test_connected_components_edges_matches_bruteforce():
+    import random
+    from go_distributed_log_search_ray.stages.components import (
+        connected_components_edges)
+    rng = random.Random(13)
+    n = 60
+    ids = [f"n{i:02d}" for i in range(n)]
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    nodes = ray.data.from_items([{"id": i} for i in ids])
+    edges = ray.data.from_items(
+        [{"src": ids[a], "dst": ids[b]} for a, b in pairs])
+    out = connected_components_edges(nodes, edges)
+    comp = {r["id"]: r["component"] for r in out.take_all()}
+    # brute-force union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {ids[i]: ids[min(j for j in range(n) if find(j) == find(i))]
+            for i in range(n)}
+    assert comp == want
+
+
+# -- repetition features (Gopher-style dup-line / top-bigram signals) ---------
+
+def test_repetition_features_match_duckdb():
+    import duckdb
+    from go_distributed_log_search_ray.stages.textstats import (
+        repetition_features_batch)
+    texts = ["a b c a b\nx y\nx y\n\nz", "hello world hello world hello",
+             "", None, "dup\ndup\ndup\ndup", "a a a a a a",
+             "héllo wörld\nhéllo wörld",
+             " lead  sp\n lead  sp ", "tab\tsep\ttab\tsep", "one"]
+    t = pa.table({"doc_id": list(range(len(texts))),
+                  "text": pa.array(texts, pa.string())})
+    cols = ["doc_id", "n_lines", "n_dup_lines", "n_line_chars",
+            "n_dup_line_chars", "top_bigram_count", "n_bigrams"]
+    mine = repetition_features_batch(t).select(cols).to_pandas()
+    con = duckdb.connect()
+    con.register("d", t)
+    ref = con.execute(r"""
+        WITH lines AS (
+          SELECT doc_id, l AS line
+          FROM d, unnest(string_split(coalesce(text,''), chr(10))) AS t(l)
+          WHERE l <> ''),
+        lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS nch
+               FROM lines GROUP BY doc_id, line),
+        lagg AS (SELECT doc_id, sum(c) AS n_lines,
+                        sum(c) - count(*) AS n_dup_lines,
+                        sum(c*nch) AS n_line_chars,
+                        sum((c-1)*nch) AS n_dup_line_chars
+                 FROM lc GROUP BY doc_id),
+        toks AS (SELECT doc_id,
+                        regexp_extract_all(coalesce(text,''), '\S+') AS ts
+                 FROM d),
+        bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+               FROM toks, unnest(generate_series(1, len(ts)-1)) AS g(i)),
+        bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+        bagg AS (SELECT doc_id, max(c) AS top_bigram_count,
+                        sum(c) AS n_bigrams FROM bc GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(n_lines,0) AS n_lines,
+               coalesce(n_dup_lines,0) AS n_dup_lines,
+               coalesce(n_line_chars,0) AS n_line_chars,
+               coalesce(n_dup_line_chars,0) AS n_dup_line_chars,
+               coalesce(top_bigram_count,0) AS top_bigram_count,
+               coalesce(n_bigrams,0) AS n_bigrams
+        FROM d LEFT JOIN lagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+        ORDER BY doc_id""").df()
+    assert mine.astype("int64").equals(ref.astype("int64"))
