@@ -253,6 +253,58 @@ def _doc_dup_clusters(sf_dir: str):
     return agg.map_batches(to_int, batch_format="pyarrow")
 
 
+def _doc_normalize_dedup_agg(sf_dir: str):
+    """Normalize-then-dedup accounting: per language, total docs vs
+    distinct md5 fingerprints of NORMALIZED text (lower + whitespace
+    collapse + trim) -- whitespace/case variants collapse together."""
+    import ray.data
+    from ray.data.aggregate import Count
+    from go_distributed_log_search_ray.stages.textstats import (
+        fingerprint_batch, normalize_text_batch)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    fp = ds.map_batches(normalize_text_batch, batch_format="pyarrow") \
+        .map_batches(lambda b: fingerprint_batch(b, text_col="text_norm"),
+                     batch_format="pyarrow") \
+        .select_columns(["lang", "fingerprint"])
+    n_docs = fp.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    distinct = fp.map_batches(
+            lambda b: b.filter(pc.is_valid(b["fingerprint"])),
+            batch_format="pyarrow") \
+        .groupby(["lang", "fingerprint"]).aggregate(Count(alias_name="_c")) \
+        .groupby("lang").aggregate(Count(alias_name="n_norm_distinct"))
+    left = small_table(n_docs, int64_cols=["n_docs"])
+    right = small_table(distinct, int64_cols=["n_norm_distinct"])
+    return left.join(right, keys=["lang"], join_type="inner") \
+        .select(["lang", "n_docs", "n_norm_distinct"])
+
+
+def _doc_contamination_agg(sf_dir: str):
+    """8-gram benchmark-contamination screen: benchmark = doc_id%20==0,
+    broadcast its distinct 8-gram set, flag training docs sharing any
+    gram; per-lang (n_docs, n_contaminated)."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.contamination import (
+        benchmark_gram_set, contamination_agg)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    def split(want_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            is_b = (ids % 20) == 0
+            return b.filter(pa.array(is_b if want_bench else ~is_b))
+        return f
+
+    bench = ds.map_batches(split(True), batch_format="pyarrow")
+    train = ds.map_batches(split(False), batch_format="pyarrow")
+    ref = benchmark_gram_set(bench, n=8)
+    agg = contamination_agg(train, ref, n=8)
+    return small_table(agg, int64_cols=["n_docs", "n_contaminated"]) \
+        .select(["lang", "n_docs", "n_contaminated"])
+
+
 def _doc_fingerprint(sf_dir: str):
     import ray.data
     from go_distributed_log_search_ray.stages.textstats import fingerprint_batch
@@ -911,6 +963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 4 -- never driver-checked
         "doc_repetition_features": _doc_repetition_features,
         "doc_dup_clusters": _doc_dup_clusters,
+        "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
+        "doc_contamination_agg": _doc_contamination_agg,
         "pages_redact_agg": _pages_redact_agg,
         "doc_weighted_sample_agg": _doc_weighted_sample_agg,
         "events_funnel_agg": R.events_funnel_agg,
@@ -1409,6 +1463,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "doc_normalize_dedup_agg": r"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(count(DISTINCT md5(trim(regexp_replace(
+                        lower(text), '\s+', ' ', 'g')))) AS BIGINT)
+                       AS n_norm_distinct
+            FROM documents GROUP BY lang""",
+        "doc_contamination_agg": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(coalesce(text,'')),
+                                        '\S+') AS ts
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                     ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' ||
+                     ts[i+6] || ' ' || ts[i+7] AS g
+              FROM toks, unnest(generate_series(1, len(ts)-7)) AS s(i)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+            cont AS (SELECT DISTINCT doc_id FROM grams
+                     WHERE doc_id % 20 <> 0
+                       AND g IN (SELECT g FROM bench))
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+            FROM documents WHERE doc_id % 20 <> 0 GROUP BY lang""",
         "doc_dup_clusters": r"""
             WITH RECURSIVE n AS (
               SELECT doc_id,

@@ -236,6 +236,20 @@ def top_terms_by_group(ds, group_col: str, text_col: str = "text",
                         [("n", "descending"), ("term", "ascending")])
 
 
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "text_norm") -> pa.Table:
+    """Canonical text normalization: lowercase, collapse whitespace runs
+    to a single space, trim.  SQL twin (same RE2 semantics):
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')).  Nulls pass
+    through as null."""
+    t = batch.column(text_col)
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(t), pattern=r"\s+",
+                                   replacement=" "),
+        characters=" ")
+    return batch.append_column(out_col, norm)
+
+
 # -- repetition features (Gopher-style quality filter signals) --------------
 
 def _flat_with_doc(col: pa.ChunkedArray | pa.Array, pattern: str,

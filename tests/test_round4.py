@@ -372,3 +372,32 @@ def test_repetition_features_match_duckdb():
         FROM d LEFT JOIN lagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
         ORDER BY doc_id""").df()
     assert mine.astype("int64").equals(ref.astype("int64"))
+
+
+# -- normalization + contamination screening ---------------------------------
+
+def test_normalize_text_batch():
+    from go_distributed_log_search_ray.stages.textstats import (
+        normalize_text_batch)
+    t = pa.table({"text": pa.array(
+        ["  Hello\t\tWORLD \n", "a  b", None, ""], pa.string())})
+    out = normalize_text_batch(t)["text_norm"].to_pylist()
+    assert out == ["hello world", "a b", None, ""]
+
+
+def test_contamination_screen_flags_copied_ngrams():
+    from go_distributed_log_search_ray.stages.contamination import (
+        benchmark_gram_set, contamination_agg)
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    clean = " ".join(f"w{i}" for i in range(40))
+    # doc A embeds 8 consecutive benchmark tokens; doc B shares only 7
+    dirty = "x y " + "quick brown fox jumps over the lazy dog" + " z"
+    near = "x y " + "quick brown fox jumps over the lazy" + " q z"
+    bench = ray.data.from_items([{"text": bench_text}])
+    train = ray.data.from_items([
+        {"lang": "en", "text": dirty}, {"lang": "en", "text": clean},
+        {"lang": "de", "text": near}])
+    ref = benchmark_gram_set(bench, n=8)
+    out = {r["lang"]: r for r in contamination_agg(train, ref, n=8).take_all()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["n_contaminated"] == 1
+    assert out["de"]["n_docs"] == 1 and out["de"]["n_contaminated"] == 0
