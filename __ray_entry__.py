@@ -253,6 +253,18 @@ def _doc_dup_clusters(sf_dir: str):
     return agg.map_batches(to_int, batch_format="pyarrow")
 
 
+def _doc_token_freq_stats(sf_dir: str):
+    """Corpus-statistics scoring: global vocab counts broadcast once,
+    per-doc integer (n tokens, sum of global token freqs, rarest-token
+    freq) -- the CCNet-style perplexity-filter shape kept integer-exact
+    for the oracle."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        token_freq_stats)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_freq_stats(ds).select_columns(
+        ["doc_id", "n_tokens_v", "sum_token_freq", "min_token_freq"])
+
+
 def _doc_normalize_dedup_agg(sf_dir: str):
     """Normalize-then-dedup accounting: per language, total docs vs
     distinct md5 fingerprints of NORMALIZED text (lower + whitespace
@@ -965,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
         "doc_contamination_agg": _doc_contamination_agg,
+        "doc_token_freq_stats": _doc_token_freq_stats,
         "pages_redact_agg": _pages_redact_agg,
         "doc_weighted_sample_agg": _doc_weighted_sample_agg,
         "events_funnel_agg": R.events_funnel_agg,
@@ -1463,6 +1476,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "doc_token_freq_stats": r"""
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(coalesce(text,'')),
+                                              '\S+') AS ts
+                    FROM documents), unnest(ts) AS u(t)),
+            vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+            per AS (SELECT doc_id, count(*) AS n_tokens_v,
+                           sum(c) AS sum_token_freq,
+                           min(c) AS min_token_freq
+                    FROM toks JOIN vocab USING (term) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_tokens_v, 0) AS BIGINT) AS n_tokens_v,
+                   CAST(coalesce(sum_token_freq, 0) AS BIGINT)
+                       AS sum_token_freq,
+                   CAST(coalesce(min_token_freq, 0) AS BIGINT)
+                       AS min_token_freq
+            FROM documents d LEFT JOIN per USING (doc_id)""",
         "doc_normalize_dedup_agg": r"""
             SELECT lang, count(*) AS n_docs,
                    CAST(count(DISTINCT md5(trim(regexp_replace(

@@ -236,6 +236,79 @@ def top_terms_by_group(ds, group_col: str, text_col: str = "text",
                         [("n", "descending"), ("term", "ascending")])
 
 
+def global_token_counts(ds, text_col: str = "text"):
+    """Corpus-wide token counts (tokens = RE2 \\S+ over lower(text)):
+    per-batch distinct collapse, ONE groupby-sum shuffle, O(vocab) out."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks, _ = _flat_with_doc(pc.utf8_lower(b.column(text_col)),
+                                 r"\s+", regex=True)
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        enc = toks.dictionary_encode()
+        cnt = np.bincount(np.asarray(enc.indices, dtype=np.int64),
+                          minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary,
+                         "n": pa.array(cnt, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+
+
+def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Two-pass corpus-statistics document scoring (the CCNet-style
+    shape: score each doc against a model of the corpus itself).
+
+    Pass 1 builds the global vocabulary counts (one O(vocab) shuffle);
+    pass 2 broadcasts the (sorted terms, counts) arrays via ``ray.put``
+    once and computes per-doc INTEGER aggregates -- token count, sum of
+    global frequencies, rarest-token frequency -- via dictionary-encode
+    + searchsorted + bincount, no shuffle.  A perplexity-style filter
+    thresholds on these; integers keep the SQL oracle exact.  Vocab is
+    O(distinct tokens) -- bounded in practice (100 TB web text is tens
+    of millions of terms, a few hundred MB broadcast once per node)."""
+    import ray
+
+    vt = global_token_counts(ds, text_col).materialize()
+    tbl = pa.concat_tables(ray.get(vt.to_arrow_refs())).combine_chunks()
+    terms = tbl.column("term").to_numpy(zero_copy_only=False)
+    counts = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(terms)
+    ref = ray.put((terms[order], counts[order]))
+
+    class Score:
+        def __init__(self, ref) -> None:
+            self.terms, self.counts = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nb = b.num_rows
+            toks, doc_of = _flat_with_doc(
+                pc.utf8_lower(b.column(text_col)), r"\s+", regex=True)
+            ntok = np.bincount(doc_of, minlength=nb).astype(np.int64)
+            ssum = np.zeros(nb, dtype=np.int64)
+            smin = np.zeros(nb, dtype=np.int64)
+            if len(toks):
+                tn = toks.to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(self.terms, tn)
+                freq = self.counts[idx]       # every token is in-vocab
+                ssum = np.bincount(doc_of, weights=freq,
+                                   minlength=nb).astype(np.int64)
+                big = np.iinfo(np.int64).max
+                smin_f = np.full(nb, big, dtype=np.int64)
+                np.minimum.at(smin_f, doc_of, freq)
+                smin = np.where(smin_f == big, 0, smin_f)
+            return pa.table({
+                id_col: b.column(id_col),
+                "n_tokens_v": pa.array(ntok, pa.int64()),
+                "sum_token_freq": pa.array(ssum, pa.int64()),
+                "min_token_freq": pa.array(smin, pa.int64())})
+
+    return ds.map_batches(Score, fn_constructor_args=(ref,),
+                          concurrency=(1, 8), batch_format="pyarrow")
+
+
 def normalize_text_batch(batch: pa.Table, text_col: str = "text",
                          out_col: str = "text_norm") -> pa.Table:
     """Canonical text normalization: lowercase, collapse whitespace runs

@@ -401,3 +401,32 @@ def test_contamination_screen_flags_copied_ngrams():
     out = {r["lang"]: r for r in contamination_agg(train, ref, n=8).take_all()}
     assert out["en"]["n_docs"] == 2 and out["en"]["n_contaminated"] == 1
     assert out["de"]["n_docs"] == 1 and out["de"]["n_contaminated"] == 0
+
+
+def test_token_freq_stats_matches_duckdb():
+    import duckdb
+    from go_distributed_log_search_ray.stages.textstats import (
+        token_freq_stats)
+    texts = ["a a b", "b c", "", None, "A  a\tc", "rare"]
+    t = pa.table({"doc_id": list(range(len(texts))),
+                  "text": pa.array(texts, pa.string())})
+    out = token_freq_stats(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    ref = con.execute(r"""
+        WITH toks AS (
+          SELECT doc_id, t AS term
+          FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),
+                                                  '\S+') AS ts
+                FROM documents), unnest(ts) AS u(t)),
+        vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        per AS (SELECT doc_id, count(*) AS n_tokens_v,
+                       sum(c) AS sum_token_freq, min(c) AS min_token_freq
+                FROM toks JOIN vocab USING (term) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_tokens_v,0) AS n_tokens_v,
+               coalesce(sum_token_freq,0) AS sum_token_freq,
+               coalesce(min_token_freq,0) AS min_token_freq
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""").df()
+    assert out.astype("int64").equals(ref.astype("int64"))
