@@ -265,6 +265,19 @@ def _doc_token_freq_stats(sf_dir: str):
         ["doc_id", "n_tokens_v", "sum_token_freq", "min_token_freq"])
 
 
+def _doc_index_search(sf_dir: str):
+    """Conjunctive token search through a PERSISTED inverted index
+    (bucket-partitioned postings parquet; only the query terms' buckets
+    are read) -- the reference's segment-index artifact re-expressed."""
+    import hashlib
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, index_search)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = build_inverted_index(ds, f"/tmp/graft_invindex_{tag}")
+    return index_search(idx, ["table", "vector"], mode="and")
+
+
 def _doc_normalize_dedup_agg(sf_dir: str):
     """Normalize-then-dedup accounting: per language, total docs vs
     distinct md5 fingerprints of NORMALIZED text (lower + whitespace
@@ -978,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
         "doc_contamination_agg": _doc_contamination_agg,
         "doc_token_freq_stats": _doc_token_freq_stats,
+        "doc_index_search": _doc_index_search,
         "pages_redact_agg": _pages_redact_agg,
         "doc_weighted_sample_agg": _doc_weighted_sample_agg,
         "events_funnel_agg": R.events_funnel_agg,
@@ -1476,6 +1490,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "doc_index_search": r"""
+            SELECT doc_id FROM documents
+            WHERE list_contains(regexp_extract_all(
+                      lower(coalesce(text,'')), '\S+'), 'table')
+              AND list_contains(regexp_extract_all(
+                      lower(coalesce(text,'')), '\S+'), 'vector')""",
         "doc_token_freq_stats": r"""
             WITH toks AS (
               SELECT doc_id, t AS term

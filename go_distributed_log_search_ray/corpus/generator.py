@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v8"
+GEN_VERSION = "v9"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -236,7 +236,15 @@ def _generate_locked(out: str) -> str:
     os.makedirs(pages, exist_ok=True)
     for s in range(num_shards):
         mask = pa.array(shard_of == s)
-        pq.write_table(table.filter(mask), os.path.join(pages, f"shard_{s:05d}.parquet"))
+        # 512-row row groups: read_parquet splits WITHIN a shard at
+        # row-group granularity, so the extract actor pool fans out even
+        # when a run partition holds only 3-4 shards (the round-3/4
+        # bench's "operator only received 3 inputs" starvation).  At
+        # real scale row groups are sized in MBs; here rows are ~2 KB so
+        # 512 rows ~ 1 MB.
+        pq.write_table(table.filter(mask),
+                       os.path.join(pages, f"shard_{s:05d}.parquet"),
+                       row_group_size=512)
 
     _write_lookups(os.path.join(tmp, "lookups"), hosts)
     _write_media(os.path.join(tmp, "media"), n)

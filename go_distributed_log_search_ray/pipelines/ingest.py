@@ -148,6 +148,15 @@ def build_routed_dataset(
         except Exception:          # URI/fs inputs: footer probe n/a
             rgs = len(files)
         num_blocks = min(max(rgs, 1), max(8, cpus * 4))
+    def cap(conc):
+        # a fixed/min pool larger than the input block count reserves CPU
+        # slots that can never receive work (Ray warns and the slots
+        # starve co-running partition jobs) -- clamp to available blocks
+        if isinstance(conc, int):
+            return max(1, min(conc, num_blocks))
+        lo, hi = conc
+        return (max(1, min(lo, num_blocks)), max(1, min(hi, num_blocks)))
+
     ds = ray.data.read_parquet(files, columns=INPUT_COLUMNS,
                                override_num_blocks=num_blocks)
     ds = ds.map_batches(
@@ -155,7 +164,7 @@ def build_routed_dataset(
         fn_constructor_kwargs={"drop_html": drop_html},
         batch_size=batch_size,
         batch_format="pyarrow",
-        concurrency=extract_concurrency or _default_concurrency(),
+        concurrency=cap(extract_concurrency or _default_concurrency()),
     )
     ds = ds.map_batches(derive_host, batch_format="pyarrow")
     ds = ds.map_batches(
@@ -163,7 +172,7 @@ def build_routed_dataset(
         fn_constructor_args=(lookups_ref,),
         batch_size=batch_size,
         batch_format="pyarrow",
-        concurrency=enrich_concurrency or _default_concurrency(),
+        concurrency=cap(enrich_concurrency or _default_concurrency()),
     )
     return ds
 

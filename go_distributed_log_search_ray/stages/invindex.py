@@ -1,0 +1,118 @@
+"""Persisted inverted index: token -> postings as partitioned parquet.
+
+The reference's central artifact is an immutable inverted-index segment
+file per commit (src/unified_index/writer.go, src/commands/index.go);
+its search fans out over segments and merges.  This is the Ray-Data
+re-expression: postings are DISTINCT (term, doc_id) pairs persisted as
+parquet partitioned by a deterministic term-hash bucket
+(``tok_bucket=N/``).  A query term maps to exactly one bucket, so a
+search READS only its terms' buckets -- the other
+(num_buckets - |terms|)/num_buckets of the index never leaves storage,
+the same I/O-pruning contract as the IVF index (similarity.py).
+
+Scale shape: the build is one streaming pass (per-batch distinct
+collapse, no shuffle -- the partitioned write routes rows) and the
+index is resumable/immutable like the reference's segments; postings
+for one term live in one bucket across ALL shards, so conjunctive
+queries are a small groupby over the read postings only.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from .textstats import _flat_with_doc
+
+NUM_TOK_BUCKETS = 32
+
+
+def _term_bucket(terms: np.ndarray, num_buckets: int) -> np.ndarray:
+    return np.array([zlib.crc32(t.encode("utf-8")) % num_buckets
+                     for t in terms], dtype=np.int64)
+
+
+def postings_batch(b: pa.Table, id_col: str, text_col: str,
+                   num_buckets: int) -> pa.Table:
+    """DISTINCT (term, doc_id, tok_bucket) rows for one batch -- the
+    per-doc distinct collapse happens here, vectorized (dictionary
+    encode + np.unique over (doc, term-code) keys)."""
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      id_col: pa.array([], b.column(id_col).type),
+                      "tok_bucket": pa.array([], pa.int64())})
+    toks, doc_of = _flat_with_doc(pc.utf8_lower(b.column(text_col)),
+                                  r"\s+", regex=True)
+    if len(toks) == 0:
+        return empty
+    enc = toks.dictionary_encode()
+    code = np.asarray(enc.indices, dtype=np.int64)
+    nv = len(enc.dictionary)
+    upair = np.unique(doc_of * nv + code)
+    udoc, ucode = upair // nv, upair % nv
+    buckets = _term_bucket(
+        np.asarray(enc.dictionary.to_pylist(), dtype=object), num_buckets)
+    return pa.table({
+        "term": enc.dictionary.take(pa.array(ucode, pa.int64())),
+        id_col: b.column(id_col).take(pa.array(udoc, pa.int64())),
+        "tok_bucket": pa.array(buckets[ucode], pa.int64())})
+
+
+def build_inverted_index(ds: Dataset, index_dir: str, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         num_buckets: int = NUM_TOK_BUCKETS,
+                         force: bool = False) -> str:
+    """ONE-TIME build: stream distinct postings out as bucket-partitioned
+    parquet.  Idempotent via a ``_SUCCESS`` marker (the reference's
+    segment-commit semantics)."""
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return index_dir
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    ds.map_batches(
+        lambda b: postings_batch(b, id_col, text_col, num_buckets),
+        batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["tok_bucket"],
+                       row_group_size=131072)
+    with open(marker, "w") as f:
+        f.write(f"num_buckets={num_buckets}\n")
+    return index_dir
+
+
+def index_search(index_dir: str, terms: list[str], id_col: str = "doc_id",
+                 num_buckets: int = NUM_TOK_BUCKETS,
+                 mode: str = "and") -> Dataset:
+    """Conjunctive (``and``) / disjunctive (``or``) token query against a
+    persisted index.  Reads ONLY the buckets the query terms hash to,
+    filters to the exact terms, then one O(matching postings) groupby
+    counts distinct terms per doc."""
+    from ray.data.aggregate import Count
+
+    want = sorted(set(terms))
+    buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
+                      for t in want})
+    files = [f for c in buckets
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    post = ray.data.read_parquet(files, columns=["term", id_col])
+    tset = pa.array(want, pa.string())
+    hits = post.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=tset)),
+        batch_format="pyarrow")
+    if mode == "or":
+        return hits.groupby(id_col).aggregate(
+            Count(alias_name="n_terms")).select_columns([id_col])
+    # postings are distinct per (term, doc), so count == distinct terms
+    per_doc = hits.groupby(id_col).aggregate(Count(alias_name="n_terms"))
+    need = len(want)
+    return per_doc.map_batches(
+        lambda b: b.filter(pc.equal(b["n_terms"], need)),
+        batch_format="pyarrow").select_columns([id_col])

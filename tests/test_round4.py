@@ -430,3 +430,22 @@ def test_token_freq_stats_matches_duckdb():
         FROM documents d LEFT JOIN per USING (doc_id)
         ORDER BY doc_id""").df()
     assert out.astype("int64").equals(ref.astype("int64"))
+
+
+def test_inverted_index_build_and_search(tmp_path):
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, index_search)
+    docs = [("d1", "alpha beta gamma"), ("d2", "alpha alpha delta"),
+            ("d3", "beta delta"), ("d4", "Alpha BETA"), ("d5", "")]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    idx = build_inverted_index(ds, str(tmp_path / "idx"), num_buckets=4)
+    both = sorted(r["doc_id"] for r in
+                  index_search(idx, ["alpha", "beta"], num_buckets=4).take_all())
+    assert both == ["d1", "d4"]            # case-folded, conjunctive
+    either = sorted(r["doc_id"] for r in
+                    index_search(idx, ["alpha", "beta"], num_buckets=4,
+                                 mode="or").take_all())
+    assert either == ["d1", "d2", "d3", "d4"]
+    # idempotent rebuild (reference segment-commit semantics)
+    assert build_inverted_index(ds, str(tmp_path / "idx"),
+                                num_buckets=4) == idx
