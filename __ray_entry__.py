@@ -427,6 +427,41 @@ def _pages_status_agg(sf_dir: str):
     return small_table(agg, int64_cols=["hits"])
 
 
+def _events_heavy_users(sf_dir: str):
+    """Misra-Gries heavy hitters (k=150): EXACT counts of every user
+    above the n/(k+1) frequency threshold, two bounded-memory streaming
+    passes, no O(distinct) shuffle (stages/sketches.heavy_hitters)."""
+    from go_distributed_log_search_ray.stages.sketches import heavy_hitters
+    ds = _read_table(sf_dir, "events", columns=["user_id"])
+    t = heavy_hitters(ds, "user_id", k=150)
+    return t.rename_columns(["user_id", "cnt"])
+
+
+def _pages_log_templates(sf_dir: str):
+    """Log template mining end to end: grok-extract request lines out of
+    raw html, then discover templates by deterministic mask cascade +
+    O(templates) groupby (stages/logmine.py).  Oracle re-derives the
+    same templates from the corpus's golden log columns with DuckDB's
+    RE2 regexp_replace."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.extract import HtmlExtractor
+    from go_distributed_log_search_ray.stages.logmine import mine_templates
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(HtmlExtractor, batch_size=512, batch_format="pyarrow",
+                        concurrency=(1, 8))
+
+    def line(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("log_method")),
+                             pc.is_valid(b.column("log_path"))))
+        return pa.table({"line": pc.binary_join_element_wise(
+            b.column("log_method"), b.column("log_path"), " ")})
+
+    agg = mine_templates(ds.map_batches(line, batch_format="pyarrow"),
+                         col="line")
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["hits", "n_variants"])
+
+
 def _doc_quality_score(sf_dir: str):
     """Heuristic quality score (float): rows-only check; exact feature
     counts are oracle-checked in doc_quality_features."""
@@ -986,6 +1021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries rotate to the tail (all were 3/3 in CORRECTNESS_r01-r03).
     return {
         # new in round 4 -- never driver-checked
+        "pages_log_templates": _pages_log_templates,
+        "events_heavy_users": _events_heavy_users,
         "doc_repetition_features": _doc_repetition_features,
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
@@ -1082,6 +1119,27 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "events_heavy_users": """
+            SELECT user_id, count(*) AS cnt
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+            HAVING count(*) * 151 >
+                   (SELECT count(user_id) FROM events)""",
+        "pages_log_templates": f"""
+            WITH t AS (
+              SELECT regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(log_method || ' ' || log_path,
+                          '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                          '<IP>', 'g'),
+                        '\\b0x[0-9a-fA-F]+\\b', '<HEX>', 'g'),
+                        '\\b[0-9a-fA-F]{{16,}}\\b', '<HEX>', 'g'),
+                        '\\d+', '<NUM>', 'g') AS template,
+                     log_method || ' ' || log_path AS variant
+              FROM read_parquet('{pages}')
+              WHERE log_method IS NOT NULL AND log_path IS NOT NULL)
+            SELECT template, count(*) AS hits,
+                   count(DISTINCT variant) AS n_variants
+            FROM t GROUP BY template""",
         "pages_redact_agg": f"""
             SELECT lang, count(*) AS doc_count,
                    CAST(sum(CASE WHEN regexp_matches(CAST(html AS VARCHAR),

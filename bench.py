@@ -224,6 +224,24 @@ def _loadavg() -> list:
         return []
 
 
+def _first_touch_mbps() -> float:
+    """First-touch bandwidth of a fresh 64 MB mmap, in MB/s.  Under the
+    box's episodic hypervisor memory-ballooning, faulting in new pages
+    runs up to ~1000x slow (measured 3 MB/s vs ~5 GB/s healthy), which
+    poisons every stage that allocates batch-sized temps -- so the
+    health of the measurement window must be machine-readable next to
+    the timings.  Healthy >= 1000; contaminated < 100."""
+    import mmap
+    import time as _t
+    sz = 64 << 20
+    t0 = _t.perf_counter()
+    m = mmap.mmap(-1, sz)
+    m[::4096] = b"\x01" * (sz // 4096)
+    dt = _t.perf_counter() - t0
+    m.close()
+    return round(sz / (1 << 20) / dt, 1)
+
+
 def _cpu_jiffies() -> list:
     """First /proc/stat line: the co-tenant runs OUTSIDE this PID
     namespace (ps shows nothing) but its cycles still appear here as
@@ -252,6 +270,7 @@ def _cpu_pct(a: list, b: list) -> dict:
 
 def main() -> None:
     loadavg_start = _loadavg()
+    first_touch_start = _first_touch_mbps()
     jiffies_start = _cpu_jiffies()
     if "--scaling" in sys.argv:
         # N vs 4N evidence (sandbox stand-in for two cluster sizes):
@@ -289,6 +308,7 @@ def main() -> None:
             "sf_dir": SF_DIR,
             "loadavg_start": loadavg_start,
             "loadavg_end": _loadavg(),
+            "first_touch_mbps": [first_touch_start, _first_touch_mbps()],
             "cpu_share": _cpu_pct(jiffies_start, _cpu_jiffies()),
         }))
         return
@@ -330,6 +350,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "loadavg_start": loadavg_start,
         "loadavg_end": _loadavg(),
+        "first_touch_mbps": [first_touch_start, _first_touch_mbps()],
         "cpu_share": _cpu_pct(jiffies_start, _cpu_jiffies()),
     }))
     import ray

@@ -270,3 +270,110 @@ def approx_quantiles(ds: Dataset, col: str, qs: list[float],
         out.append(lo + float(np.searchsorted(cum, rank + 1)) * width)
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
                      col: pa.array(out, pa.float64())})
+
+
+# -- Misra-Gries heavy hitters ----------------------------------------------
+
+def _mg_reduce(values: np.ndarray, counts: np.ndarray,
+               k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce a (value, count) summary to <= k entries, Misra-Gries
+    style: subtract the (k+1)-th largest count from every counter and
+    drop the non-positive ones.  Total decrement is bounded by
+    sum(counts)/(k+1), which is what the completeness guarantee below
+    rests on."""
+    if len(values) <= k:
+        return values, counts
+    t = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    kept = counts > t
+    return values[kept], counts[kept] - t
+
+
+def heavy_hitters(ds: Dataset, col: str, k: int = 256) -> pa.Table:
+    """EXACT counts of every value whose frequency exceeds n/(k+1),
+    found in two streaming passes with bounded memory (Misra-Gries
+    candidates + exact recount) -- no O(distinct-values) shuffle ever.
+
+    Pass 1 reduces each batch's value counts to a <= k-entry MG summary
+    (public-knowledge algorithm: Misra & Gries 1982, "Finding repeated
+    elements"); the union of per-batch summaries is complete: if a
+    value's batch frequency were <= n_b/(k+1) in EVERY batch, its total
+    would be <= sum(n_b)/(k+1) = n/(k+1), so any value above the global
+    threshold survives _mg_reduce somewhere.  Candidate volume is
+    O(k x batches) tiny rows.  Pass 2 broadcasts the candidate set and
+    recounts it exactly (per-batch index_in + bincount partials, one
+    O(candidates) groupby), so the returned counts are EXACT and the
+    filter `count * (k+1) > n` is reproducible in SQL (HAVING
+    count(*) * (k+1) > total) -- approximate mechanics, exact answer.
+
+    Scale: per-batch state is O(k); the shuffle moves O(k x blocks)
+    rows; nothing is O(distinct values).  Contrast with groupby-count
+    (exact, but shuffles every distinct value) and count-min (bounded
+    memory, but approximate counts)."""
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        c = b.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        c = c.drop_null()
+        vc = c.value_counts()
+        vals = vc.field(0)
+        counts = np.asarray(vc.field(1), dtype=np.int64)
+        keep_v, _ = _mg_reduce(np.arange(len(vals)), counts, k)
+        return pa.table({"v": vals.take(pa.array(keep_v)),
+                         "n_rows": pa.array(
+                             np.full(len(keep_v), len(c), np.int64))})
+
+    parts = ds.map_batches(mg_partial, batch_format="pyarrow") \
+        .materialize()
+    cand_tbl = pa.concat_tables(
+        ray.get([ref for ref in parts.to_arrow_refs()]))
+    if cand_tbl.num_rows == 0:
+        return pa.table({"v": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    # n must be the FULL row count, not just candidate batches' rows:
+    # every batch emits >= 1 candidate row when it has any rows, and
+    # n_rows repeats per candidate within a batch -- recover per-batch
+    # totals via one representative row per batch being impossible
+    # here, so fold n in pass 2 instead.
+    cands = cand_tbl.column("v").combine_chunks().unique()
+    cand_ref = ray.put(cands)
+
+    class Recount:
+        def __init__(self, ref) -> None:
+            self.cands = ray.get(ref) if isinstance(
+                ref, ray.ObjectRef) else ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            c = b.column(col)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            c = c.drop_null()
+            idx = pc.index_in(c, value_set=self.cands)
+            hit = np.asarray(pc.fill_null(idx, -1), dtype=np.int64)
+            cnt = np.bincount(hit[hit >= 0], minlength=len(self.cands)) \
+                .astype(np.int64)
+            return pa.table({
+                "v": self.cands,
+                "cnt": pa.array(cnt),
+                "rows": pa.array(np.r_[np.int64(len(c)),
+                                       np.zeros(len(self.cands) - 1,
+                                                np.int64)])
+            }) if len(self.cands) else pa.table(
+                {"v": pa.array([], c.type), "cnt": pa.array([], pa.int64()),
+                 "rows": pa.array([len(c)], pa.int64())})
+
+    folded = ds.map_batches(Recount, fn_constructor_args=(cand_ref,),
+                            batch_format="pyarrow", concurrency=(1, 8)) \
+        .groupby("v").aggregate(Sum("cnt", alias_name="cnt"),
+                                Sum("rows", alias_name="rows")) \
+        .take_all()
+    n = sum(r["rows"] for r in folded)
+    out = [(r["v"], r["cnt"]) for r in folded
+           if r["cnt"] * (k + 1) > n]
+    out.sort()
+    vt = cands.type
+    return pa.table({"v": pa.array([v for v, _ in out], vt),
+                     "cnt": pa.array([c for _, c in out], pa.int64())})

@@ -449,3 +449,77 @@ def test_inverted_index_build_and_search(tmp_path):
     # idempotent rebuild (reference segment-commit semantics)
     assert build_inverted_index(ds, str(tmp_path / "idx"),
                                 num_buckets=4) == idx
+
+
+def test_log_template_mining_matches_duckdb():
+    import duckdb
+    from go_distributed_log_search_ray.stages.logmine import (
+        mask_templates, mine_templates)
+    lines = [
+        "GET /api/v2/users/12345 200",
+        "GET /api/v2/users/99 200",
+        "POST /login from 10.0.0.1 session=0xdeadbeef",
+        "POST /login from 192.168.1.77 session=0xCAFE",
+        "worker 7 heartbeat f00dfeedf00dfeed1234",
+        "worker 7 heartbeat f00dfeedf00dfeed1234",   # exact repeat
+        None,
+    ]
+    t = pa.table({"line": pa.array(lines, pa.string())})
+    # mask cascade: IP before NUM, 0x-hex and long-hex before NUM
+    m = mask_templates(t.column("line")).to_pylist()
+    assert m[0] == "GET /api/v<NUM>/users/<NUM> <NUM>"
+    assert m[2] == "POST /login from <IP> session=<HEX>"
+    assert m[3] == "POST /login from <IP> session=<HEX>"
+    assert m[4] == "worker <NUM> heartbeat <HEX>"
+
+    out = mine_templates(ray.data.from_arrow(t), col="line").to_pandas() \
+        .sort_values("template").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    ref = con.execute(r"""
+        WITH m AS (
+          SELECT regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(line,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\b0x[0-9a-fA-F]+\b', '<HEX>', 'g'),
+                 '\b[0-9a-fA-F]{16,}\b', '<HEX>', 'g'),
+               '\d+', '<NUM>', 'g') AS template, line
+          FROM t WHERE line IS NOT NULL)
+        SELECT template, count(*) AS hits,
+               count(DISTINCT line) AS n_variants
+        FROM m GROUP BY template ORDER BY template""").df()
+    assert list(out["template"]) == list(ref["template"])
+    assert list(out["hits"]) == list(ref["hits"])
+    assert list(out["n_variants"]) == list(ref["n_variants"])
+
+
+def test_heavy_hitters_exact_above_threshold():
+    import duckdb
+    from go_distributed_log_search_ray.stages.sketches import (
+        _mg_reduce, heavy_hitters)
+    # _mg_reduce: decrement bounded by sum/(k+1), survivors superset of
+    # everything above it
+    vals = np.arange(100)
+    counts = np.r_[np.full(99, 10, np.int64), np.int64(500)]
+    kv, kc = _mg_reduce(vals, counts, k=9)
+    assert len(kv) <= 9 and 99 in kv          # the true heavy item survives
+    assert kc[kv == 99][0] >= 500 - counts.sum() // 10
+
+    # adversarial stream: value 7 is ~12% of every batch (never a batch
+    # majority), batches otherwise filled with near-unique noise; with
+    # k=15, threshold = n/16 ~ 6.3% so value 7 MUST be found and exactly
+    # counted, and nothing below the threshold may appear
+    rng = np.random.default_rng(3)
+    rows = []
+    for b in range(40):
+        rows += [7] * 15 + list(rng.integers(1000, 100000, size=110))
+    t = pa.table({"v": pa.array(rows, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(40)
+    out = heavy_hitters(ds, "v", k=15)
+    ref = duckdb.connect().execute(
+        "SELECT v, count(*) c FROM t GROUP BY v HAVING count(*)*16 > "
+        "(SELECT count(*) FROM t) ORDER BY v").df()
+    got = out.to_pandas().sort_values("v").reset_index(drop=True)
+    assert list(got["v"]) == list(ref["v"])
+    assert list(got["cnt"]) == list(ref["c"])
+    assert 7 in set(got["v"])
