@@ -427,6 +427,44 @@ def _pages_status_agg(sf_dir: str):
     return small_table(agg, int64_cols=["hits"])
 
 
+def _doc_incremental_dedup(sf_dir: str):
+    """Incremental dedup of a crawl increment against a PERSISTED
+    bucket-partitioned fingerprint snapshot (stages/incremental.py):
+    snapshot = docs with doc_id % 3 == 0 (built once, idempotent),
+    increment = the full table; kept = text fingerprint not yet in the
+    snapshot.  The snapshot side never shuffles."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count
+    from go_distributed_log_search_ray.stages.incremental import (
+        build_fingerprint_snapshot, incremental_dedup)
+    ds = _read_table(sf_dir, "documents",
+                     columns=["doc_id", "text", "lang"])
+    snap_dir = f"/tmp/graft_fp_snapshot_{os.path.basename(os.path.normpath(sf_dir))}"
+    import numpy as np
+    snap_src = ds.map_batches(
+        lambda b: b.filter(pa.array(
+            np.asarray(b.column("doc_id")) % 3 == 0)),
+        batch_format="pyarrow")
+    build_fingerprint_snapshot(snap_src, snap_dir)
+    kept = incremental_dedup(ds, snap_dir)
+    agg = kept.groupby("lang").aggregate(Count(alias_name="n_new"))
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["n_new"])
+
+
+def _doc_shared_substr_agg(sf_dir: str):
+    """ExactSubstr-style screen (Lee et al. 2022): per-lang count of
+    docs sharing an exact 64-byte stride-aligned window with another
+    doc.  One window-hash-partitioned shuffle, no pairwise stage
+    (stages/substr.py)."""
+    from go_distributed_log_search_ray.stages.substr import (
+        shared_window_agg)
+    ds = _read_table(sf_dir, "documents",
+                     columns=["doc_id", "text", "lang"])
+    return shared_window_agg(ds, w=64, stride=4)
+
+
 def _events_heavy_users(sf_dir: str):
     """Misra-Gries heavy hitters (k=150): EXACT counts of every user
     above the n/(k+1) frequency threshold, two bounded-memory streaming
@@ -1023,6 +1061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 4 -- never driver-checked
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
+        "doc_shared_substr_agg": _doc_shared_substr_agg,
+        "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_repetition_features": _doc_repetition_features,
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
@@ -1119,6 +1159,29 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "doc_incremental_dedup": """
+            SELECT lang, count(*) AS n_new
+            FROM documents d
+            WHERE d.text IS NULL
+               OR ('0x' || substr(md5(d.text), 1, 16))::UBIGINT NOT IN
+                  (SELECT ('0x' || substr(md5(s.text), 1, 16))::UBIGINT
+                   FROM documents s
+                   WHERE s.doc_id % 3 = 0 AND s.text IS NOT NULL)
+            GROUP BY lang""",
+        "doc_shared_substr_agg": """
+            WITH g AS (
+              SELECT DISTINCT d.doc_id, substring(d.text, i, 64) AS win
+              FROM documents d, generate_series(1, 8192, 4) t(i)
+              WHERE d.text IS NOT NULL
+                AND i <= length(d.text) - 63),
+            s AS (SELECT win FROM g
+                  GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+            f AS (SELECT DISTINCT doc_id FROM g
+                  WHERE win IN (SELECT win FROM s))
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM f)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
+            FROM documents GROUP BY lang""",
         "events_heavy_users": """
             SELECT user_id, count(*) AS cnt
             FROM events WHERE user_id IS NOT NULL

@@ -523,3 +523,67 @@ def test_heavy_hitters_exact_above_threshold():
     assert list(got["v"]) == list(ref["v"])
     assert list(got["cnt"]) == list(ref["c"])
     assert 7 in set(got["v"])
+
+
+def test_shared_window_screen_matches_bruteforce():
+    from go_distributed_log_search_ray.stages.substr import (
+        shared_window_agg, shared_window_docs)
+    block = "x" * 30 + "THE-SHARED-BOILERPLATE-SEGMENT-" * 4 + "y" * 30
+    rows = [
+        {"doc_id": 1, "lang": "en", "text": block},           # shares
+        {"doc_id": 2, "lang": "en", "text": block + " tail"}, # shares
+        {"doc_id": 3, "lang": "de", "text": block[:200]},     # prefix-aligned share
+        {"doc_id": 4, "lang": "en", "text": "totally different content " * 10},
+        {"doc_id": 5, "lang": "de", "text": "short"},         # < w, no windows
+        {"doc_id": 6, "lang": "de", "text": None},            # null text
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    flagged = sorted(r["doc_id"] for r in
+                     shared_window_docs(ds, w=64, stride=4).take_all())
+    # brute force: stride-aligned 64-byte windows, shared across docs
+    wins = {}
+    for r in rows:
+        t = r["text"]
+        if t is None:
+            continue
+        for i in range(0, len(t) - 63, 4):
+            wins.setdefault(t[i:i + 64], set()).add(r["doc_id"])
+    expect = sorted({d for s in wins.values() if len(s) >= 2 for d in s})
+    assert flagged == expect and 1 in flagged and 3 in flagged
+    assert 4 not in flagged and 5 not in flagged
+
+    agg = shared_window_agg(ds, w=64, stride=4).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    assert list(agg["lang"]) == ["de", "en"]
+    by = {r["lang"]: r for _, r in agg.iterrows()}
+    assert by["en"]["n_docs"] == 3 and by["de"]["n_docs"] == 3
+    assert by["en"]["docs_flagged"] == len([d for d in expect
+                                            if d in (1, 2, 4)])
+    assert by["de"]["docs_flagged"] == len([d for d in expect
+                                            if d in (3, 5, 6)])
+
+
+def test_incremental_dedup_against_snapshot(tmp_path):
+    from go_distributed_log_search_ray.stages.incremental import (
+        build_fingerprint_snapshot, incremental_dedup)
+    snap_rows = [{"doc_id": i, "text": f"historical doc {i}"}
+                 for i in range(40)]
+    snap = ray.data.from_arrow(pa.Table.from_pylist(snap_rows))
+    d = str(tmp_path / "snap")
+    assert build_fingerprint_snapshot(snap, d, num_buckets=8) == d
+    # idempotent rebuild (commit-marker semantics)
+    assert build_fingerprint_snapshot(snap, d, num_buckets=8) == d
+
+    inc_rows = [
+        {"doc_id": 100, "text": "historical doc 3"},    # dup of snapshot
+        {"doc_id": 101, "text": "historical doc 17"},   # dup of snapshot
+        {"doc_id": 102, "text": "brand new doc"},
+        {"doc_id": 103, "text": "brand new doc"},       # intra-increment
+        {"doc_id": 104, "text": None},                  # null: always kept
+    ]
+    inc = ray.data.from_arrow(pa.Table.from_pylist(inc_rows))
+    kept = sorted(r["doc_id"] for r in
+                  incremental_dedup(inc, d, num_buckets=8).take_all())
+    # snapshot dupes dropped; intra-increment dupes both kept (the
+    # screen is vs HISTORY only -- same as the SQL NOT IN oracle)
+    assert kept == [102, 103, 104]
