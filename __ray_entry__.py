@@ -427,6 +427,58 @@ def _pages_status_agg(sf_dir: str):
     return small_table(agg, int64_cols=["hits"])
 
 
+def _doc_export_shards(sf_dir: str):
+    """Deterministic training-shard export (stages/export.py): scatter
+    documents into 8 shards by seeded id-hash, then read the WRITTEN
+    parquet back and fold the per-shard manifest -- the oracle
+    recomputes the shard assignment in SQL, so the round trip verifies
+    the sink."""
+    import os
+    import shutil
+    import ray.data
+    from ray.data.aggregate import Sum
+    from go_distributed_log_search_ray.stages.export import (
+        export_training_shards)
+    ds = _read_table(sf_dir, "documents",
+                     columns=["doc_id", "lang", "n_chars"])
+    out = f"/tmp/graft_export_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    export_training_shards(ds, out, num_shards=8)
+    back = ray.data.read_parquet(out)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sh = pc.cast(b.column("shard"), pa.int64())
+        t = pa.table({"shard": sh, "n_chars": b.column("n_chars")})
+        g = t.group_by(["shard"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        return g.rename_columns(["shard", "n_docs", "sum_chars"])
+
+    agg = back.map_batches(partial, batch_format="pyarrow") \
+        .groupby("shard").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                    Sum("sum_chars", alias_name="sum_chars"))
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["n_docs", "sum_chars"])
+
+
+def _events_promo_overlap_agg(sf_dir: str):
+    """Interval OVERLAP join (overlapping 2-day promo windows, one per
+    day): per-window event count + value cents, aggregated without
+    materializing the fan-out (stages/intervaljoin.py).  Oracle is the
+    equivalent SQL inequality join."""
+    from go_distributed_log_search_ray.stages.intervaljoin import (
+        make_intervals, overlap_join_agg)
+    ds = _read_table(sf_dir, "events", columns=["ts", "value"])
+    day_us = 86_400_000_000
+    base = 1_704_067_200_000_000          # 2024-01-01 00:00:00 (naive)
+    ids = list(range(30))
+    ref = make_intervals(ids,
+                         [base + i * day_us for i in ids],
+                         [base + (i + 2) * day_us for i in ids])
+    agg = overlap_join_agg(ds, ref, ts_col="ts", value_col="value")
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["n_rows", "sum_value_cents"])
+
+
 def _doc_incremental_dedup(sf_dir: str):
     """Incremental dedup of a crawl increment against a PERSISTED
     bucket-partitioned fingerprint snapshot (stages/incremental.py):
@@ -1063,6 +1115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
         "doc_incremental_dedup": _doc_incremental_dedup,
+        "events_promo_overlap_agg": _events_promo_overlap_agg,
+        "doc_export_shards": _doc_export_shards,
         "doc_repetition_features": _doc_repetition_features,
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
@@ -1159,6 +1213,29 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "doc_export_shards": """
+            SELECT CAST(('0x' || substr(md5('19:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                        // 536870912 AS BIGINT) AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY shard""",
+        "events_promo_overlap_agg": """
+            WITH iv AS (
+              SELECT i AS interval_id,
+                     TIMESTAMP '2024-01-01' + i * INTERVAL 1 DAY AS s,
+                     TIMESTAMP '2024-01-01' + (i + 2) * INTERVAL 1 DAY
+                       AS e
+              FROM generate_series(0, 29) t(i))
+            SELECT iv.interval_id,
+                   CAST(count(ev.ts) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CAST(floor(ev.value * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                     AS sum_value_cents
+            FROM iv LEFT JOIN events ev
+              ON ev.ts >= iv.s AND ev.ts < iv.e
+                 AND ev.value IS NOT NULL
+            GROUP BY iv.interval_id""",
         "doc_incremental_dedup": """
             SELECT lang, count(*) AS n_new
             FROM documents d

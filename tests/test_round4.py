@@ -587,3 +587,64 @@ def test_incremental_dedup_against_snapshot(tmp_path):
     # snapshot dupes dropped; intra-increment dupes both kept (the
     # screen is vs HISTORY only -- same as the SQL NOT IN oracle)
     assert kept == [102, 103, 104]
+
+
+def test_overlap_join_fanout_and_agg():
+    import duckdb
+    from go_distributed_log_search_ray.stages.intervaljoin import (
+        make_intervals, overlap_join, overlap_join_agg)
+    us = 1_000_000
+    # overlapping intervals: [0,10s), [5s,15s), [100s,110s)
+    ref = make_intervals([0, 1, 2],
+                         [0, 5 * us, 100 * us],
+                         [10 * us, 15 * us, 110 * us])
+    t = pa.table({
+        "ts": pa.array([2 * us, 7 * us, 12 * us, 50 * us, None],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = overlap_join(ds, ref, ts_col="ts").to_pandas()
+    # ts=7s matches BOTH interval 0 and 1 (fan-out); 12s only 1;
+    # 50s and null match nothing
+    got = sorted(zip(out["value"], out["interval_id"]))
+    assert got == [(1.0, 0), (2.0, 0), (2.0, 1), (4.0, 1)]
+
+    agg = overlap_join_agg(ds, ref, ts_col="ts", value_col="value") \
+        .to_pandas().sort_values("interval_id").reset_index(drop=True)
+    assert list(agg["interval_id"]) == [0, 1, 2]
+    assert list(agg["n_rows"]) == [2, 2, 0]
+    assert list(agg["sum_value_cents"]) == [300, 600, 0]
+
+    # broadcast bound asserted
+    import pytest as _pytest
+    from go_distributed_log_search_ray.stages import intervaljoin as ij
+    with _pytest.raises(ValueError):
+        make_intervals(list(range(ij.MAX_BROADCAST_INTERVALS + 1)),
+                       [0] * (ij.MAX_BROADCAST_INTERVALS + 1),
+                       [1] * (ij.MAX_BROADCAST_INTERVALS + 1))
+
+
+def test_export_shards_deterministic_roundtrip(tmp_path):
+    from go_distributed_log_search_ray.stages.export import (
+        export_training_shards, shard_of, shard_manifest)
+    rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(200)]
+    t = pa.Table.from_pylist(rows)
+    d = str(tmp_path / "shards")
+    export_training_shards(ray.data.from_arrow(t), d, num_shards=4)
+    # idempotent re-export
+    assert export_training_shards(ray.data.from_arrow(t), d,
+                                  num_shards=4) == d
+    man = {r["shard"]: r["n_docs"] for r in shard_manifest(d).take_all()}
+    want = shard_of(t.column("doc_id"), 4)
+    import collections
+    exp = collections.Counter(want.tolist())
+    assert {int(k): v for k, v in man.items()} == dict(exp)
+    assert sum(man.values()) == 200
+    # assignment independent of block layout (cluster-size determinism)
+    w2 = shard_of(t.column("doc_id").slice(50, 100), 4)
+    assert (w2 == want[50:150]).all()
+    # null ids quarantine, never drop
+    nt = pa.table({"doc_id": pa.array([1, None], pa.int64())})
+    s = shard_of(nt.column("doc_id"), 4)
+    assert s[1] == 4
