@@ -427,6 +427,38 @@ def _pages_status_agg(sf_dir: str):
     return small_table(agg, int64_cols=["hits"])
 
 
+def _doc_classifier_agg(sf_dir: str):
+    """Hashed-feature linear classifier scoring (the fastText-style
+    corpus quality gate) with broadcast weights; per-lang doc counts,
+    positives, and exact integer score sums (stages/classifier.py).
+    The oracle recomputes the md5 hashing-trick bucket and weight
+    arithmetic in SQL."""
+    from ray.data.aggregate import Sum
+    from go_distributed_log_search_ray.stages.classifier import (
+        classifier_score)
+    ds = _read_table(sf_dir, "documents", columns=["lang", "text"])
+    scored = classifier_score(ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": b.column("lang"),
+            "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_positive": pc.cast(b.column("clf_label"), pa.int64()),
+            "sum_score": b.column("clf_score")})
+        g = t.group_by(["lang"]).aggregate(
+            [("n_docs", "sum"), ("n_positive", "sum"), ("sum_score", "sum")])
+        return g.rename_columns(["lang", "n_docs", "n_positive",
+                                 "sum_score"])
+
+    agg = scored.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                   Sum("n_positive", alias_name="n_positive"),
+                                   Sum("sum_score", alias_name="sum_score"))
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["n_docs", "n_positive",
+                                        "sum_score"])
+
+
 def _doc_export_shards(sf_dir: str):
     """Deterministic training-shard export (stages/export.py): scatter
     documents into 8 shards by seeded id-hash, then read the WRITTEN
@@ -1117,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_dedup": _doc_incremental_dedup,
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "doc_export_shards": _doc_export_shards,
+        "doc_classifier_agg": _doc_classifier_agg,
         "doc_repetition_features": _doc_repetition_features,
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
@@ -1213,6 +1246,24 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "doc_classifier_agg": r"""
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(coalesce(text, '')),
+                                              '\S+') AS ts
+                    FROM documents), unnest(ts) AS u(t)),
+            sc AS (
+              SELECT doc_id,
+                     sum(CAST((('0x' || substr(md5(term), 1, 8))::UBIGINT
+                               % 1024) % 7 AS BIGINT) - 3) AS score
+              FROM toks GROUP BY doc_id)
+            SELECT d.lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN coalesce(sc.score, 0) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+                   CAST(sum(coalesce(sc.score, 0)) AS BIGINT) AS sum_score
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            GROUP BY d.lang""",
         "doc_export_shards": """
             SELECT CAST(('0x' || substr(md5('19:' ||
                         CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT

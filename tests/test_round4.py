@@ -648,3 +648,30 @@ def test_export_shards_deterministic_roundtrip(tmp_path):
     nt = pa.table({"doc_id": pa.array([1, None], pa.int64())})
     s = shard_of(nt.column("doc_id"), 4)
     assert s[1] == 4
+
+
+def test_hashed_classifier_matches_reference(monkeypatch):
+    import hashlib
+    from go_distributed_log_search_ray.stages.classifier import (
+        DIM, HashedLinearScorer, classifier_score, derived_weights)
+    texts = ["good words here", "bad", "", None,
+             "Mixed CASE Tokens mixed case tokens"]
+    w = derived_weights()
+
+    def ref_score(t):
+        if not t:
+            return 0
+        return sum(int(w[int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:4], "big") % DIM])
+            for tok in t.lower().split())
+
+    monkeypatch.setattr(HashedLinearScorer, "TOK_CACHE_CAP", 4)
+    sc = HashedLinearScorer()
+    col = pa.array(texts, pa.string())
+    got = sc.score_batch(col)            # crosses the tiny cache cap
+    assert [int(x) for x in got] == [ref_score(t) for t in texts]
+
+    ds = ray.data.from_arrow(pa.table({"text": col}))
+    out = classifier_score(ds).to_pandas()
+    assert list(out["clf_score"]) == [ref_score(t) for t in texts]
+    assert list(out["clf_label"]) == [ref_score(t) > 0 for t in texts]
