@@ -427,6 +427,19 @@ def _pages_status_agg(sf_dir: str):
     return small_table(agg, int64_cols=["hits"])
 
 
+def _pages_domain_agg(sf_dir: str):
+    """URL canonicalization + per-registered-domain accounting over the
+    raw url column (stages/urltools.py): RE2 canonical form, host
+    extraction, public-suffix-style registered domain, distinct-host
+    and doc counts.  Oracle runs the same RE2 chain in DuckDB."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.urltools import domain_agg
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir), columns=["url"])
+    agg = domain_agg(ds, url_col="url")
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    return small_table(agg, int64_cols=["n_docs", "n_hosts"])
+
+
 def _doc_classifier_agg(sf_dir: str):
     """Hashed-feature linear classifier scoring (the fastText-style
     corpus quality gate) with broadcast weights; per-lang doc counts,
@@ -1150,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
+        "pages_domain_agg": _pages_domain_agg,
         "doc_repetition_features": _doc_repetition_features,
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
@@ -1246,6 +1260,26 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "pages_domain_agg": f"""
+            WITH c AS (
+              SELECT regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       lower(url), '#.*$', ''), '\\?.*$', ''),
+                       '^https?://', ''), '^www\\.', ''),
+                       '^([^/:]+):(?:80|443)(/|$)', '\\1\\2'),
+                       '/+$', '') AS canon
+              FROM read_parquet('{pages}') WHERE url IS NOT NULL),
+            h AS (SELECT regexp_replace(canon, '/.*$', '') AS host
+                  FROM c),
+            d AS (SELECT host,
+                         regexp_extract(host,
+                           '([a-z0-9-]+\\.(?:co|com|org|net|ac|gov)\\.'
+                           || '[a-z]{{2}}|[a-z0-9-]+\\.[a-z]+)$')
+                           AS domain
+                  FROM h)
+            SELECT domain, count(*) AS n_docs,
+                   count(DISTINCT host) AS n_hosts
+            FROM d GROUP BY domain""",
         "doc_classifier_agg": r"""
             WITH toks AS (
               SELECT doc_id, t AS term

@@ -675,3 +675,32 @@ def test_hashed_classifier_matches_reference(monkeypatch):
     out = classifier_score(ds).to_pandas()
     assert list(out["clf_score"]) == [ref_score(t) for t in texts]
     assert list(out["clf_label"]) == [ref_score(t) > 0 for t in texts]
+
+
+def test_url_canonicalization_and_domains():
+    from go_distributed_log_search_ray.stages.urltools import (
+        canonical_urls, domain_agg, hosts_of, registered_domains)
+    urls = ["https://WWW.Shop.Example.co.uk:443/a/b/?q=1#frag",
+            "http://example.com:80/",
+            "https://sub.a.example.com/x/",
+            "http://example.com/x#y",
+            "https://example.com/x?a=1",
+            "http://localhost/x",
+            None]
+    c = canonical_urls(pa.array(urls, pa.string()))
+    assert c.to_pylist()[:6] == [
+        "shop.example.co.uk/a/b", "example.com", "sub.a.example.com/x",
+        "example.com/x", "example.com/x", "localhost/x"]
+    h = hosts_of(c)
+    d = registered_domains(h)
+    assert d.to_pylist()[:6] == ["example.co.uk", "example.com",
+                                 "example.com", "example.com",
+                                 "example.com", ""]
+    out = domain_agg(ray.data.from_arrow(
+        pa.table({"url": pa.array(urls, pa.string())}))).to_pandas() \
+        .sort_values("domain").reset_index(drop=True)
+    by = {r["domain"]: (r["n_docs"], r["n_hosts"])
+          for _, r in out.iterrows()}
+    assert by["example.com"] == (4, 2)      # example.com + sub.a.example.com
+    assert by["example.co.uk"] == (1, 1)
+    assert by[""] == (1, 1)                 # dotless host bucket
