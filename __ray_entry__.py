@@ -1156,6 +1156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries rotate to the tail (all were 3/3 in CORRECTNESS_r01-r03).
     return {
         # new in round 4 -- never driver-checked
+        "orders_customer_left_join": R.orders_customer_left_join,
+        "customer_order_full_join": R.customer_order_full_join,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -1498,6 +1500,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_partkey = p.p_partkey)
             GROUP BY p.p_brand""",
+        "orders_customer_left_join": """
+            SELECT (c.c_custkey IS NOT NULL) AS matched,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents
+            FROM orders o
+            LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+                       WHERE c_mktsegment = 'AUTOMOBILE') c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1""",
+        "customer_order_full_join": """
+            WITH l AS (SELECT c_custkey, c_acctbal FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+                 r AS (SELECT o_custkey, o_totalprice FROM orders
+                       WHERE o_orderpriority = '1-URGENT')
+            SELECT CASE WHEN l.c_custkey IS NOT NULL
+                             AND r.o_custkey IS NOT NULL THEN 'both'
+                        WHEN l.c_custkey IS NOT NULL THEN 'left_only'
+                        ELSE 'right_only' END AS side,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(floor(coalesce(r.o_totalprice, 0) * 100)
+                                 AS BIGINT)) AS BIGINT) AS price_cents
+            FROM l FULL JOIN r ON l.c_custkey = r.o_custkey
+            GROUP BY 1""",
         "events_top_by_type": """
             SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
                    CAST(floor(value * 100) AS BIGINT) AS value_cents

@@ -584,6 +584,98 @@ def parts_with_lineitems(sf_dir: str) -> pa.Table:
         .select(["p_brand", "n_parts"])
 
 
+# -- outer joins -------------------------------------------------------------
+
+def orders_customer_left_join(sf_dir: str) -> pa.Table:
+    """Orders LEFT OUTER customer(AUTOMOBILE) -- null-extension on the
+    big probe side.  Same single co-partitioning shuffle as the inner
+    ``hash_join``; the per-partition Arrow "left outer" is globally
+    correct because a key's rows from BOTH sides land in the same
+    partition, so a left row unmatched in its partition is unmatched
+    everywhere (null-extended exactly once).  The small side is
+    filtered at the read and ships two columns."""
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_clean(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+                      filter=pc.field("c_mktsegment") == "AUTOMOBILE") \
+        .map_batches(lambda b: b.select(["c_custkey", "c_acctbal"]),
+                     batch_format="pyarrow")
+    j = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        join_type="left outer",
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_acctbal", pa.float64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        matched = pc.is_valid(b.column("c_acctbal"))
+        t = pa.table({"matched": matched,
+                      "price_cents": _cents(b.column("o_totalprice"))})
+        out = t.group_by(["matched"]).aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")])
+        return out.rename_columns(["matched", "price_cents", "n_orders"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("matched").aggregate(
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("n_orders", alias_name="n_orders"))
+    return small_table(agg, sort_keys=["matched"],
+                       int64_cols=["price_cents", "n_orders"]) \
+        .select(["matched", "n_orders", "price_cents"])
+
+
+def customer_order_full_join(sf_dir: str) -> pa.Table:
+    """BUILDING customers FULL OUTER urgent orders -- unmatched rows
+    survive on BOTH sides (left_only = BUILDING customers with no
+    urgent order, right_only = urgent orders from non-BUILDING
+    customers, both = matched pairs).  Arrow acero coalesces the key,
+    so side attribution reads each side's non-key payload nullity.
+    Distribution argument is the same co-partitioning invariant as the
+    left join: global absence == partition-local absence."""
+    from ..stages.join import hash_join
+
+    cust = read_clean(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+                      filter=pc.field("c_mktsegment") == "BUILDING") \
+        .map_batches(lambda b: b.select(["c_custkey", "c_acctbal"]),
+                     batch_format="pyarrow")
+    orders = read_clean(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+                        filter=pc.field("o_orderpriority") == "1-URGENT") \
+        .map_batches(lambda b: b.select(["o_custkey", "o_totalprice"]),
+                     batch_format="pyarrow")
+    j = hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey",
+        join_type="full outer",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_acctbal", pa.float64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("o_totalprice", pa.float64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        lv = pc.is_valid(b.column("c_acctbal"))
+        rv = pc.is_valid(b.column("o_totalprice"))
+        side = pc.if_else(pc.and_(lv, rv), pa.scalar("both"),
+                          pc.if_else(lv, pa.scalar("left_only"),
+                                     pa.scalar("right_only")))
+        price = pc.fill_null(b.column("o_totalprice"), 0.0)
+        t = pa.table({"side": side, "price_cents": _cents(price)})
+        out = t.group_by(["side"]).aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")])
+        return out.rename_columns(["side", "price_cents", "n_rows"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("side").aggregate(
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("n_rows", alias_name="n_rows"))
+    return small_table(agg, sort_keys=["side"],
+                       int64_cols=["price_cents", "n_rows"]) \
+        .select(["side", "n_rows", "price_cents"])
+
+
 # -- grouped top-k ----------------------------------------------------------
 
 def events_top_by_type(sf_dir: str) -> pa.Table:

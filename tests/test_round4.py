@@ -704,3 +704,35 @@ def test_url_canonicalization_and_domains():
     assert by["example.com"] == (4, 2)      # example.com + sub.a.example.com
     assert by["example.co.uk"] == (1, 1)
     assert by[""] == (1, 1)                 # dotless host bucket
+
+
+# -- outer joins through the co-partitioned shuffle ---------------------------
+
+def test_hash_join_outer_modes_match_single_table():
+    """left/full outer through hash_join == a single-table Arrow join:
+    duplicate keys fan out, unmatched rows null-extend exactly once
+    (the co-partitioning invariant), and acero's coalesced key column
+    survives the merge stage's canonicalization."""
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    lt = pa.table({"k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+                   "a": ["p", "q", "r", "s", "t"]})
+    rt = pa.table({"k": pa.array([2, 3, 3, 4], pa.int64()),
+                   "b": pa.array([10, 20, 30, 40], pa.int64())})
+
+    def canon(t: pa.Table) -> list:
+        cols = sorted(t.column_names)
+        rows = [tuple(r[c] for c in cols) for r in t.select(cols).to_pylist()]
+        return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
+
+    for jt in ("left outer", "right outer", "full outer"):
+        want = lt.join(rt, keys=["k"], join_type=jt)
+        got = hash_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            on="k", join_type=jt, num_partitions=4,
+            left_schema=lt.schema, right_schema=rt.schema)
+        gt = pa.concat_tables(
+            [b for b in got.map_batches(lambda x: x, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+            or [want.schema.empty_table()])
+        assert canon(gt) == canon(want), jt
