@@ -1158,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 4 -- never driver-checked
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
+        "orders_global_rank": R.orders_global_rank,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -1500,6 +1501,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_partkey = p.p_partkey)
             GROUP BY p.p_brand""",
+        "orders_global_rank": """
+            SELECT CAST(row_number() OVER (
+                       ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC,
+                                o_orderkey) AS BIGINT) AS rank,
+                   o_orderkey,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders""",
         "orders_customer_left_join": """
             SELECT (c.c_custkey IS NOT NULL) AS matched,
                    count(*) AS n_orders,

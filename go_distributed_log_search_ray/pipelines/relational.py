@@ -676,6 +676,45 @@ def customer_order_full_join(sf_dir: str) -> pa.Table:
         .select(["side", "n_rows", "price_cents"])
 
 
+# -- distributed total-order sort + global rank ------------------------------
+
+def orders_global_rank(sf_dir: str) -> pa.Table:
+    """Every order ranked by price descending -- the FULL ordered
+    output with an exact global row number (``stages/sortrank.py``:
+    range partitioning on sampled (key, id) boundaries, per-partition
+    Arrow sort, rank = exclusive-prefix-sum offset + local position;
+    the rank needs no driver pass and no all-to-all beyond the one
+    range exchange).  DESC is expressed as ascending over negated
+    cents, id-ascending tiebreak either way; rank is 1-based to match
+    SQL row_number()."""
+    from ..stages.sortrank import range_sort_rank
+
+    import os
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("o_totalprice"))
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "price_cents": cents,
+                         "neg_cents": pc.negate_checked(cents)})
+
+    est = 3 * os.path.getsize(f"{sf_dir}/orders.parquet")
+    out = range_sort_rank(ds.map_batches(prep, batch_format="pyarrow"),
+                          key="neg_cents", id_col="o_orderkey",
+                          est_bytes=est)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "rank": pc.add(b.column("rank"), pa.scalar(1, pa.int64())),
+            "o_orderkey": b.column("o_orderkey"),
+            "price_cents": b.column("price_cents")})
+
+    final = out.map_batches(finish, batch_format="pyarrow")
+    return small_table(final, sort_keys=["rank"],
+                       int64_cols=["rank", "price_cents"]) \
+        .select(["rank", "o_orderkey", "price_cents"])
+
+
 # -- grouped top-k ----------------------------------------------------------
 
 def events_top_by_type(sf_dir: str) -> pa.Table:

@@ -736,3 +736,30 @@ def test_hash_join_outer_modes_match_single_table():
              .iter_batches(batch_format="pyarrow")]
             or [want.schema.empty_table()])
         assert canon(gt) == canon(want), jt
+
+
+def test_range_sort_rank_total_order_with_hot_key():
+    """Full distributed sort + exact global rank: duplicate-heavy keys
+    with one 60%-hot key (boundaries are (key,id) pairs so the hot run
+    SPLITS across partitions instead of melting one reducer), payload
+    column rides along, rank is a 0-based permutation."""
+    from go_distributed_log_search_ray.stages.sortrank import range_sort_rank
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    key = rng.integers(0, 50, n)
+    key[:12_000] = 7
+    ids = rng.permutation(n).astype(np.int64)
+    extra = rng.standard_normal(n)
+    t = pa.table({"k": pa.array(key, pa.int64()),
+                  "id": pa.array(ids), "x": extra})
+    ds = ray.data.from_arrow(t).repartition(16)
+    out = range_sort_rank(ds, "k", "id", num_partitions=8)
+    res = pa.concat_tables(out.iter_batches(batch_format="pyarrow")) \
+        .sort_by("rank")
+    order = np.lexsort((ids, key))
+    assert res.num_rows == n
+    assert (np.asarray(res.column("rank")) == np.arange(n)).all()
+    assert (np.asarray(res.column("k")) == key[order]).all()
+    assert (np.asarray(res.column("id")) == ids[order]).all()
+    assert np.allclose(np.asarray(res.column("x")), extra[order])
