@@ -996,6 +996,55 @@ def _media_video_agg(sf_dir: str):
         .select(["width", "height", "n_clips", "tot_frames", "tot_luma"])
 
 
+def _emb_semdedup_agg(sf_dir: str):
+    """SemDeDup over the embeddings table: 8-cell k-means assignment
+    (same deterministic centroid pick as emb_centroid_assign), then
+    within-cell integer-dot near-dup removal at threshold 400k
+    (cosine ~0.4 at scale 1000^2); per-cell kept/removed counts plus a
+    kept-id checksum so the value hash pins the exact removal SET."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from go_distributed_log_search_ray.stages.similarity import (
+        semdedup, quantize_embeddings, _emb_matrix)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head, sort_keys=[("vec_id", "ascending")])
+    cent_t = head.take(order.slice(0, 8))
+    cent_ids = np.asarray(cent_t.column("vec_id"), dtype=np.int64)
+    cent_q = quantize_embeddings(_emb_matrix(cent_t))
+
+    ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    marked = semdedup(ds, cent_q, threshold=400_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"centroid_id": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             "n_removed": pa.array([], pa.int64()),
+                             "kept_id_sum": pa.array([], pa.int64())})
+        cid = cent_ids[np.asarray(b.column("centroid_id"))]
+        rm = np.asarray(b.column("removed"))
+        vid = np.asarray(b.column("vec_id"), dtype=np.int64)
+        t = pa.table({"centroid_id": pa.array(cid, pa.int64()),
+                      "removed": pa.array(rm.astype(np.int64)),
+                      "kept_id": pa.array(np.where(rm, 0, vid))})
+        out = t.group_by(["centroid_id"]).aggregate(
+            [("removed", "count"), ("removed", "sum"), ("kept_id", "sum")])
+        return out.rename_columns(
+            ["centroid_id", "n_vecs", "n_removed", "kept_id_sum"])
+
+    agg = marked.map_batches(partial, batch_format="pyarrow") \
+        .groupby("centroid_id").aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("n_removed", alias_name="n_removed"),
+            Sum("kept_id_sum", alias_name="kept_id_sum"))
+    return small_table(agg, sort_keys=["centroid_id"],
+                       int64_cols=["n_vecs", "n_removed", "kept_id_sum"]) \
+        .select(["centroid_id", "n_vecs", "n_removed", "kept_id_sum"])
+
+
 def _emb_centroid_assign(sf_dir: str):
     """K-means assignment step over the embeddings table: centroids =
     the 8 lowest-vec_id embeddings, dot products integer-quantized so
@@ -1159,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
         "orders_global_rank": R.orders_global_rank,
+        "emb_semdedup_agg": _emb_semdedup_agg,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -1968,6 +2018,40 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "emb_semdedup_agg": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                     AS BIGINT)) AS e
+                FROM embeddings),
+            c AS (
+                SELECT vec_id AS cid, e AS ce FROM q
+                ORDER BY vec_id LIMIT 8),
+            dots AS (
+                SELECT q.vec_id, q.e, c.cid,
+                       list_dot_product(q.e, c.ce) AS dot
+                FROM q CROSS JOIN c),
+            asg AS (
+                SELECT vec_id, e, cid FROM (
+                    SELECT vec_id, e, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dot DESC, cid ASC) AS r
+                    FROM dots) WHERE r = 1),
+            rm AS (
+                SELECT a.vec_id, a.cid,
+                       EXISTS (SELECT 1 FROM asg b
+                               WHERE b.cid = a.cid
+                                 AND b.vec_id < a.vec_id
+                                 AND list_dot_product(a.e, b.e) >= 400000)
+                           AS removed
+                FROM asg a)
+            SELECT cid AS centroid_id, count(*) AS n_vecs,
+                   CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   CAST(sum(CASE WHEN removed THEN 0 ELSE vec_id END)
+                        AS BIGINT) AS kept_id_sum
+            FROM rm GROUP BY cid""",
         "emb_centroid_assign": """
             WITH q AS (
                 SELECT vec_id,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -265,3 +266,50 @@ def centroid_assign(ds: Dataset, centroids_q: np.ndarray,
         CentroidAssign, fn_constructor_args=(ref, col, out_col),
         batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size)
+
+
+# -- SemDeDup: semantic near-dedup inside k-means cells ----------------------
+
+def semdedup(ds: Dataset, centroids_q: np.ndarray, threshold: int,
+             id_col: str = "vec_id", col: str = "embedding",
+             scale: int = 1000) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster
+    embeddings, then mark as duplicate any row whose integer-quantized
+    dot with a LOWER-id row in the same cluster reaches ``threshold``
+    (the kept row is the cluster-local minimum id of each near-dup
+    set's chain).  The pairwise stage is quadratic ONLY within a
+    cluster -- that bound is the algorithm's design point, and the
+    centroid count is the scale knob (100 TB of embeddings wants
+    ~sqrt(n) cells so each cell's Gram matrix fits a worker heap).
+
+    One assignment pass (broadcast centroids, zero shuffle) + ONE
+    cluster-key exchange; each cluster computes its Gram matrix with a
+    float64 BLAS matmul that is EXACT for these integers (|q|^2 * dim
+    << 2^53, asserted), so the verdict is bit-deterministic and
+    SQL-reproducible.  Returns (id, centroid_id, removed)."""
+    assigned = centroid_assign(ds, centroids_q, col=col)
+    dim = np.asarray(centroids_q).shape[1]
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("centroid_id", pa.int64()),
+                            ("removed", pa.bool_())])
+    out_empty = out_schema.empty_table()
+
+    def judge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        t = t.take(idx)
+        q = quantize_embeddings(_emb_matrix(t, col), scale).astype(np.float64)
+        assert (np.abs(q).max() ** 2) * dim < 2 ** 53, \
+            "quantized dot would lose float64 exactness"
+        gram = q @ q.T                      # exact: integer-valued floats
+        hit = gram >= float(threshold)
+        np.fill_diagonal(hit, False)
+        removed = np.tril(hit, -1).any(axis=1)   # similar to a lower id
+        return pa.table({id_col: t.column(id_col),
+                         "centroid_id": t.column("centroid_id"),
+                         "removed": pa.array(removed)}).cast(out_schema)
+
+    return assigned.groupby("centroid_id") \
+        .map_groups(judge, batch_format="pyarrow")

@@ -763,3 +763,39 @@ def test_range_sort_rank_total_order_with_hot_key():
     assert (np.asarray(res.column("k")) == key[order]).all()
     assert (np.asarray(res.column("id")) == ids[order]).all()
     assert np.allclose(np.asarray(res.column("x")), extra[order])
+
+
+def test_semdedup_matches_bruteforce_within_cells():
+    """SemDeDup: planted near-identical pairs are removed (keeping the
+    lower id), distant vectors survive, and the whole verdict set
+    equals a brute-force recomputation of the within-cell rule."""
+    from go_distributed_log_search_ray.stages.similarity import (
+        semdedup, quantize_embeddings)
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant near-dups: rows 40..49 are tiny perturbations of rows 0..9
+    dup = base[:10] + rng.standard_normal((10, 16)) * 0.01
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    emb = np.vstack([base, dup])
+    ids = np.arange(len(emb), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(emb.astype(np.float32)))})
+    cent_q = quantize_embeddings(emb[:4])
+    T = 900_000                         # cosine ~0.9 at scale 1000^2
+    out = pa.concat_tables(
+        semdedup(ray.data.from_arrow(t).repartition(4), cent_q, T)
+        .iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+
+    # brute force the same rule
+    q = quantize_embeddings(emb).astype(np.float64)
+    cid = np.argmax(q @ quantize_embeddings(emb[:4]).astype(np.float64).T,
+                    axis=1)
+    gram = q @ q.T
+    want = np.array([any(gram[i, j] >= T and cid[j] == cid[i]
+                         for j in range(i)) for i in range(len(emb))])
+    got = np.asarray(out.column("removed"))
+    assert (got == want).all()
+    assert want[40:].sum() >= 8         # planted dups caught
+    assert not want[:40].any()          # originals keep (lower ids)
