@@ -1208,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
         "orders_global_rank": R.orders_global_rank,
+        "orders_bloom_semi_agg": R.orders_bloom_semi_agg,
         "emb_semdedup_agg": _emb_semdedup_agg,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
@@ -1551,6 +1552,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_partkey = p.p_partkey)
             GROUP BY p.p_brand""",
+        "orders_bloom_semi_agg": """
+            SELECT o.o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')
+            GROUP BY o.o_orderpriority""",
         "orders_global_rank": """
             SELECT CAST(row_number() OVER (
                        ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC,

@@ -676,6 +676,49 @@ def customer_order_full_join(sf_dir: str) -> pa.Table:
         .select(["side", "n_rows", "price_cents"])
 
 
+# -- bloom-pruned semi join ---------------------------------------------------
+
+def orders_bloom_semi_agg(sf_dir: str) -> pa.Table:
+    """Orders from BUILDING-segment customers, per priority -- the
+    exact semi join with a Bloom sideways pass (``stages/bloom.py``):
+    the customer key set rides a ~1 MB bit array broadcast once, the
+    orders side drops non-matching rows BEFORE the co-partitioning
+    shuffle, and the exact per-partition semi join clears any false
+    positives.  Same answer as an unfiltered semi join; the exchange
+    moves matches + FPs only."""
+    from ..stages.bloom import bloom_semi_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority", "o_totalprice"])
+    cust = read_clean(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_mktsegment"],
+                      filter=pc.field("c_mktsegment") == "BUILDING") \
+        .map_batches(lambda b: b.select(["c_custkey"]),
+                     batch_format="pyarrow")
+    j = bloom_semi_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("o_orderpriority", pa.string()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                      "price_cents": _cents(b.column("o_totalprice"))})
+        out = t.group_by(["o_orderpriority"]).aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")])
+        return out.rename_columns(["o_orderpriority", "price_cents",
+                                   "n_orders"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("n_orders", alias_name="n_orders"))
+    return small_table(agg, sort_keys=["o_orderpriority"],
+                       int64_cols=["price_cents", "n_orders"]) \
+        .select(["o_orderpriority", "n_orders", "price_cents"])
+
+
 # -- distributed total-order sort + global rank ------------------------------
 
 def orders_global_rank(sf_dir: str) -> pa.Table:

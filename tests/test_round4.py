@@ -799,3 +799,43 @@ def test_semdedup_matches_bruteforce_within_cells():
     assert (got == want).all()
     assert want[40:].sum() >= 8         # planted dups caught
     assert not want[:40].any()          # originals keep (lower ids)
+
+
+def test_bloom_semi_join_exact_and_prunes():
+    """Bloom sideways pass: identical output to the exact semi join at
+    BOTH a healthy filter size and a tiny FP-heavy one (false positives
+    are admitted then discarded by the exact join); the prefilter drops
+    the overwhelming non-matching majority before the shuffle."""
+    from go_distributed_log_search_ray.stages.bloom import (
+        build_key_bloom, bloom_prefilter, bloom_semi_join)
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(3)
+    left = pa.table({"k": pa.array(rng.integers(0, 100_000, 50_000),
+                                   pa.int64()),
+                     "v": rng.standard_normal(50_000)})
+    right = pa.table({"k2": pa.array(rng.integers(0, 2_000, 3_000),
+                                     pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(8)
+    rds = ray.data.from_arrow(right).repartition(4)
+
+    def rows(ds):
+        t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+        return sorted(zip(t.column("k").to_pylist(),
+                          t.column("v").to_pylist()))
+
+    want = rows(hash_join(lds, rds, on="k", right_on="k2",
+                          join_type="left semi", num_partitions=8,
+                          left_schema=left.schema,
+                          right_schema=right.schema))
+    for nbits in (1 << 20, 1 << 10):
+        got = rows(bloom_semi_join(lds, rds, on="k", right_on="k2",
+                                   nbits=nbits, num_partitions=8,
+                                   left_schema=left.schema,
+                                   right_schema=right.schema))
+        assert got == want, nbits
+
+    bloom = build_key_bloom(rds, "k2", nbits=1 << 20)
+    n_pre = bloom_prefilter(lds, "k", bloom, nbits=1 << 20).count()
+    assert n_pre < 5_000          # ~2% of the key space matches
+    assert n_pre >= len(want)     # never drops a true match
