@@ -996,6 +996,47 @@ def _media_video_agg(sf_dir: str):
         .select(["width", "height", "n_clips", "tot_frames", "tot_luma"])
 
 
+def _emb_kmeans_train_agg(sf_dir: str):
+    """TWO full distributed Lloyd iterations (assignment + centroid
+    update, both bit-deterministic) then the final assignment census:
+    per centroid-slot count + vec_id checksum.  The oracle unrolls the
+    identical integer/IEEE arithmetic in SQL, so a single moved vector
+    anywhere in either iteration flips the value hash."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from go_distributed_log_search_ray.stages.similarity import (
+        kmeans_train, centroid_assign, quantize_embeddings, _emb_matrix)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head, sort_keys=[("vec_id", "ascending")])
+    init_q = quantize_embeddings(_emb_matrix(head.take(order.slice(0, 8))))
+
+    ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent_q = kmeans_train(ds, init_q, iters=2)
+    assigned = centroid_assign(ds, cent_q)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"centroid_idx": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             "id_sum": pa.array([], pa.int64())})
+        t = pa.table({"centroid_idx": b.column("centroid_id"),
+                      "vec_id": pc.cast(b.column("vec_id"), pa.int64())})
+        out = t.group_by(["centroid_idx"]).aggregate(
+            [("vec_id", "count"), ("vec_id", "sum")])
+        return out.rename_columns(["centroid_idx", "n_vecs", "id_sum"])
+
+    agg = assigned.map_batches(partial, batch_format="pyarrow") \
+        .groupby("centroid_idx").aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("id_sum", alias_name="id_sum"))
+    return small_table(agg, sort_keys=["centroid_idx"],
+                       int64_cols=["n_vecs", "id_sum"]) \
+        .select(["centroid_idx", "n_vecs", "id_sum"])
+
+
 def _emb_semdedup_agg(sf_dir: str):
     """SemDeDup over the embeddings table: 8-cell k-means assignment
     (same deterministic centroid pick as emb_centroid_assign), then
@@ -1210,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_global_rank": R.orders_global_rank,
         "orders_bloom_semi_agg": R.orders_bloom_semi_agg,
         "emb_semdedup_agg": _emb_semdedup_agg,
+        "emb_kmeans_train_agg": _emb_kmeans_train_agg,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -2028,6 +2070,67 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "emb_kmeans_train_agg": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                     AS BIGINT)) AS e
+                FROM embeddings),
+            c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                       e AS ce
+                FROM q ORDER BY vec_id LIMIT 8),
+            a1 AS (
+                SELECT vec_id, e, cidx FROM (
+                    SELECT q.vec_id, q.e, c0.cidx,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY list_dot_product(q.e, c0.ce) DESC,
+                                        c0.cidx ASC) AS r
+                    FROM q CROSS JOIN c0) WHERE r = 1),
+            s1 AS (
+                SELECT cidx, d.d AS dim, sum(e[d.d]) AS s, count(*) AS n
+                FROM a1, generate_series(1, 64) AS d(d) GROUP BY 1, 2),
+            c1 AS (
+                SELECT g.cidx,
+                       list(COALESCE(
+                                CAST(floor(CAST(s1.s AS DOUBLE)
+                                           / CAST(s1.n AS DOUBLE)) AS BIGINT),
+                                g.ce_d) ORDER BY g.d) AS ce
+                FROM (SELECT c0.cidx, d.d AS d, c0.ce[d.d] AS ce_d
+                      FROM c0, generate_series(1, 64) AS d(d)) g
+                LEFT JOIN s1 ON s1.cidx = g.cidx AND s1.dim = g.d
+                GROUP BY g.cidx),
+            a2 AS (
+                SELECT vec_id, e, cidx FROM (
+                    SELECT q.vec_id, q.e, c1.cidx,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY list_dot_product(q.e, c1.ce) DESC,
+                                        c1.cidx ASC) AS r
+                    FROM q CROSS JOIN c1) WHERE r = 1),
+            s2 AS (
+                SELECT cidx, d.d AS dim, sum(e[d.d]) AS s, count(*) AS n
+                FROM a2, generate_series(1, 64) AS d(d) GROUP BY 1, 2),
+            c2 AS (
+                SELECT g.cidx,
+                       list(COALESCE(
+                                CAST(floor(CAST(s2.s AS DOUBLE)
+                                           / CAST(s2.n AS DOUBLE)) AS BIGINT),
+                                g.ce_d) ORDER BY g.d) AS ce
+                FROM (SELECT c1.cidx, d.d AS d, c1.ce[d.d] AS ce_d
+                      FROM c1, generate_series(1, 64) AS d(d)) g
+                LEFT JOIN s2 ON s2.cidx = g.cidx AND s2.dim = g.d
+                GROUP BY g.cidx),
+            a3 AS (
+                SELECT vec_id, cidx FROM (
+                    SELECT q.vec_id, c2.cidx,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY list_dot_product(q.e, c2.ce) DESC,
+                                        c2.cidx ASC) AS r
+                    FROM q CROSS JOIN c2) WHERE r = 1)
+            SELECT cidx AS centroid_idx, count(*) AS n_vecs,
+                   CAST(sum(vec_id) AS BIGINT) AS id_sum
+            FROM a3 GROUP BY cidx""",
         "emb_semdedup_agg": """
             WITH q AS (
                 SELECT vec_id,

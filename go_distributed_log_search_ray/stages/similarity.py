@@ -313,3 +313,59 @@ def semdedup(ds: Dataset, centroids_q: np.ndarray, threshold: int,
 
     return assigned.groupby("centroid_id") \
         .map_groups(judge, batch_format="pyarrow")
+
+
+# -- distributed Lloyd k-means training loop ---------------------------------
+
+def kmeans_train(ds: Dataset, init_q: np.ndarray, iters: int,
+                 col: str = "embedding", scale: int = 1000) -> np.ndarray:
+    """Full distributed Lloyd iterations, bit-deterministic: assignment
+    is the exact integer-dot argmax (``centroid_assign``); the update
+    sums quantized coordinates per centroid as EXACT int64 partials
+    (per-batch combine -> O(k x dim) groupby shuffle -- nothing O(rows)
+    moves), and the new centroid is ``floor(float64(sum) / float64(n))``
+    -- one IEEE division per coordinate, reproducible on any engine.
+    Empty centroids keep their previous position.  Driver state is the
+    O(k x dim) centroid matrix only, re-broadcast each sweep (the
+    checkpointable iteration pattern: persist ``cent_q`` per sweep to
+    resume a killed training run)."""
+    from ray.data.aggregate import Sum
+
+    cent_q = np.asarray(init_q, dtype=np.int64)
+    k, dim = cent_q.shape
+    for _ in range(iters):
+        assigned = centroid_assign(ds, cent_q, col=col)
+
+        def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            q = quantize_embeddings(_emb_matrix(b, col), scale)
+            cid = np.asarray(b.column("centroid_id"), dtype=np.int64)
+            present = np.unique(cid)
+            rows_c, rows_d, rows_s, rows_n = [], [], [], []
+            for c in present:
+                sel = q[cid == c]
+                rows_c.append(np.full(dim, c))
+                rows_d.append(np.arange(dim))
+                rows_s.append(sel.sum(axis=0))
+                rows_n.append(np.full(dim, len(sel)))
+            return pa.table({"cid": pa.array(np.concatenate(rows_c), pa.int64()),
+                             "dim": pa.array(np.concatenate(rows_d), pa.int64()),
+                             "s": pa.array(np.concatenate(rows_s), pa.int64()),
+                             "n": pa.array(np.concatenate(rows_n), pa.int64())})
+
+        agg = assigned.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["cid", "dim"]).aggregate(
+                Sum("s", alias_name="s"), Sum("n", alias_name="n")) \
+            .to_pandas()
+        new = cent_q.copy()                      # empty centroid keeps place
+        c_arr = agg["cid"].to_numpy(dtype=np.int64)
+        d_arr = agg["dim"].to_numpy(dtype=np.int64)
+        new[c_arr, d_arr] = np.floor(
+            agg["s"].to_numpy(dtype=np.float64)
+            / agg["n"].to_numpy(dtype=np.float64)).astype(np.int64)
+        cent_q = new
+    return cent_q

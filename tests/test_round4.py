@@ -839,3 +839,39 @@ def test_bloom_semi_join_exact_and_prunes():
     n_pre = bloom_prefilter(lds, "k", bloom, nbits=1 << 20).count()
     assert n_pre < 5_000          # ~2% of the key space matches
     assert n_pre >= len(want)     # never drops a true match
+
+
+def test_kmeans_train_matches_numpy_reference():
+    """Distributed Lloyd == single-process numpy replica across 3
+    iterations, including an engineered EMPTY centroid (an outlier
+    initial centroid that captures nothing keeps its position)."""
+    from go_distributed_log_search_ray.stages.similarity import (
+        kmeans_train, quantize_embeddings)
+
+    rng = np.random.default_rng(5)
+    pts = np.vstack([rng.standard_normal((60, 8)) + 10,
+                     rng.standard_normal((60, 8)) + 20])
+    init = np.vstack([pts[0], pts[60],
+                      np.full(8, -1e6)])   # anti-correlated: captures nothing
+    # (assignment is argmax DOT, so "empty" needs negative correlation
+    # with every point, not just distance)
+    init_q = quantize_embeddings(init)
+    t = pa.table({"vec_id": pa.array(np.arange(len(pts)), pa.int64()),
+                  "embedding": pa.array(list(pts.astype(np.float32)))})
+    got = kmeans_train(ray.data.from_arrow(t).repartition(6), init_q,
+                       iters=3)
+
+    # numpy replica of the exact integer/IEEE arithmetic
+    q = quantize_embeddings(np.array(t.column("embedding").to_pylist()))
+    cent = init_q.copy()
+    for _ in range(3):
+        assign = np.argmax(q @ cent.T, axis=1)
+        new = cent.copy()
+        for c in range(len(cent)):
+            m = q[assign == c]
+            if len(m):
+                new[c] = np.floor(m.sum(axis=0).astype(np.float64)
+                                  / np.float64(len(m))).astype(np.int64)
+        cent = new
+    assert (got == cent).all()
+    assert (got[2] == init_q[2]).all()           # empty centroid unmoved
