@@ -1252,6 +1252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semi_agg": R.orders_bloom_semi_agg,
         "emb_semdedup_agg": _emb_semdedup_agg,
         "emb_kmeans_train_agg": _emb_kmeans_train_agg,
+        "events_user_first_last": R.events_user_first_last,
+        "orders_diff_agg": R.orders_diff_agg,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -2070,6 +2072,45 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "orders_diff_agg": """
+            WITH l AS (
+                SELECT o_orderkey AS k,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS fp
+                FROM orders),
+            r AS (
+                SELECT o_orderkey AS k,
+                       CAST(floor(o_totalprice * 100) AS BIGINT)
+                       + CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN 100 ELSE 0 END AS fp
+                FROM orders WHERE o_orderstatus <> 'F')
+            SELECT CASE WHEN r.k IS NULL THEN 'left_only'
+                        WHEN l.k IS NULL THEN 'right_only'
+                        WHEN l.fp <> r.fp THEN 'changed'
+                        ELSE 'same' END AS status,
+                   count(*) AS n_keys,
+                   CAST(sum(coalesce(l.k, r.k)) AS BIGINT) AS key_sum
+            FROM l FULL JOIN r ON l.k = r.k
+            GROUP BY 1""",
+        "events_user_first_last": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events),
+            f AS (
+                SELECT user_id, event_id, cents,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rl
+                FROM e)
+            SELECT user_id,
+                   max(CASE WHEN rf = 1 THEN event_id END) AS first_event_id,
+                   max(CASE WHEN rf = 1 THEN cents END) AS first_cents,
+                   max(CASE WHEN rl = 1 THEN event_id END) AS last_event_id,
+                   max(CASE WHEN rl = 1 THEN cents END) AS last_cents,
+                   count(*) AS n_events
+            FROM f GROUP BY user_id""",
         "emb_kmeans_train_agg": """
             WITH q AS (
                 SELECT vec_id,

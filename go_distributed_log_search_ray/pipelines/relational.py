@@ -719,6 +719,54 @@ def orders_bloom_semi_agg(sf_dir: str) -> pa.Table:
         .select(["o_orderpriority", "n_orders", "price_cents"])
 
 
+# -- dataset reconciliation diff ----------------------------------------------
+
+def orders_diff_agg(sf_dir: str) -> pa.Table:
+    """Key-level diff of two versions of the orders table (the "did
+    the new pipeline change anything" check, ``stages/reconcile.py``):
+    version B drops finished orders and bumps urgent prices by 1.00,
+    so the diff must classify every key as left_only (dropped) /
+    changed (bumped) / same -- one full-outer exchange, O(status)
+    result."""
+    from ..stages.reconcile import dataset_diff
+
+    def ver_a(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "fp": _cents(b.column("o_totalprice"))})
+
+    def ver_b(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b.column("o_orderstatus"), pa.scalar("F"))
+        b = b.filter(keep)
+        bump = pc.if_else(
+            pc.equal(b.column("o_orderpriority"), pa.scalar("1-URGENT")),
+            pa.scalar(100, pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "fp": pc.add(_cents(b.column("o_totalprice")),
+                                      bump)})
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus",
+            "o_orderpriority"]
+    left = _read(sf_dir, "orders", cols).map_batches(
+        ver_a, batch_format="pyarrow")
+    right = _read(sf_dir, "orders", cols).map_batches(
+        ver_b, batch_format="pyarrow")
+    d = dataset_diff(left, right, on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"status": b.column("status"),
+                      "k": b.column("o_orderkey")})
+        out = t.group_by(["status"]).aggregate([("k", "count"), ("k", "sum")])
+        return out.rename_columns(["status", "n_keys", "key_sum"])
+
+    agg = d.map_batches(partial, batch_format="pyarrow") \
+        .groupby("status").aggregate(
+            Sum("n_keys", alias_name="n_keys"),
+            Sum("key_sum", alias_name="key_sum"))
+    return small_table(agg, sort_keys=["status"],
+                       int64_cols=["n_keys", "key_sum"]) \
+        .select(["status", "n_keys", "key_sum"])
+
+
 # -- distributed total-order sort + global rank ------------------------------
 
 def orders_global_rank(sf_dir: str) -> pa.Table:
@@ -903,6 +951,96 @@ def events_user_running_value(sf_dir: str) -> Dataset:
 
     return ds.map_batches(add_cols, batch_format="pyarrow") \
         .groupby("ubucket").map_groups(running, batch_format="pyarrow")
+
+
+def events_user_first_last(sf_dir: str) -> Dataset:
+    """FIRST_VALUE/LAST_VALUE per user (ordered by ts, event_id):
+    each batch collapses to AT MOST one candidate row per user
+    (vectorized sort + boundary walk), so the shuffle moves O(users x
+    batches-touching-that-user), never O(events); the per-bucket merge
+    replays the same argmin/argmax rule over candidates.  Output is
+    O(users) and streams out as a Dataset."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    nb = _session_buckets()
+
+    part_schema = pa.schema([
+        ("user_id", pa.int64()), ("ubucket", pa.int32()),
+        ("first_ts", pa.int64()), ("first_event_id", pa.int64()),
+        ("first_cents", pa.int64()),
+        ("last_ts", pa.int64()), ("last_event_id", pa.int64()),
+        ("last_cents", pa.int64()), ("n_events", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        t = pa.table({"user_id": b.column("user_id"),
+                      "ts": pc.cast(b.column("ts"), pa.int64()),
+                      "event_id": b.column("event_id"),
+                      "cents": _cents(b.column("value"))})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        uid = np.asarray(t.column("user_id"))
+        new = np.empty(len(uid), dtype=bool)
+        new[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new[1:])
+        starts = np.nonzero(new)[0]
+        ends = np.concatenate((starts[1:], [len(uid)])) - 1
+        ts = np.asarray(t.column("ts"))
+        eid = np.asarray(t.column("event_id"))
+        cents = np.asarray(t.column("cents"))
+        users = uid[starts]
+        return pa.table({
+            "user_id": users,
+            "ubucket": (users & (nb - 1)).astype(np.int32),
+            "first_ts": ts[starts], "first_event_id": eid[starts],
+            "first_cents": cents[starts],
+            "last_ts": ts[ends], "last_event_id": eid[ends],
+            "last_cents": cents[ends],
+            "n_events": (ends - starts + 1).astype(np.int64)},
+            schema=part_schema)
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()),
+        ("first_event_id", pa.int64()), ("first_cents", pa.int64()),
+        ("last_event_id", pa.int64()), ("last_cents", pa.int64()),
+        ("n_events", pa.int64())])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # min candidate by (first_ts, first_event_id) per user
+        tf = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"),
+                          ("first_ts", "ascending"),
+                          ("first_event_id", "ascending")]))
+        uid = np.asarray(tf.column("user_id"))
+        new = np.empty(len(uid), dtype=bool)
+        new[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new[1:])
+        starts = np.nonzero(new)[0]
+        n_events = np.add.reduceat(np.asarray(tf.column("n_events")), starts)
+        first_eid = np.asarray(tf.column("first_event_id"))[starts]
+        first_cents = np.asarray(tf.column("first_cents"))[starts]
+        # max candidate by (last_ts, last_event_id) per user
+        tl = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"),
+                          ("last_ts", "ascending"),
+                          ("last_event_id", "ascending")]))
+        uidl = np.asarray(tl.column("user_id"))
+        newl = np.empty(len(uidl), dtype=bool)
+        newl[0] = True
+        np.not_equal(uidl[1:], uidl[:-1], out=newl[1:])
+        ends = np.concatenate((np.nonzero(newl)[0][1:], [len(uidl)])) - 1
+        return pa.table({
+            "user_id": uid[starts],
+            "first_event_id": first_eid, "first_cents": first_cents,
+            "last_event_id": np.asarray(tl.column("last_event_id"))[ends],
+            "last_cents": np.asarray(tl.column("last_cents"))[ends],
+            "n_events": n_events}, schema=out_schema)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ubucket").map_groups(merge, batch_format="pyarrow")
 
 
 # -- rollup aggregate --------------------------------------------------------

@@ -875,3 +875,58 @@ def test_kmeans_train_matches_numpy_reference():
         cent = new
     assert (got == cent).all()
     assert (got[2] == init_q[2]).all()           # empty centroid unmoved
+
+
+def test_dataset_diff_all_four_statuses():
+    from go_distributed_log_search_ray.stages.reconcile import dataset_diff
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "fp": pa.array([10, 20, 30, 40], pa.int64())})
+    right = pa.table({"k": pa.array([2, 3, 5], pa.int64()),
+                      "fp": pa.array([20, 99, 50], pa.int64())})
+    out = dataset_diff(ray.data.from_arrow(left),
+                       ray.data.from_arrow(right), on="k",
+                       num_partitions=4)
+    got = {r["k"]: r["status"] for r in out.take_all()}
+    assert got == {1: "left_only", 2: "same", 3: "changed",
+                   4: "left_only", 5: "right_only"}
+
+
+def test_events_user_first_last_matches_duckdb(tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.pipelines.relational import (
+        events_user_first_last)
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    t = pa.table({
+        "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 10**9, n), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 37, n), pa.int64()),
+        "value": rng.standard_normal(n) * 50 + 100,
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events_user_first_last(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT user_id, ts, event_id,
+                          CAST(floor(value*100) AS BIGINT) AS cents
+                   FROM read_parquet('{tmp_path}/events.parquet')),
+        f AS (SELECT user_id, event_id, cents,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) rf,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) rl
+              FROM e)
+        SELECT user_id,
+               max(CASE WHEN rf=1 THEN event_id END) AS first_event_id,
+               max(CASE WHEN rf=1 THEN cents END) AS first_cents,
+               max(CASE WHEN rl=1 THEN event_id END) AS last_event_id,
+               max(CASE WHEN rl=1 THEN cents END) AS last_cents,
+               count(*) AS n_events
+        FROM f GROUP BY user_id ORDER BY user_id""").df()
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    for c in ("first_event_id", "first_cents", "last_event_id",
+              "last_cents", "n_events"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
