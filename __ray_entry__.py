@@ -1254,6 +1254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_train_agg": _emb_kmeans_train_agg,
         "events_user_first_last": R.events_user_first_last,
         "orders_diff_agg": R.orders_diff_agg,
+        "orders_validate_agg": R.orders_validate_agg,
+        "events_resample_gapfill": R.events_resample_gapfill,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -2072,6 +2074,52 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "events_resample_gapfill": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                           AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            spans AS (
+                SELECT event_type, min(hour) AS lo, max(hour) AS hi
+                FROM c GROUP BY 1),
+            grid AS (
+                SELECT s.event_type, g.h AS hour
+                FROM spans s JOIN (
+                    SELECT unnest(generate_series(
+                        (SELECT min(lo) FROM spans),
+                        (SELECT max(hi) FROM spans))) AS h) g
+                  ON g.h BETWEEN s.lo AND s.hi)
+            SELECT grid.event_type, grid.hour,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+            FROM grid LEFT JOIN c
+              ON c.event_type = grid.event_type AND c.hour = grid.hour""",
+        "orders_validate_agg": """
+            SELECT 'o_custkey_not_null' AS rule,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   count(*) AS n_rows FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus_in_set',
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL
+                                   OR o_orderstatus NOT IN ('O', 'F', 'P')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice_range',
+                   CAST(sum(CASE WHEN o_totalprice IS NULL
+                                   OR o_totalprice < 0
+                                   OR o_totalprice > 1000000
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority_regex',
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL
+                                   OR NOT regexp_matches(o_orderpriority,
+                                                         '^[1-5]-')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*) FROM orders""",
         "orders_diff_agg": """
             WITH l AS (
                 SELECT o_orderkey AS k,

@@ -719,6 +719,71 @@ def orders_bloom_semi_agg(sf_dir: str) -> pa.Table:
         .select(["o_orderpriority", "n_orders", "price_cents"])
 
 
+# -- gap-filled time-series resample -------------------------------------------
+
+def events_resample_gapfill(sf_dir: str) -> pa.Table:
+    """Hourly per-type event counts WITH empty hours zero-filled over
+    each type's [min, max] hour span -- the time-series resample shape
+    (dashboards and rate alerts need explicit zeros, not missing
+    rows).  Distributed part is the usual O(hours x types) partial
+    aggregate; gap-filling runs on that tiny result (never on rows),
+    so the fill is free at any corpus size."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor(pc.divide(
+            pc.cast(b.column("ts"), pa.int64()),
+            pa.scalar(3_600_000_000.0))), pa.int64())
+        t = pa.table({"event_type": b.column("event_type"), "hour": hour})
+        out = t.group_by(["event_type", "hour"]).aggregate([("hour", "count")])
+        return out.rename_columns(["event_type", "hour", "n_events"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n_events", alias_name="n_events"))
+    t = small_table(agg, sort_keys=["event_type", "hour"],
+                    int64_cols=["hour", "n_events"])
+    # driver-side gap fill over the O(hours x types) result
+    et = t.column("event_type").to_pylist()
+    hr = np.asarray(t.column("hour"), dtype=np.int64)
+    nv = np.asarray(t.column("n_events"), dtype=np.int64)
+    out_t, out_h, out_n = [], [], []
+    for typ in sorted(set(et)):
+        sel = [i for i, e in enumerate(et) if e == typ]
+        hours, counts = hr[sel], nv[sel]
+        full = np.arange(hours.min(), hours.max() + 1)
+        filled = np.zeros(len(full), dtype=np.int64)
+        filled[hours - hours.min()] = counts
+        out_t.extend([typ] * len(full))
+        out_h.append(full)
+        out_n.append(filled)
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "hour": pa.array(np.concatenate(out_h), pa.int64()),
+                     "n_events": pa.array(np.concatenate(out_n), pa.int64())})
+
+
+# -- declarative data-quality validation --------------------------------------
+
+def orders_validate_agg(sf_dir: str) -> pa.Table:
+    """Expectations-style constraint census over orders: null keys,
+    status enum domain, price range, priority format -- one streaming
+    pass, O(rules) shuffle (``stages/validate.py``)."""
+    from ..stages.validate import (rule_in_set, rule_not_null, rule_range,
+                                   rule_regex, validate)
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority"])
+    rules = [rule_not_null("o_custkey"),
+             rule_in_set("o_orderstatus", ["O", "F", "P"]),
+             rule_range("o_totalprice", lo=0.0, hi=1_000_000.0),
+             rule_regex("o_orderpriority", "^[1-5]-")]
+    out = validate(ds, rules)
+    return small_table(out, sort_keys=["rule"],
+                       int64_cols=["n_violations", "n_rows"]) \
+        .select(["rule", "n_violations", "n_rows"])
+
+
 # -- dataset reconciliation diff ----------------------------------------------
 
 def orders_diff_agg(sf_dir: str) -> pa.Table:

@@ -930,3 +930,46 @@ def test_events_user_first_last_matches_duckdb(tmp_path):
     for c in ("first_event_id", "first_cents", "last_event_id",
               "last_cents", "n_events"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_validate_and_quarantine_count_rules():
+    from go_distributed_log_search_ray.stages.validate import (
+        quarantine, rule_in_set, rule_not_null, rule_range, rule_regex,
+        validate)
+
+    t = pa.table({
+        "k": pa.array([1, None, 3, 4], pa.int64()),
+        "status": pa.array(["O", "F", "X", None]),
+        "price": pa.array([10.0, -5.0, None, 99.0]),
+        "prio": pa.array(["1-URGENT", "9-BAD", "2-HIGH", "3-LOW"]),
+    })
+    rules = [rule_not_null("k"), rule_in_set("status", ["O", "F"]),
+             rule_range("price", lo=0.0), rule_regex("prio", "^[1-5]-")]
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = {r["rule"]: (r["n_violations"], r["n_rows"])
+           for r in validate(ds, rules).take_all()}
+    assert got == {"k_not_null": (1, 4), "status_in_set": (2, 4),
+                   "price_range": (2, 4), "prio_regex": (1, 4)}
+    q = quarantine(ds, rules).to_pandas().sort_values("k", na_position="first")
+    # row with k=None fails 1 rule; "X"/-5 row fails 2; None-status+None-price... 
+    failed = dict(zip(q["k"].tolist(), q["__failed_rules"].tolist()))
+    assert failed[1.0] == 0          # clean row routes onward
+    assert failed[3.0] == 2          # bad status + null price
+    assert failed[4.0] == 1          # null status
+
+
+def test_resample_gapfill_zero_rows_present(tmp_path):
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.pipelines.relational import (
+        events_resample_gapfill)
+
+    h = 3_600_000_000
+    t = pa.table({"ts": pa.array([h * 10, h * 10 + 5, h * 13, h * 20],
+                                 pa.timestamp("us")),
+                  "event_type": pa.array(["a", "a", "a", "b"])})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_resample_gapfill(str(tmp_path)).to_pylist()
+    a = {r["hour"]: r["n_events"] for r in out if r["event_type"] == "a"}
+    assert a == {10: 2, 11: 0, 12: 0, 13: 1}     # gaps explicit zeros
+    b = {r["hour"]: r["n_events"] for r in out if r["event_type"] == "b"}
+    assert b == {20: 1}                          # span is per type
