@@ -1256,6 +1256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_diff_agg": R.orders_diff_agg,
         "orders_validate_agg": R.orders_validate_agg,
         "events_resample_gapfill": R.events_resample_gapfill,
+        "orders_group_size_join": R.orders_group_size_join,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -2074,6 +2075,18 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "orders_group_size_join": """
+            WITH g AS (
+                SELECT o_custkey, o_orderstatus, count(*) AS n_in_group
+                FROM orders GROUP BY 1, 2)
+            SELECT o.o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(g.n_in_group) AS BIGINT) AS sum_group_sizes,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents
+            FROM orders o
+            JOIN g ON o.o_custkey = g.o_custkey
+                  AND o.o_orderstatus = g.o_orderstatus
+            GROUP BY 1""",
         "events_resample_gapfill": """
             WITH c AS (
                 SELECT event_type,

@@ -584,6 +584,60 @@ def parts_with_lineitems(sf_dir: str) -> pa.Table:
         .select(["p_brand", "n_parts"])
 
 
+# -- composite-key join --------------------------------------------------------
+
+def orders_group_size_join(sf_dir: str) -> pa.Table:
+    """Join orders to their own per-(custkey, status) group sizes on
+    the COMPOSITE key -- exercises multi-column join keys end to end
+    (hash fold for partitioning, all-column comparison in the
+    per-partition Arrow join).  The group-size side is itself a
+    distributed partial aggregate."""
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def gpartial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["o_custkey", "o_orderstatus"]).aggregate(
+            [("o_custkey", "count")])
+        return out.rename_columns(["g_custkey", "g_status", "n_in_group"])
+
+    sizes = orders.map_batches(gpartial, batch_format="pyarrow") \
+        .groupby(["g_custkey", "g_status"]).aggregate(
+            Sum("n_in_group", alias_name="n_in_group"))
+
+    j = hash_join(
+        orders, sizes, on=["o_custkey", "o_orderstatus"],
+        right_on=["g_custkey", "g_status"],
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("o_orderstatus", pa.string()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("g_custkey", pa.int64()),
+                                ("g_status", pa.string()),
+                                ("n_in_group", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderstatus": b.column("o_orderstatus"),
+                      "n_in_group": b.column("n_in_group"),
+                      "price_cents": _cents(b.column("o_totalprice"))})
+        out = t.group_by(["o_orderstatus"]).aggregate(
+            [("n_in_group", "sum"), ("price_cents", "sum"),
+             ("price_cents", "count")])
+        return out.rename_columns(["o_orderstatus", "sum_group_sizes",
+                                   "price_cents", "n_orders"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderstatus").aggregate(
+            Sum("sum_group_sizes", alias_name="sum_group_sizes"),
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("n_orders", alias_name="n_orders"))
+    return small_table(agg, sort_keys=["o_orderstatus"],
+                       int64_cols=["sum_group_sizes", "price_cents",
+                                   "n_orders"]) \
+        .select(["o_orderstatus", "n_orders", "sum_group_sizes",
+                 "price_cents"])
+
+
 # -- outer joins -------------------------------------------------------------
 
 def orders_customer_left_join(sf_dir: str) -> pa.Table:

@@ -34,10 +34,10 @@ from .partitions import num_partitions as _num_partitions  # noqa: F401
 
 
 
-def _part_of(col: pa.Array, p: int) -> pa.Array:
-    """Partition id of a key column: splitmix-style mix so sequential ids
-    spread, masked to p (power of two).  Strings hash via crc32 over the
-    batch's dictionary (one hash per DISTINCT value)."""
+def _hash64(col: pa.Array) -> np.ndarray:
+    """Mixed 64-bit hash of a key column: splitmix-style mix so
+    sequential ids spread.  Strings hash via crc32 over the batch's
+    dictionary (one hash per DISTINCT value)."""
     import zlib
 
     if isinstance(col, pa.ChunkedArray):
@@ -51,7 +51,26 @@ def _part_of(col: pa.Array, p: int) -> pa.Array:
         h = uh[np.asarray(enc.indices, dtype=np.int64)]
     h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return pa.array((h & np.uint64(p - 1)).astype(np.int32))
+    return h
+
+
+def _part_of(col: pa.Array, p: int) -> pa.Array:
+    """Partition id of a single key column, masked to p (power of two)."""
+    return pa.array((_hash64(col) & np.uint64(p - 1)).astype(np.int32))
+
+
+def _part_of_keys(t: pa.Table, keys: list[str], p: int) -> pa.Array:
+    """Partition id over a COMPOSITE key: per-column mixed hashes fold
+    with an FNV-style combine (order-sensitive, so (a, b) and (b, a)
+    land independently).  Single-key calls reduce to ``_part_of``."""
+    if len(keys) == 1:
+        return _part_of(t.column(keys[0]), p)
+    acc = None
+    for k in keys:
+        h = _hash64(t.column(k))
+        acc = h if acc is None else \
+            ((acc * np.uint64(0x100000001B3)) & np.uint64((1 << 64) - 1)) ^ h
+    return pa.array((acc & np.uint64(p - 1)).astype(np.int32))
 
 
 def _infer_schema(ds: Dataset, on: str) -> pa.Schema:
@@ -76,18 +95,21 @@ def _infer_schema(ds: Dataset, on: str) -> pa.Schema:
     return sch
 
 
-def hash_join(left: Dataset, right: Dataset, on: str,
-              right_on: str | None = None,
+def hash_join(left: Dataset, right: Dataset, on: str | list[str],
+              right_on: str | list[str] | None = None,
               num_partitions: int | None = None,
               join_type: str = "inner",
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None,
               est_bytes: int | None = None) -> Dataset:
-    """Co-partitioned shuffle join of two Datasets on a single key.
+    """Co-partitioned shuffle join of two Datasets on one key or a
+    COMPOSITE key (pass a list -- partitioning folds the per-column
+    hashes, the per-partition Arrow join compares all columns, so
+    composite semantics are exact, not hash-approximate).
 
     Both sides move once (the union shuffle); per-partition joins are
-    Arrow C++ hash joins.  Output columns: key + left non-key + right
-    non-key (names must be disjoint).
+    Arrow C++ hash joins.  Output columns: key(s) + left non-key +
+    right non-key (names must be disjoint).
 
     ``left_schema``/``right_schema``: pass these whenever the input may
     contain zero-row blocks (groupby/map_groups outputs) -- Ray infers a
@@ -106,15 +128,21 @@ def hash_join(left: Dataset, right: Dataset, on: str,
     "left semi" / "left anti" (existence filters: output is the LEFT
     columns only, the right side contributes nothing but its key set),
     and their "right ..." mirrors."""
-    right_on = right_on or on
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = keys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    if len(rkeys) != len(keys):
+        raise ValueError("right_on must match the key count of on")
+    on = keys[0]
+    right_on = rkeys[0]
     # normalize to Arrow blocks (inputs may carry pandas blocks, e.g.
     # map_groups output, whose schema objects aren't pyarrow Schemas)
     left = left.map_batches(lambda b: b, batch_format="pyarrow")
     right = right.map_batches(lambda b: b, batch_format="pyarrow")
     lsch: pa.Schema = left_schema or _infer_schema(left, on)
     rsch: pa.Schema = right_schema or _infer_schema(right, right_on)
-    lcols = [n for n in lsch.names if n != on]
-    rcols = [n for n in rsch.names if n != right_on]
+    lcols = [n for n in lsch.names if n not in keys]
+    rcols = [n for n in rsch.names if n not in rkeys]
     # existence joins emit one side only: the other side's payload
     # columns never reach the output, so don't ship them through the
     # shuffle at all (the pad stage nulls them anyway -- this just
@@ -126,15 +154,16 @@ def hash_join(left: Dataset, right: Dataset, on: str,
     clash = set(lcols) & set(rcols)
     if clash:
         raise ValueError(f"non-key column name clash: {sorted(clash)}")
-    key_type = lsch.field(on).type
+    key_fields = [(k, lsch.field(k).type) for k in keys]
+    key_type = key_fields[0][1]
     p = 1
     target = num_partitions or _num_partitions(est_bytes)
     while p < target:
         p *= 2
-    order = [on] + lcols + rcols + ["__side"]
+    order = keys + lcols + rcols + ["__side"]
 
     target = pa.schema(
-        [(on, key_type)]
+        key_fields
         + [(n, lsch.field(n).type) for n in lcols]
         + [(n, rsch.field(n).type) for n in rcols]
         + [("__side", pa.int8()), ("__part", pa.int32())])
@@ -149,18 +178,19 @@ def hash_join(left: Dataset, right: Dataset, on: str,
                 # degenerate empty blocks (e.g. from upstream groupby
                 # partitions) may have no/null columns; emit typed empty
                 return empty_canonical
-            if side == 1 and right_on != on:
+            if side == 1 and rkeys != keys:
+                ren = dict(zip(rkeys, keys))
                 b = b.rename_columns(
-                    [on if n == right_on else n for n in b.column_names])
+                    [ren.get(n, n) for n in b.column_names])
             # project to this side's shipped columns first: an existence
             # join drops the non-output side's payload, which may shadow
             # the padded names (e.g. a semi self-join)
-            b = b.select([on] + (lcols if side == 0 else rcols))
+            b = b.select(keys + (lcols if side == 0 else rcols))
             for name, typ in other:
                 b = b.append_column(name, pa.nulls(b.num_rows, type=typ))
             b = b.append_column(
                 "__side", pa.array(np.full(b.num_rows, side, dtype=np.int8)))
-            b = b.append_column("__part", _part_of(b.column(on), p))
+            b = b.append_column("__part", _part_of_keys(b, keys, p))
             return b.select(order + ["__part"]).cast(target)
 
         return f
@@ -170,13 +200,14 @@ def hash_join(left: Dataset, right: Dataset, on: str,
     unioned = l2.union(r2)
 
     if join_type in ("left semi", "left anti"):
-        out_cols = [on] + lcols
+        out_cols = keys + lcols
     elif join_type in ("right semi", "right anti"):
-        out_cols = [on] + rcols
+        out_cols = keys + rcols
     else:
-        out_cols = [on] + lcols + rcols
+        out_cols = keys + lcols + rcols
+    ktypes = dict(key_fields)
     out_schema = pa.schema(
-        [(n, key_type if n == on else
+        [(n, ktypes[n] if n in ktypes else
           (lsch.field(n).type if n in lcols else rsch.field(n).type))
          for n in out_cols])
     out_empty = out_schema.empty_table()
@@ -187,9 +218,9 @@ def hash_join(left: Dataset, right: Dataset, on: str,
             return out_empty
         t = t.drop_columns(["__part"])
         side = t.column("__side")
-        lt = t.filter(pc.equal(side, 0)).select([on] + lcols)
-        rt = t.filter(pc.equal(side, 1)).select([on] + rcols)
-        out = lt.join(rt, keys=[on], join_type=join_type)
+        lt = t.filter(pc.equal(side, 0)).select(keys + lcols)
+        rt = t.filter(pc.equal(side, 1)).select(keys + rcols)
+        out = lt.join(rt, keys=keys, join_type=join_type)
         # acero column order is not deterministic; canonicalize
         return out.select(out_cols).cast(out_schema)
 

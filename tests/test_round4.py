@@ -973,3 +973,36 @@ def test_resample_gapfill_zero_rows_present(tmp_path):
     assert a == {10: 2, 11: 0, 12: 0, 13: 1}     # gaps explicit zeros
     b = {r["hour"]: r["n_events"] for r in out if r["event_type"] == "b"}
     assert b == {20: 1}                          # span is per type
+
+
+def test_hash_join_composite_keys_all_types():
+    """Composite (int, string) join keys through every join type ==
+    a single-table Arrow join: partitioning folds per-column hashes,
+    the per-partition join compares ALL key columns (exact, not
+    hash-approximate)."""
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(4)
+    lt = pa.table({"a": pa.array(rng.integers(0, 20, 5000), pa.int64()),
+                   "b": pa.array([f"s{v}" for v in rng.integers(0, 9, 5000)]),
+                   "x": rng.standard_normal(5000)})
+    rt = pa.table({"a2": pa.array(rng.integers(0, 20, 800), pa.int64()),
+                   "b2": pa.array([f"s{v}" for v in rng.integers(0, 9, 800)]),
+                   "y": pa.array(rng.integers(0, 100, 800), pa.int64())})
+
+    def canon(t):
+        cols = sorted(t.column_names)
+        return sorted(tuple((v is None, v) for v in row) for row in
+                      zip(*[t.column(c).to_pylist() for c in cols]))
+
+    for jt in ("inner", "left outer", "full outer", "left semi",
+               "left anti"):
+        got = pa.concat_tables(hash_join(
+            ray.data.from_arrow(lt).repartition(6),
+            ray.data.from_arrow(rt).repartition(3),
+            on=["a", "b"], right_on=["a2", "b2"], join_type=jt,
+            num_partitions=8, left_schema=lt.schema,
+            right_schema=rt.schema).iter_batches(batch_format="pyarrow"))
+        want = lt.join(rt.rename_columns(["a", "b", "y"]),
+                       keys=["a", "b"], join_type=jt)
+        assert canon(got) == canon(want), jt
