@@ -1257,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_validate_agg": R.orders_validate_agg,
         "events_resample_gapfill": R.events_resample_gapfill,
         "orders_group_size_join": R.orders_group_size_join,
+        "customer_order_lineitem_join": R.customer_order_lineitem_join,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -2075,6 +2076,15 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "customer_order_lineitem_join": """
+            SELECT c.c_mktsegment, count(*) AS line_count,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""",
         "orders_group_size_join": """
             WITH g AS (
                 SELECT o_custkey, o_orderstatus, count(*) AS n_in_group

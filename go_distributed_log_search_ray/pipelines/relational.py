@@ -584,6 +584,67 @@ def parts_with_lineitems(sf_dir: str) -> pa.Table:
         .select(["p_brand", "n_parts"])
 
 
+# -- three-table chained shuffle join -----------------------------------------
+
+def customer_order_lineitem_join(sf_dir: str) -> pa.Table:
+    """Revenue per market segment through lineitem JOIN orders JOIN
+    customer -- two CHAINED co-partitioned shuffle joins (the first
+    join's streamed output feeds the second's pad stage directly, no
+    materialization between them; schemas thread explicitly so empty
+    partitions can't poison inference).  The TPC-H Q3-shape without
+    the broadcast shortcut: all three tables move through exchanges,
+    the way a 100 TB fact-to-fact-to-dim chain must."""
+    from ..stages.join import hash_join
+
+    import os
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    est = 3 * sum(os.path.getsize(f"{sf_dir}/{t}.parquet")
+                  for t in ("lineitem", "orders", "customer"))
+    j1_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_extendedprice", pa.float64()),
+                           ("l_discount", pa.float64()),
+                           ("o_custkey", pa.int64())])
+    j1 = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        est_bytes=est,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+    j2 = hash_join(
+        j1, cust, on="o_custkey", right_on="c_custkey",
+        est_bytes=est,
+        left_schema=pa.schema([("o_custkey", pa.int64())]
+                              + list(j1_schema)[:3]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_mktsegment", pa.string())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount"))))
+        t = pa.table({"c_mktsegment": b.column("c_mktsegment"),
+                      "rev_cents": rev})
+        out = t.group_by(["c_mktsegment"]).aggregate(
+            [("rev_cents", "sum"), ("rev_cents", "count")])
+        return out.rename_columns(["c_mktsegment", "rev_cents",
+                                   "line_count"])
+
+    agg = j2.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("line_count", alias_name="line_count"))
+    return small_table(agg, sort_keys=["c_mktsegment"],
+                       int64_cols=["rev_cents", "line_count"]) \
+        .select(["c_mktsegment", "line_count", "rev_cents"])
+
+
 # -- composite-key join --------------------------------------------------------
 
 def orders_group_size_join(sf_dir: str) -> pa.Table:
