@@ -1258,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample_gapfill": R.events_resample_gapfill,
         "orders_group_size_join": R.orders_group_size_join,
         "customer_order_lineitem_join": R.customer_order_lineitem_join,
+        "lineitem_profile_agg": R.lineitem_profile_agg,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -2076,6 +2077,48 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "lineitem_profile_agg": """
+            SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   min(CAST(floor(l_quantity * 100) AS BIGINT)) AS min_cents,
+                   max(CAST(floor(l_quantity * 100) AS BIGINT)) AS max_cents,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   CAST(sum(CASE WHEN l_extendedprice IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   min(CAST(floor(l_extendedprice * 100) AS BIGINT)),
+                   max(CAST(floor(l_extendedprice * 100) AS BIGINT)),
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*),
+                   CAST(sum(CASE WHEN l_discount IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   min(CAST(floor(l_discount * 100) AS BIGINT)),
+                   max(CAST(floor(l_discount * 100) AS BIGINT)),
+                   CAST(sum(CAST(floor(l_discount * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', count(*),
+                   CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   min(CAST(floor(l_tax * 100) AS BIGINT)),
+                   max(CAST(floor(l_tax * 100) AS BIGINT)),
+                   CAST(sum(CAST(floor(l_tax * 100) AS BIGINT)) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*),
+                   CAST(sum(CASE WHEN l_returnflag IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM lineitem""",
         "customer_order_lineitem_join": """
             SELECT c.c_mktsegment, count(*) AS line_count,
                    CAST(sum(CAST(floor(l.l_extendedprice

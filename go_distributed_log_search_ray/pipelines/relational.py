@@ -834,6 +834,27 @@ def orders_bloom_semi_agg(sf_dir: str) -> pa.Table:
         .select(["o_orderpriority", "n_orders", "price_cents"])
 
 
+# -- one-pass column profiling --------------------------------------------------
+
+def lineitem_profile_agg(sf_dir: str) -> pa.Table:
+    """describe()-style per-column census of lineitem in ONE streaming
+    pass (``stages/profile.py``): every batch emits one partial row
+    per column, the shuffle is O(columns)."""
+    from ..stages.profile import profile
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag"])
+    out = profile(ds, numeric_cols=["l_quantity", "l_extendedprice",
+                                    "l_discount", "l_tax"],
+                  other_cols=["l_returnflag"])
+    return small_table(out, sort_keys=["column"],
+                       int64_cols=["n_rows", "n_nulls", "min_cents",
+                                   "max_cents", "sum_cents"]) \
+        .select(["column", "n_rows", "n_nulls", "min_cents", "max_cents",
+                 "sum_cents"])
+
+
 # -- gap-filled time-series resample -------------------------------------------
 
 def events_resample_gapfill(sf_dir: str) -> pa.Table:

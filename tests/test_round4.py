@@ -1006,3 +1006,19 @@ def test_hash_join_composite_keys_all_types():
         want = lt.join(rt.rename_columns(["a", "b", "y"]),
                        keys=["a", "b"], join_type=jt)
         assert canon(got) == canon(want), jt
+
+
+def test_profile_one_pass_stats_with_nulls():
+    from go_distributed_log_search_ray.stages.profile import profile
+
+    t = pa.table({"x": pa.array([1.0, None, 3.5, -2.0]),
+                  "y": pa.array([None, None, None, None], pa.float64()),
+                  "s": pa.array(["a", None, "b", "c"])})
+    out = {r["column"]: r for r in
+           profile(ray.data.from_arrow(t).repartition(2),
+                   numeric_cols=["x", "y"], other_cols=["s"]).take_all()}
+    assert out["x"]["n_rows"] == 4 and out["x"]["n_nulls"] == 1
+    assert out["x"]["min_cents"] == -200 and out["x"]["max_cents"] == 350
+    assert out["x"]["sum_cents"] == 250
+    assert out["y"]["n_nulls"] == 4 and out["y"]["sum_cents"] is None
+    assert out["s"]["n_nulls"] == 1 and out["s"]["min_cents"] is None
