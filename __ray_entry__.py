@@ -550,6 +550,49 @@ def _doc_incremental_dedup(sf_dir: str):
     return small_table(agg, int64_cols=["n_new"])
 
 
+def _doc_incremental_near_dedup(sf_dir: str):
+    """Incremental NEAR-dup screen of an increment against a PERSISTED
+    LSH band snapshot (stages/incremental.py): snapshot = docs with
+    doc_id % 3 == 0 (band postings with inline signatures, built once,
+    idempotent), increment = the full table; a doc is flagged when a
+    shared band key's candidate verifies at est-jaccard >= 0.8.  The
+    snapshot never shuffles.  No SQL oracle (minhash); verdict-set
+    equality vs brute force is pinned by pytest."""
+    import os
+
+    import numpy as np
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    from go_distributed_log_search_ray.stages.incremental import (
+        build_band_snapshot, incremental_near_dedup)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    snap_dir = ("/tmp/graft_band_snapshot_"
+                f"{os.path.basename(os.path.normpath(sf_dir))}")
+    snap_src = ds.map_batches(
+        lambda b: b.filter(pa.array(
+            np.asarray(b.column("doc_id")) % 3 == 0)),
+        batch_format="pyarrow")
+    build_band_snapshot(snap_src, snap_dir)
+    verdicts = incremental_near_dedup(ds, snap_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        dup = pc.cast(b.column("is_dup"), pa.int64())
+        return pa.table({
+            "n_docs": pa.array([b.num_rows], pa.int64()),
+            "n_dups": pa.array([pc.sum(dup).as_py() or 0], pa.int64()),
+            "dup_id_sum": pa.array([pc.sum(pc.multiply(
+                dup, pc.cast(b.column("doc_id"), pa.int64()))).as_py() or 0],
+                pa.int64())})
+
+    t = small_table(verdicts.map_batches(partial, batch_format="pyarrow"))
+    return pa.table({
+        "n_docs": pa.array([pc.sum(t.column("n_docs")).as_py() or 0],
+                           pa.int64()),
+        "n_dups": pa.array([pc.sum(t.column("n_dups")).as_py() or 0],
+                           pa.int64()),
+        "dup_id_sum": pa.array([pc.sum(t.column("dup_id_sum")).as_py() or 0],
+                               pa.int64())})
+
+
 def _doc_shared_substr_agg(sf_dir: str):
     """ExactSubstr-style screen (Lee et al. 2022): per-lang count of
     docs sharing an exact 64-byte stride-aligned window with another
@@ -1263,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
         "doc_incremental_dedup": _doc_incremental_dedup,
+        "doc_incremental_near_dedup": _doc_incremental_near_dedup,
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,

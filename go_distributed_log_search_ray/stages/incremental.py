@@ -123,3 +123,166 @@ def incremental_dedup(new_ds: Dataset, snapshot_dir: str,
 
     return new_ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("fp_bucket").map_groups(screen, batch_format="pyarrow")
+
+
+# -- incremental NEAR-dup screen vs a persisted LSH band snapshot -------------
+
+def _band_sig_rows(b: pa.Table, id_col: str, text_col: str,
+                   hasher, bands: int, num_buckets: int) -> pa.Table:
+    """(bucket, band_key, id, sig) rows for one batch: band keys by the
+    SAME fold as the batch path (stages/dedup.band_rows), signature
+    bytes inline so the screen task can verify candidates locally."""
+    from .dedup import _np_rows_to_binary, band_rows
+
+    t = b.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    valid = np.asarray(pc.is_valid(t))
+    b2 = b.filter(pa.array(valid))
+    if b2.num_rows == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "band_key": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "sig": pa.array([], pa.binary())})
+    sigs = hasher.batch_signatures(
+        b2.column(text_col).combine_chunks().cast(pa.binary())
+        if isinstance(b2.column(text_col), pa.ChunkedArray)
+        else b2.column(text_col).cast(pa.binary()))
+    tmp = pa.table({id_col: b2.column(id_col),
+                    "minhash": pa.array(list(sigs.astype(np.uint64)))})
+    br = band_rows(tmp, num_perm=hasher.num_perm, bands=bands,
+                   id_col=id_col)
+    key = np.asarray(br.column("band_key")).astype(np.uint64)
+    sig_col = _np_rows_to_binary(sigs)          # one sig per doc...
+    sig_rep = sig_col.take(pa.array(
+        np.repeat(np.arange(b2.num_rows, dtype=np.int64), bands)))
+    return pa.table({
+        "bucket": pa.array((key & np.uint64(num_buckets - 1))
+                           .astype(np.int64)),
+        "band_key": br.column("band_key"),
+        id_col: br.column(id_col),
+        "sig": sig_rep})
+
+
+def build_band_snapshot(ds: Dataset, out_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_perm: int = 64, bands: int = 16,
+                        num_buckets: int = NUM_FP_BUCKETS) -> str:
+    """ONE-TIME streaming build of the bucket-partitioned LSH band
+    index: (band_key, id, signature) postings under ``band_bucket=N/``,
+    ``_SUCCESS``-idempotent like the fingerprint snapshot.  Signature
+    bytes ride every band row (bands x 8 x num_perm bytes per doc) --
+    the storage trade that lets an increment VERIFY candidates without
+    touching any other bucket."""
+    from .dedup import MinHasher
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+
+    class Exploder:
+        def __init__(self) -> None:
+            self.h = MinHasher(num_perm=num_perm)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return _band_sig_rows(b, id_col, text_col, self.h, bands,
+                                  num_buckets)
+
+    ds.map_batches(Exploder, batch_format="pyarrow",
+                   concurrency=(1, 8)) \
+      .write_parquet(out_dir, partition_cols=["bucket"])
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("ok")
+    return out_dir
+
+
+def _bucket_postings(snapshot_dir: str, bucket: int, id_col: str):
+    import pyarrow.parquet as pq
+    files = glob.glob(os.path.join(snapshot_dir, f"bucket={bucket}",
+                                   "*.parquet"))
+    if not files:
+        return None
+    return pa.concat_tables(
+        [pq.read_table(f, columns=["band_key", id_col, "sig"])
+         for f in files])
+
+
+def incremental_near_dedup(new_ds: Dataset, snapshot_dir: str,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           num_perm: int = 64, bands: int = 16,
+                           num_buckets: int = NUM_FP_BUCKETS,
+                           threshold: float = 0.8) -> Dataset:
+    """Near-duplicate screen of an increment against the persisted band
+    snapshot: the increment's band rows shuffle by the same bucket
+    function, each task reads ITS snapshot bucket once, matches band
+    keys, and verifies candidates by estimated Jaccard (fraction of
+    agreeing signature slots >= ``threshold``).  The snapshot never
+    moves.  Returns (id, is_dup) -- one row per NON-null-text increment
+    doc (null-text docs produce no row: they have no signature, and the
+    caller keeps them, matching the exact-dedup null rule)."""
+    from .dedup import MinHasher
+
+    class Exploder:
+        def __init__(self) -> None:
+            self.h = MinHasher(num_perm=num_perm)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return _band_sig_rows(b, id_col, text_col, self.h, bands,
+                                  num_buckets)
+
+    def screen(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(id_col, pa.int64()),
+                                ("dup_hits", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        bucket = int(t.column("bucket")[0].as_py())
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        post = _bucket_postings(snapshot_dir, bucket, id_col)
+        if post is None or post.num_rows == 0:
+            return pa.table({id_col: pa.array(np.unique(ids)),
+                             "dup_hits": pa.array(
+                                 np.zeros(len(np.unique(ids)), np.int64))},
+                            schema=out_schema)
+        # match increment band rows to snapshot postings on band_key
+        inc = pa.table({"band_key": t.column("band_key"),
+                        "__inc_id": t.column(id_col),
+                        "__inc_sig": t.column("sig")})
+        snap = pa.table({"band_key": post.column("band_key"),
+                         "__old_id": post.column(id_col),
+                         "__old_sig": post.column("sig")})
+        m = inc.join(snap, keys=["band_key"], join_type="inner")
+        hits = np.zeros(0, dtype=np.int64)
+        if m.num_rows:
+            a = np.frombuffer(
+                b''.join(m.column("__inc_sig").to_pylist()), dtype=np.uint64
+            ).reshape(m.num_rows, num_perm)
+            bmat = np.frombuffer(
+                b''.join(m.column("__old_sig").to_pylist()), dtype=np.uint64
+            ).reshape(m.num_rows, num_perm)
+            est = (a == bmat).mean(axis=1)
+            ok = est >= threshold
+            hits = np.unique(
+                np.asarray(m.column("__inc_id"), dtype=np.int64)[ok])
+        uniq = np.unique(ids)
+        return pa.table({id_col: pa.array(uniq),
+                         "dup_hits": pa.array(
+                             np.isin(uniq, hits).astype(np.int64))},
+                        schema=out_schema)
+
+    from ray.data.aggregate import Sum
+
+    hits = new_ds.map_batches(Exploder, batch_format="pyarrow",
+                              concurrency=(1, 8)) \
+        .groupby("bucket").map_groups(screen, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Sum("dup_hits", alias_name="dup_hits"))
+
+    def verdict(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([(id_col, pa.int64()),
+                              ("is_dup", pa.bool_())]).empty_table()
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            "is_dup": pc.greater(b.column("dup_hits"),
+                                 pa.scalar(0, pa.int64()))})
+
+    return hits.map_batches(verdict, batch_format="pyarrow")

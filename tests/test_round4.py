@@ -1022,3 +1022,60 @@ def test_profile_one_pass_stats_with_nulls():
     assert out["x"]["sum_cents"] == 250
     assert out["y"]["n_nulls"] == 4 and out["y"]["sum_cents"] is None
     assert out["s"]["n_nulls"] == 1 and out["s"]["min_cents"] is None
+
+
+def test_incremental_near_dedup_against_band_snapshot(tmp_path):
+    """Persisted LSH band index: an increment containing lightly
+    perturbed copies of snapshot docs is flagged, fresh docs pass, and
+    the verdict set equals a brute-force recomputation of the same
+    band-collision + est-jaccard rule."""
+    from go_distributed_log_search_ray.stages.dedup import (
+        MinHasher, band_rows)
+    from go_distributed_log_search_ray.stages.incremental import (
+        build_band_snapshot, incremental_near_dedup)
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(300)]
+    base = [" ".join(rng.choice(words, 60)) for _ in range(40)]
+    snap_t = pa.table({"doc_id": pa.array(np.arange(40), pa.int64()),
+                       "text": pa.array(base)})
+    out_dir = str(tmp_path / "bands")
+    build_band_snapshot(ray.data.from_arrow(snap_t).repartition(4), out_dir)
+    build_band_snapshot(ray.data.from_arrow(snap_t), out_dir)  # idempotent
+
+    # increment: 10 near-copies (one word changed), 10 fresh docs
+    near = [t.replace(t.split()[3], "CHANGED", 1) for t in base[:10]]
+    fresh = [" ".join(rng.choice(words, 60)) for _ in range(10)]
+    inc_t = pa.table({"doc_id": pa.array(np.arange(100, 120), pa.int64()),
+                      "text": pa.array(near + fresh)})
+    got = {r["doc_id"]: r["is_dup"] for r in incremental_near_dedup(
+        ray.data.from_arrow(inc_t).repartition(3), out_dir,
+        threshold=0.8).take_all()}
+    assert len(got) == 20
+
+    # brute force the same rule
+    h = MinHasher(num_perm=64)
+    s_old = h.batch_signatures(pa.array(base).cast(pa.binary()))
+    s_new = h.batch_signatures(pa.array(near + fresh).cast(pa.binary()))
+    def keys(sigs, ids):
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "minhash": pa.array(list(sigs.astype(np.uint64)))})
+        br = band_rows(t, num_perm=64, bands=16, id_col="doc_id")
+        return (np.asarray(br.column("band_key")),
+                np.asarray(br.column("doc_id")))
+    ko, io = keys(s_old, np.arange(40))
+    kn, in_ = keys(s_new, np.arange(100, 120))
+    want = {}
+    for nid in np.arange(100, 120):
+        dup = False
+        nkeys = set(kn[in_ == nid])
+        for oid in np.arange(40):
+            shared = nkeys & set(ko[io == oid])
+            if shared:
+                est = (s_new[nid - 100] == s_old[oid]).mean()
+                if est >= 0.8:
+                    dup = True
+        want[nid] = dup
+    assert got == want
+    assert sum(got.values()) >= 8            # near-copies caught
+    assert not any(got[i] for i in range(110, 120))   # fresh docs pass
