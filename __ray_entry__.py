@@ -550,6 +550,47 @@ def _doc_incremental_dedup(sf_dir: str):
     return small_table(agg, int64_cols=["n_new"])
 
 
+def _pages_line_dedup_agg(sf_dir: str):
+    """C4-style corpus-level LINE dedup over the web corpus
+    (stages/linededup.py): lines appearing in >= 2 docs are boilerplate,
+    removed everywhere; per-lang census of kept/removed lines and the
+    rebuilt text size."""
+    import ray.data
+    from ray.data.aggregate import Sum
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    from go_distributed_log_search_ray.stages.linededup import line_dedup
+
+    def factory():
+        return ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                                     columns=["url", "text", "lang"])
+
+    cleaned = line_dedup(factory, min_docs=2)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"),
+                      "lines_kept": b.column("lines_kept"),
+                      "lines_removed": b.column("lines_removed"),
+                      "text_chars": pc.cast(
+                          pc.utf8_length(b.column("text")), pa.int64())})
+        out = t.group_by(["lang"]).aggregate(
+            [("lines_kept", "count"), ("lines_kept", "sum"),
+             ("lines_removed", "sum"), ("text_chars", "sum")])
+        return out.rename_columns(["lang", "n_docs", "lines_kept",
+                                   "lines_removed", "text_chars"])
+
+    agg = cleaned.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("lines_kept", alias_name="lines_kept"),
+            Sum("lines_removed", alias_name="lines_removed"),
+            Sum("text_chars", alias_name="text_chars"))
+    return small_table(agg, sort_keys=["lang"],
+                       int64_cols=["n_docs", "lines_kept", "lines_removed",
+                                   "text_chars"]) \
+        .select(["lang", "n_docs", "lines_kept", "lines_removed",
+                 "text_chars"])
+
+
 def _doc_incremental_near_dedup(sf_dir: str):
     """Incremental NEAR-dup screen of an increment against a PERSISTED
     LSH band snapshot (stages/incremental.py): snapshot = docs with
@@ -1307,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shared_substr_agg": _doc_shared_substr_agg,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_incremental_near_dedup": _doc_incremental_near_dedup,
+        "pages_line_dedup_agg": _pages_line_dedup_agg,
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
@@ -1407,6 +1449,29 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "pages_line_dedup_agg": f"""
+            WITH l AS (
+                SELECT url, lang, u.line AS line
+                FROM read_parquet('{pages}'),
+                     unnest(string_split(text, chr(10))) AS u(line)),
+            freq AS (
+                SELECT line, count(DISTINCT url) AS nd FROM l GROUP BY 1),
+            per_doc AS (
+                SELECT l.url, l.lang,
+                       sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)
+                           AS removed,
+                       sum(CASE WHEN f.nd < 2 THEN 1 ELSE 0 END) AS kept,
+                       sum(CASE WHEN f.nd < 2 THEN length(l.line)
+                           ELSE 0 END) AS kept_chars
+                FROM l JOIN freq f ON f.line = l.line
+                GROUP BY 1, 2)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS lines_kept,
+                   CAST(sum(removed) AS BIGINT) AS lines_removed,
+                   CAST(sum(kept_chars + CASE WHEN kept > 0
+                            THEN kept - 1 ELSE 0 END) AS BIGINT)
+                       AS text_chars
+            FROM per_doc GROUP BY lang""",
         "pages_domain_agg": f"""
             WITH c AS (
               SELECT regexp_replace(regexp_replace(regexp_replace(

@@ -1079,3 +1079,30 @@ def test_incremental_near_dedup_against_band_snapshot(tmp_path):
     assert got == want
     assert sum(got.values()) >= 8            # near-copies caught
     assert not any(got[i] for i in range(110, 120))   # fresh docs pass
+
+
+def test_line_dedup_strips_boilerplate_everywhere():
+    """C4-style line dedup: a footer shared by 3 docs disappears from
+    every doc, unique lines survive verbatim, within-doc repeats count
+    once toward document frequency, and the rebuilt text is exact."""
+    from go_distributed_log_search_ray.stages.linededup import line_dedup
+
+    footer = "(c) example corp - all rights reserved"
+    docs = [f"alpha unique {i}\n{footer}\nbody line {i}\n{footer}"
+            for i in range(3)]
+    docs.append("totally fresh\nrepeat me\nrepeat me")   # in-doc repeat only
+    t = pa.table({"doc_id": pa.array(np.arange(4), pa.int64()),
+                  "text": pa.array(docs)})
+
+    def factory():
+        return ray.data.from_arrow(t).repartition(2)
+
+    out = {r["doc_id"]: r for r in
+           line_dedup(factory, min_docs=2).take_all()}
+    for i in range(3):
+        assert out[i]["text"] == f"alpha unique {i}\nbody line {i}"
+        assert out[i]["lines_removed"] == 2       # both footer copies
+        assert out[i]["lines_kept"] == 2
+    # "repeat me" occurs twice IN ONE doc -> document frequency 1 -> kept
+    assert out[3]["text"] == "totally fresh\nrepeat me\nrepeat me"
+    assert out[3]["lines_removed"] == 0
