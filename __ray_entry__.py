@@ -524,6 +524,39 @@ def _events_promo_overlap_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_rows", "sum_value_cents"])
 
 
+def _events_promo_overlap_copart_agg(sf_dir: str):
+    """Same promo-window census as events_promo_overlap_agg but through
+    the LARGE x LARGE co-partitioned path (time-bucket replication,
+    stages/intervaljoin.bucketed_overlap_join_agg) -- the scale route
+    when the interval side outgrows broadcast.  Must value-hash equal
+    to the broadcast version's oracle."""
+    import ray.data
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    from go_distributed_log_search_ray.stages.intervaljoin import (
+        bucketed_overlap_join_agg)
+    ds = _read_table(sf_dir, "events", columns=["ts", "value"])
+    day_us = 86_400_000_000
+    base = 1_704_067_200_000_000
+    ids = list(range(30))
+    iv = ray.data.from_arrow(pa.table({
+        "interval_id": pa.array(ids, pa.int64()),
+        "start_us": pa.array([base + i * day_us for i in ids], pa.int64()),
+        "end_us": pa.array([base + (i + 2) * day_us for i in ids],
+                           pa.int64())}))
+    agg = bucketed_overlap_join_agg(ds, iv, bucket_us=2 * day_us,
+                                    value_col="value")
+    t = small_table(agg, int64_cols=["n_rows", "sum_value_cents"])
+    # zero-fill empty windows so the shape matches the LEFT-JOIN oracle
+    got = {r["interval_id"]: r for r in t.to_pylist()}
+    return pa.table({
+        "interval_id": pa.array(ids, pa.int64()),
+        "n_rows": pa.array([got.get(i, {}).get("n_rows", 0) for i in ids],
+                           pa.int64()),
+        "sum_value_cents": pa.array(
+            [got.get(i, {}).get("sum_value_cents", 0) for i in ids],
+            pa.int64())})
+
+
 def _doc_incremental_dedup(sf_dir: str):
     """Incremental dedup of a crawl increment against a PERSISTED
     bucket-partitioned fingerprint snapshot (stages/incremental.py):
@@ -1350,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_near_dedup": _doc_incremental_near_dedup,
         "pages_line_dedup_agg": _pages_line_dedup_agg,
         "events_promo_overlap_agg": _events_promo_overlap_agg,
+        "events_promo_overlap_copart_agg": _events_promo_overlap_copart_agg,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
         "pages_domain_agg": _pages_domain_agg,
@@ -1518,6 +1552,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY shard""",
         "events_promo_overlap_agg": """
+            WITH iv AS (
+              SELECT i AS interval_id,
+                     TIMESTAMP '2024-01-01' + i * INTERVAL 1 DAY AS s,
+                     TIMESTAMP '2024-01-01' + (i + 2) * INTERVAL 1 DAY
+                       AS e
+              FROM generate_series(0, 29) t(i))
+            SELECT iv.interval_id,
+                   CAST(count(ev.ts) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CAST(floor(ev.value * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                     AS sum_value_cents
+            FROM iv LEFT JOIN events ev
+              ON ev.ts >= iv.s AND ev.ts < iv.e
+                 AND ev.value IS NOT NULL
+            GROUP BY iv.interval_id""",
+        "events_promo_overlap_copart_agg": """
             WITH iv AS (
               SELECT i AS interval_id,
                      TIMESTAMP '2024-01-01' + i * INTERVAL 1 DAY AS s,

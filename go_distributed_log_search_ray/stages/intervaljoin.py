@@ -133,3 +133,116 @@ def overlap_join_agg(ds: Dataset, intervals_ref, ts_col: str = "ts",
         .groupby("interval_id") \
         .aggregate(Sum("n_rows", alias_name="n_rows"),
                    Sum("sum_value_cents", alias_name="sum_value_cents"))
+
+
+# -- co-partitioned (large x large) overlap join ------------------------------
+
+def bucketed_overlap_join_agg(points: Dataset, intervals: Dataset,
+                              bucket_us: int, ts_col: str = "ts",
+                              value_col: str | None = None,
+                              id_col: str = "interval_id",
+                              start_col: str = "start_us",
+                              end_col: str = "end_us") -> Dataset:
+    """The escape hatch the broadcast path's docstring promises: when
+    the interval side outgrows ``ray.put`` (millions of deploy/incident
+    windows), co-partition BOTH sides on a coarse time bucket.  Each
+    interval replicates to every bucket it overlaps (fan-out ~=
+    interval_length / bucket_us -- pick bucket_us at or above the
+    typical interval length); each point lands in exactly ONE bucket,
+    so no match can double-count.  One union exchange, per-bucket
+    vectorized interval masks, O(intervals) partial fold.  Intervals
+    with zero matches produce no row (zero-fill on the tiny result if
+    needed)."""
+    from ray.data.aggregate import Sum
+
+    schema = pa.schema([("bucket", pa.int64()), ("__side", pa.int8()),
+                        (id_col, pa.int64()), (start_col, pa.int64()),
+                        (end_col, pa.int64()), ("__ts", pa.int64()),
+                        ("__cents", pa.int64())])
+    empty = schema.empty_table()
+
+    def pad_intervals(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        s = np.asarray(b.column(start_col), dtype=np.int64)
+        e = np.asarray(b.column(end_col), dtype=np.int64)
+        iid = np.asarray(b.column(id_col), dtype=np.int64)
+        b0 = np.floor_divide(s, bucket_us)
+        b1 = np.floor_divide(e - 1, bucket_us)       # [start, end)
+        nonempty = e > s
+        reps = np.where(nonempty, b1 - b0 + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        # bucket sequence per replica
+        off = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        pos = np.arange(reps.sum(), dtype=np.int64) - np.repeat(off, reps)
+        bk = b0[idx] + pos
+        n = len(idx)
+        return pa.table({
+            "bucket": pa.array(bk), "__side": pa.array(
+                np.zeros(n, np.int8)),
+            id_col: pa.array(iid[idx]), start_col: pa.array(s[idx]),
+            end_col: pa.array(e[idx]),
+            "__ts": pa.nulls(n, pa.int64()),
+            "__cents": pa.nulls(n, pa.int64())}, schema=schema)
+
+    def pad_points(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        ts = b.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        ok = np.asarray(pc.is_valid(ts))
+        cents = np.zeros(b.num_rows, dtype=np.int64)
+        if value_col is not None:
+            v = b.column(value_col)
+            ok = ok & np.asarray(pc.is_valid(v))
+            vv = np.asarray(pc.cast(v, pa.float64()), dtype=np.float64)
+            cents[ok] = np.floor(vv[ok] * 100).astype(np.int64)
+        t = np.asarray(ts, dtype=np.int64)[ok]
+        cents = cents[ok]
+        n = len(t)
+        return pa.table({
+            "bucket": pa.array(np.floor_divide(t, bucket_us)),
+            "__side": pa.array(np.ones(n, np.int8)),
+            id_col: pa.nulls(n, pa.int64()),
+            start_col: pa.nulls(n, pa.int64()),
+            end_col: pa.nulls(n, pa.int64()),
+            "__ts": pa.array(t), "__cents": pa.array(cents)},
+            schema=schema)
+
+    u = points.map_batches(pad_points, batch_format="pyarrow").union(
+        intervals.map_batches(pad_intervals, batch_format="pyarrow"))
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_rows", pa.int64()),
+                            ("sum_value_cents", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        def col(name):            # nulls ride the OTHER side's rows only
+            return np.asarray(pc.fill_null(t.column(name), 0),
+                              dtype=np.int64)
+
+        side = np.asarray(t.column("__side"))
+        iv = side == 0
+        iid = col(id_col)[iv]
+        s = col(start_col)[iv]
+        e = col(end_col)[iv]
+        ts = col("__ts")[~iv]
+        cents = col("__cents")[~iv]
+        n = np.zeros(len(iid), dtype=np.int64)
+        sm = np.zeros(len(iid), dtype=np.int64)
+        for j in range(len(iid)):
+            m = (ts >= s[j]) & (ts < e[j])
+            n[j] = int(m.sum())
+            sm[j] = int(cents[m].sum())
+        hit = n > 0
+        return pa.table({id_col: pa.array(iid[hit]),
+                         "n_rows": pa.array(n[hit]),
+                         "sum_value_cents": pa.array(sm[hit])},
+                        schema=out_schema)
+
+    return u.groupby("bucket").map_groups(fold, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"))

@@ -1106,3 +1106,38 @@ def test_line_dedup_strips_boilerplate_everywhere():
     # "repeat me" occurs twice IN ONE doc -> document frequency 1 -> kept
     assert out[3]["text"] == "totally fresh\nrepeat me\nrepeat me"
     assert out[3]["lines_removed"] == 0
+
+
+def test_bucketed_overlap_join_matches_broadcast():
+    """Co-partitioned interval join == broadcast interval join on the
+    same input, including intervals spanning many buckets, bucket
+    boundaries landing inside intervals, and an empty interval."""
+    from go_distributed_log_search_ray.stages.intervaljoin import (
+        bucketed_overlap_join_agg, make_intervals, overlap_join_agg)
+    from ray.data.aggregate import Sum
+
+    rng = np.random.default_rng(21)
+    ts = rng.integers(0, 10_000, 4000).astype(np.int64)
+    val = rng.standard_normal(4000) * 10
+    pts = pa.table({"ts": pa.array(ts, pa.int64()),
+                    "value": pa.array(val)})
+    ids = np.arange(12, dtype=np.int64)
+    starts = np.array([i * 700 for i in range(12)], dtype=np.int64)
+    ends = starts + np.array([50, 900, 3000, 1, 0, 700, 100, 2500,
+                              10, 400, 1200, 60], dtype=np.int64)
+    ref = make_intervals(ids, starts, ends)
+    pds = ray.data.from_arrow(pts).repartition(4)
+    bc = overlap_join_agg(pds, ref, value_col="value") \
+        .groupby("interval_id").aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"))
+    want = {r["interval_id"]: (r["n_rows"], r["sum_value_cents"])
+            for r in bc.take_all() if r["n_rows"] > 0}
+    iv = ray.data.from_arrow(pa.table({
+        "interval_id": pa.array(ids), "start_us": pa.array(starts),
+        "end_us": pa.array(ends)})).repartition(3)
+    got = {r["interval_id"]: (r["n_rows"], r["sum_value_cents"])
+           for r in bucketed_overlap_join_agg(
+               pds, iv, bucket_us=500, value_col="value").take_all()}
+    assert got == want
+    assert len(got) >= 8                 # non-degenerate fixture
