@@ -524,6 +524,26 @@ def _events_promo_overlap_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_rows", "sum_value_cents"])
 
 
+def _doc_bpe_pairs(sf_dir: str):
+    """Distributed half of BPE training: corpus-wide adjacent char-pair
+    counts over the word vocabulary (stages/textstats.bpe_initial_pairs)
+    -- top 20 by (count DESC, pair ASC).  The merge LOOP is pinned by
+    pytest vs a reference implementation; this oracle pins the count
+    pass bit-exactly."""
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    from go_distributed_log_search_ray.stages.textstats import (
+        bpe_initial_pairs)
+    ds = _read_table(sf_dir, "documents", columns=["text"])
+    t = small_table(bpe_initial_pairs(ds, "text"), int64_cols=["n"])
+    idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                        ("left", "ascending"),
+                                        ("right", "ascending")])
+    top = t.take(idx.slice(0, 20))
+    return pa.table({"lhs": top.column("left"),
+                     "rhs": top.column("right"),
+                     "n": top.column("n")})
+
+
 def _events_promo_overlap_copart_agg(sf_dir: str):
     """Same promo-window census as events_promo_overlap_agg but through
     the LARGE x LARGE co-partitioned path (time-bucket replication,
@@ -1384,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_line_dedup_agg": _pages_line_dedup_agg,
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "events_promo_overlap_copart_agg": _events_promo_overlap_copart_agg,
+        "doc_bpe_pairs": _doc_bpe_pairs,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
         "pages_domain_agg": _pages_domain_agg,
@@ -1483,6 +1504,25 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "doc_bpe_pairs": """
+            WITH toks AS (
+                SELECT t.tok AS term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\\s+'))
+                         AS t(tok)
+                WHERE t.tok <> ''),
+            vocab AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+            pairs AS (
+                SELECT substring(term, g.i, 1) AS lhs,
+                       substring(term, g.i + 1, 1) AS rhs,
+                       sum(n) AS n
+                FROM vocab JOIN (
+                    SELECT unnest(generate_series(
+                        1, (SELECT max(length(term)) FROM vocab) - 1)) AS i
+                ) g ON g.i <= length(term) - 1
+                GROUP BY 1, 2)
+            SELECT lhs, rhs, CAST(n AS BIGINT) AS n
+            FROM pairs ORDER BY n DESC, lhs, rhs LIMIT 20""",
         "pages_line_dedup_agg": f"""
             WITH l AS (
                 SELECT url, lang, u.line AS line

@@ -408,3 +408,89 @@ def repetition_features_batch(batch: pa.Table,
     for k, v in out.items():
         res = res.append_column(k, pa.array(v, pa.int64()))
     return res
+
+
+# -- BPE tokenizer training ---------------------------------------------------
+
+def bpe_initial_pairs(ds, text_col: str = "text"):
+    """Distributed first step of BPE training (Sennrich 2016,
+    arXiv:1508.07909): corpus-wide adjacent character-pair counts over
+    the word vocabulary, each pair weighted by its word's frequency and
+    counted PER OCCURRENCE within the word.  The heavy distributed work
+    of BPE is exactly this word-count pass (one O(vocab) shuffle --
+    training itself runs on the vocabulary, which fits the driver by
+    construction); pairs here are SQL-reproducible, so the oracle can
+    pin the distributed half bit-exactly.  End-of-word gets no marker
+    row (pairs are within-word only)."""
+    from ray.data.aggregate import Sum
+
+    counts = global_token_counts(ds, text_col)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"left": pa.array([], pa.string()),
+                             "right": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        out = {}
+        for term, n in zip(b.column("term").to_pylist(),
+                           b.column("n").to_pylist()):
+            for i in range(len(term) - 1):
+                k = (term[i], term[i + 1])
+                out[k] = out.get(k, 0) + n
+        ls, rs, ns = [], [], []
+        for (l, r), n in out.items():
+            ls.append(l)
+            rs.append(r)
+            ns.append(n)
+        return pa.table({"left": pa.array(ls, pa.string()),
+                         "right": pa.array(rs, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    return counts.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["left", "right"]).aggregate(Sum("n", alias_name="n"))
+
+
+def bpe_train(ds, num_merges: int, text_col: str = "text") -> list:
+    """Full BPE merge-table training: ONE distributed word-count pass
+    (the corpus never moves again), then the standard merge loop over
+    the in-memory vocabulary (O(vocab x merges), driver-side by design
+    -- this is how production BPE trainers work, the corpus-scale cost
+    is the count pass).  Ties break to the lexicographically smallest
+    (left, right) so the table is deterministic.  Returns
+    [(left, right), ...] in merge order."""
+    vocab_t = _small(global_token_counts(ds, text_col))
+    words = {tuple(t): n for t, n in
+             zip(vocab_t.column("term").to_pylist(),
+                 vocab_t.column("n").to_pylist())}
+    merges = []
+    for _ in range(num_merges):
+        pair_counts = {}
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                k = (sym[i], sym[i + 1])
+                pair_counts[k] = pair_counts.get(k, 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_words = {}
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == best[0]
+                        and sym[i + 1] == best[1]):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + n
+        words = new_words
+    return merges
+
+
+def _small(ds) -> pa.Table:
+    from ..functions.tableops import small_table
+    return small_table(ds)

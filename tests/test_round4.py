@@ -1141,3 +1141,48 @@ def test_bucketed_overlap_join_matches_broadcast():
                pds, iv, bucket_us=500, value_col="value").take_all()}
     assert got == want
     assert len(got) >= 8                 # non-degenerate fixture
+
+
+def test_bpe_train_matches_reference():
+    """Distributed-count BPE == a from-scratch reference trainer on the
+    same corpus (greedy most-frequent pair, lexicographic tiebreak),
+    and the learned merges behave sensibly (frequent bigram merged
+    first)."""
+    from go_distributed_log_search_ray.stages.textstats import bpe_train
+
+    docs = ["the theme thesis " * 5, "then the theory " * 4,
+            "math other bother " * 3]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs)}))
+    got = bpe_train(ds, num_merges=6)
+
+    # reference trainer
+    from collections import Counter
+    words = Counter()
+    for d in docs:
+        for w in d.lower().split():
+            words[tuple(w)] += 1
+    merges = []
+    for _ in range(6):
+        pc_ = Counter()
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                pc_[(sym[i], sym[i + 1])] += n
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        j = best[0] + best[1]
+        nw = Counter()
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(j)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nw[tuple(out)] += n
+        words = nw
+    assert got == merges
+    assert got[0] == ("t", "h")          # 'th' dominates this corpus
