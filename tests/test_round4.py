@@ -1186,3 +1186,38 @@ def test_bpe_train_matches_reference():
         words = nw
     assert got == merges
     assert got[0] == ("t", "h")          # 'th' dominates this corpus
+
+
+def test_safe_map_batches_isolates_poison_rows():
+    """A UDF that throws on specific rows: every processable row is
+    transformed, exactly the poison rows land on the dead-letter side
+    with their error, and a fully-clean batch costs one call (bisection
+    only triggers on failure)."""
+    from go_distributed_log_search_ray.stages.safemap import (
+        safe_map_batches)
+
+    calls = {"n": 0}
+
+    def udf(b: pa.Table) -> pa.Table:
+        calls["n"] += 1
+        ids = np.asarray(b.column("id"))
+        if np.isin(ids, (13, 777)).any():
+            raise ValueError(f"poison in {ids.min()}..{ids.max()}")
+        return pa.table({"id": b.column("id"),
+                         "doubled": pa.array(ids * 2, pa.int64())})
+
+    t = pa.table({"id": pa.array(np.arange(1000), pa.int64())})
+    out_schema = pa.schema([("id", pa.int64()), ("doubled", pa.int64())])
+    out = safe_map_batches(ray.data.from_arrow(t).repartition(2), udf,
+                           keep_cols=["id"], out_schema=out_schema,
+                           batch_size=512)
+    rows = out.take_all()
+    assert len(rows) == 1000
+    bad = {r["id"]: r for r in rows if r["__error"] is not None}
+    assert set(bad) == {13, 777}
+    assert "poison" in bad[13]["__error"]
+    assert bad[13]["doubled"] is None
+    good = [r for r in rows if r["__error"] is None]
+    assert all(r["doubled"] == 2 * r["id"] for r in good)
+    # bisection cost: ~2*log2(512) per poison row, nowhere near 1000
+    assert calls["n"] < 60
