@@ -524,6 +524,55 @@ def _events_promo_overlap_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_rows", "sum_value_cents"])
 
 
+def _orders_clustered_read_agg(sf_dir: str):
+    """Zone-map pruning round trip (stages/clusterwrite.py): orders
+    written once as range-clustered parquet (idempotent), then a
+    price-band query reads ONLY the overlapping files + residual
+    filter.  The oracle is the plain WHERE -- layout must never change
+    answers."""
+    import os
+
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        read_clustered, write_clustered)
+
+    ds = _read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "price_cents": pc.cast(pc.floor(pc.multiply(
+                             b.column("o_totalprice"),
+                             pa.scalar(100.0))), pa.int64())})
+
+    out_dir = ("/tmp/graft_clustered_orders_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    write_clustered(ds.map_batches(prep, batch_format="pyarrow"),
+                    out_dir, key="price_cents", id_col="o_orderkey")
+    lo, hi = 5_000_000, 15_000_000          # $50k..$150k
+    band = read_clustered(out_dir, lo, hi)
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b.column("price_cents")
+        m = pc.and_(pc.greater_equal(k, pa.scalar(lo, pa.int64())),
+                    pc.less(k, pa.scalar(hi, pa.int64())))
+        f = b.filter(m)
+        return pa.table({
+            "n_orders": pa.array([f.num_rows], pa.int64()),
+            "price_cents": pa.array(
+                [pc.sum(f.column("price_cents")).as_py() or 0], pa.int64()),
+            "key_sum": pa.array(
+                [pc.sum(f.column("o_orderkey")).as_py() or 0], pa.int64())})
+
+    t = small_table(band.map_batches(partial, batch_format="pyarrow"))
+    return pa.table({
+        "n_orders": pa.array([pc.sum(t.column("n_orders")).as_py() or 0],
+                             pa.int64()),
+        "price_cents": pa.array(
+            [pc.sum(t.column("price_cents")).as_py() or 0], pa.int64()),
+        "key_sum": pa.array([pc.sum(t.column("key_sum")).as_py() or 0],
+                            pa.int64())})
+
+
 def _doc_bpe_pairs(sf_dir: str):
     """Distributed half of BPE training: corpus-wide adjacent char-pair
     counts over the word vocabulary (stages/textstats.bpe_initial_pairs)
@@ -1405,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "events_promo_overlap_copart_agg": _events_promo_overlap_copart_agg,
         "doc_bpe_pairs": _doc_bpe_pairs,
+        "orders_clustered_read_agg": _orders_clustered_read_agg,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
         "pages_domain_agg": _pages_domain_agg,
@@ -1504,6 +1554,14 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "orders_clustered_read_agg": """
+            SELECT count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+            FROM orders
+            WHERE CAST(floor(o_totalprice * 100) AS BIGINT) >= 5000000
+              AND CAST(floor(o_totalprice * 100) AS BIGINT) < 15000000""",
         "doc_bpe_pairs": """
             WITH toks AS (
                 SELECT t.tok AS term

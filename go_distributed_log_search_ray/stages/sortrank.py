@@ -71,15 +71,13 @@ def _lex_searchsorted(bkeys: np.ndarray, bids: np.ndarray,
     return part
 
 
-def range_sort_rank(ds: Dataset, key: str, id_col: str,
-                    num_partitions: int | None = None,
-                    sample_per_block: int = 64,
-                    est_bytes: int | None = None) -> Dataset:
-    """Sort ``ds`` by ``(key ASC, id_col ASC)`` and append an int64
-    ``rank`` column (0-based global row number).  ``id_col`` must be
-    unique and non-null (it is the total-order tiebreak); ``key`` must
-    be non-null.  All other columns ride along unchanged."""
-    p = num_partitions or _default_partitions(est_bytes)
+def sample_boundaries(ds: Dataset, key: str, id_col: str, p: int,
+                      sample_per_block: int = 64):
+    """(boundary_keys, boundary_ids): up to ``p - 1`` lexicographic
+    (key, id) range boundaries from an evenly-strided per-block sample.
+    Boundary quality affects only partition BALANCE, never output
+    correctness, so the sample needs no determinism across block
+    layouts."""
 
     def sample(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -105,10 +103,20 @@ def range_sort_rank(ds: Dataset, key: str, id_col: str,
     if len(sk) > 1 and p > 1:
         cut = np.linspace(0, len(sk), p, endpoint=False)[1:].astype(int)
         cut = np.unique(cut)
-        bkeys, bids = sk[cut], si[cut]
-    else:
-        bkeys = sk[:0]
-        bids = si[:0]
+        return sk[cut], si[cut]
+    return sk[:0], si[:0]
+
+
+def range_sort_rank(ds: Dataset, key: str, id_col: str,
+                    num_partitions: int | None = None,
+                    sample_per_block: int = 64,
+                    est_bytes: int | None = None) -> Dataset:
+    """Sort ``ds`` by ``(key ASC, id_col ASC)`` and append an int64
+    ``rank`` column (0-based global row number).  ``id_col`` must be
+    unique and non-null (it is the total-order tiebreak); ``key`` must
+    be non-null.  All other columns ride along unchanged."""
+    p = num_partitions or _default_partitions(est_bytes)
+    bkeys, bids = sample_boundaries(ds, key, id_col, p, sample_per_block)
     nparts = len(bkeys) + 1
 
     def assign(b: pa.Table) -> pa.Table:

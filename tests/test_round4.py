@@ -1221,3 +1221,37 @@ def test_safe_map_batches_isolates_poison_rows():
     assert all(r["doubled"] == 2 * r["id"] for r in good)
     # bisection cost: ~2*log2(512) per poison row, nowhere near 1000
     assert calls["n"] < 60
+
+
+def test_clustered_write_prunes_reads(tmp_path):
+    """Range-clustered output: re-reading a narrow key range opens only
+    the overlapping files (zone-map prune), rows round-trip exactly,
+    and the write is _SUCCESS-idempotent."""
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        pruned_files, read_clustered, write_clustered)
+
+    rng = np.random.default_rng(2)
+    n = 30_000
+    key = rng.integers(0, 1_000_000, n).astype(np.int64)
+    t = pa.table({"k": pa.array(key),
+                  "id": pa.array(np.arange(n), pa.int64()),
+                  "v": rng.standard_normal(n)})
+    out = str(tmp_path / "clustered")
+    write_clustered(ray.data.from_arrow(t).repartition(8), out,
+                    key="k", id_col="id", num_partitions=16)
+    write_clustered(ray.data.from_arrow(t), out, key="k", id_col="id")
+
+    import json
+    man = json.load(open(f"{out}/manifest.json"))
+    assert len(man) >= 8                          # really partitioned
+    lo, hi = 100_000, 160_000
+    files = pruned_files(out, lo, hi)
+    assert 0 < len(files) < len(man) / 2          # most files skipped
+    got = read_clustered(out, lo, hi).to_pandas()
+    got = got[(got["k"] >= lo) & (got["k"] < hi)]  # residual filter
+    want = (key >= lo) & (key < hi)
+    assert len(got) == int(want.sum())
+    assert sorted(got["id"].tolist()) == sorted(
+        np.arange(n)[want].tolist())
+    # full read round-trips every row exactly once
+    assert read_clustered(out).count() == n
