@@ -524,6 +524,55 @@ def _events_promo_overlap_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_rows", "sum_value_cents"])
 
 
+def _doc_top_bigrams(sf_dir: str):
+    """Phrase mining: top-20 corpus token bigrams by count
+    (stages/textstats.bigram_counts -- shifted-slice binary_join, the
+    shuffle moves O(distinct bigrams))."""
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    from go_distributed_log_search_ray.stages.textstats import bigram_counts
+
+    ds = _read_table(sf_dir, "documents", columns=["text"])
+    t = small_table(bigram_counts(ds, "text"), int64_cols=["n"])
+    idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                        ("bigram", "ascending")])
+    return t.take(idx.slice(0, 20)).select(["bigram", "n"])
+
+
+def _doc_epoch_order(sf_dir: str, epoch: int = 3):
+    """Deterministic per-epoch corpus shuffle -- the training
+    data-loader contract: every epoch visits every doc exactly once in
+    a pseudo-random order that is reproducible and CLUSTER-SIZE
+    INDEPENDENT (rank = global sort by md5(doc_id:epoch), via
+    stages/sortrank.range_sort_rank).  Changing ``epoch`` permutes the
+    order; the multiset never changes."""
+    import hashlib
+
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    from go_distributed_log_search_ray.stages.sortrank import range_sort_rank
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        md5 = hashlib.md5
+        hk = [int.from_bytes(md5(f"{i}:{epoch}".encode()).digest()[:8],
+                             "big") >> 1 for i in ids]  # >>1: stay int64+
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "hkey": pa.array(hk, pa.int64())})
+
+    ranked = range_sort_rank(ds.map_batches(keyed, batch_format="pyarrow"),
+                             key="hkey", id_col="doc_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "rank": pc.add(b.column("rank"), pa.scalar(1, pa.int64())),
+            "doc_id": b.column("doc_id")})
+
+    out = ranked.map_batches(finish, batch_format="pyarrow")
+    return small_table(out, sort_keys=["rank"], int64_cols=["rank"]) \
+        .select(["rank", "doc_id"])
+
+
 def _orders_clustered_read_agg(sf_dir: str):
     """Zone-map pruning round trip (stages/clusterwrite.py): orders
     written once as range-clustered parquet (idempotent), then a
@@ -1455,6 +1504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_promo_overlap_copart_agg": _events_promo_overlap_copart_agg,
         "doc_bpe_pairs": _doc_bpe_pairs,
         "orders_clustered_read_agg": _orders_clustered_read_agg,
+        "doc_epoch_order": _doc_epoch_order,
+        "doc_top_bigrams": _doc_top_bigrams,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
         "pages_domain_agg": _pages_domain_agg,
@@ -1554,6 +1605,26 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "doc_top_bigrams": """
+            WITH docs AS (
+                SELECT string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents),
+            pairs AS (
+                SELECT toks[g.i] AS l, toks[g.i + 1] AS r
+                FROM docs JOIN (
+                    SELECT unnest(generate_series(
+                        1, (SELECT max(len(toks)) FROM docs) - 1)) AS i) g
+                  ON g.i < len(toks)
+                WHERE toks[g.i] <> '' AND toks[g.i + 1] <> '')
+            SELECT l || ' ' || r AS bigram, count(*) AS n
+            FROM pairs GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
+        "doc_epoch_order": """
+            SELECT CAST(row_number() OVER (
+                       ORDER BY (('0x' || substr(md5(doc_id || ':3'), 1, 16))
+                                 ::UBIGINT >> 1),
+                                doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM documents""",
         "orders_clustered_read_agg": """
             SELECT count(*) AS n_orders,
                    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))

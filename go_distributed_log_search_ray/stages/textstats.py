@@ -494,3 +494,35 @@ def bpe_train(ds, num_merges: int, text_col: str = "text") -> list:
 def _small(ds) -> pa.Table:
     from ..functions.tableops import small_table
     return small_table(ds)
+
+
+def bigram_counts(ds, text_col: str = "text"):
+    """Corpus-wide token-BIGRAM counts (phrase mining): adjacent
+    lowercased \\S+ tokens within a doc, joined with one space.  Per
+    batch: one split kernel, one shifted-slice binary_join, one
+    dictionary-encode + bincount -- the shuffle moves O(distinct
+    bigrams per batch)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks, doc_of = _flat_with_doc(pc.utf8_lower(b.column(text_col)),
+                                      r"\s+", regex=True)
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = doc_of[1:] == doc_of[:-1]
+        mask = pa.array(same)
+        left = toks.slice(0, len(toks) - 1).filter(mask)
+        right = toks.slice(1).filter(mask)
+        if len(left) == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        big = pc.binary_join_element_wise(left, right, " ")
+        enc = big.dictionary_encode()
+        cnt = np.bincount(np.asarray(enc.indices, dtype=np.int64),
+                          minlength=len(enc.dictionary))
+        return pa.table({"bigram": enc.dictionary,
+                         "n": pa.array(cnt, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
