@@ -524,6 +524,28 @@ def _events_promo_overlap_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_rows", "sum_value_cents"])
 
 
+def _doc_weighted_topk_sample(sf_dir: str):
+    """Exact-k weighted sample without replacement (A-ES) over
+    documents, weight = n_chars: 50 ids + weights, O(k x blocks) fold.
+    No SQL oracle (float ln priorities are engine-specific); the
+    reference-replica equality is pinned by pytest."""
+    from go_distributed_log_search_ray.stages.sampling import (
+        weighted_topk_sample)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def wcol(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "w": pc.cast(b.column("n_chars"), pa.float64())})
+
+    t = weighted_topk_sample(ds.map_batches(wcol, batch_format="pyarrow"),
+                             "doc_id", "w", k=50, seed=7)
+    idx = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+    out = t.take(idx)
+    return pa.table({"doc_id": out.column("doc_id"),
+                     "w_cents": pc.cast(pc.floor(pc.multiply(
+                         out.column("w"), pa.scalar(100.0))), pa.int64())})
+
+
 def _doc_top_bigrams(sf_dir: str):
     """Phrase mining: top-20 corpus token bigrams by count
     (stages/textstats.bigram_counts -- shifted-slice binary_join, the
@@ -1506,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_clustered_read_agg": _orders_clustered_read_agg,
         "doc_epoch_order": _doc_epoch_order,
         "doc_top_bigrams": _doc_top_bigrams,
+        "doc_weighted_topk_sample": _doc_weighted_topk_sample,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
         "pages_domain_agg": _pages_domain_agg,

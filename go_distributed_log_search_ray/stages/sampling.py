@@ -180,3 +180,50 @@ def weighted_hash_sample(ds: Dataset, id_col: str, weight_col: str,
         return b.filter(pa.array(lhs < rhs))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_topk_sample(ds: Dataset, id_col: str, weight_col: str,
+                         k: int, seed: int = 0) -> "pa.Table":
+    """EXACT-k weighted sample without replacement (Efraimidis-Spirakis
+    A-ES, 2006): per-row priority ``u^(1/w)`` with ``u`` drawn
+    DETERMINISTICALLY from hash(id, seed), global top-k by priority.
+    Inclusion probability is proportional to weight; the whole
+    reduction is the distributed top-k fold (O(k x blocks) moves, no
+    shuffle).  Deterministic and repartition-stable because u depends
+    only on (id, seed) -- but float ln/pow make priorities
+    engine-specific, so this operator is pytest-verified (reference
+    replica + statistical proportionality), not SQL-oracle-checked.
+    Rows with null id, null/non-positive weight are excluded (can't be
+    sampled)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.tableops import global_topk
+
+    def prio(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col)
+        w = b.column(weight_col)
+        ok = pc.and_(pc.is_valid(ids),
+                     pc.and_(pc.is_valid(w),
+                             pc.greater(pc.cast(w, pa.float64()),
+                                        pa.scalar(0.0))))
+        f = b.filter(ok)
+        if f.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             weight_col: pa.array([], pa.float64()),
+                             "priority": pa.array([], pa.float64())})
+        buckets = hash_buckets(f.column(id_col), seed=seed)
+        # u in (0, 1]: (bucket + 1) / 2^32 -- never 0, so ln is finite
+        u = (buckets.astype(np.float64) + 1.0) / float(1 << 32)
+        wv = np.asarray(pc.cast(f.column(weight_col), pa.float64()))
+        # log-space A-ES key: ln(u)/w (monotone in u^(1/w))
+        key = np.log(u) / wv
+        return pa.table({id_col: pc.cast(f.column(id_col), pa.int64()),
+                         weight_col: pc.cast(f.column(weight_col),
+                                             pa.float64()),
+                         "priority": pa.array(key)})
+
+    pr = ds.map_batches(prio, batch_format="pyarrow")
+    return global_topk(pr, k, [("priority", "descending"),
+                               (id_col, "ascending")])

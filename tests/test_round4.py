@@ -1255,3 +1255,44 @@ def test_clustered_write_prunes_reads(tmp_path):
         np.arange(n)[want].tolist())
     # full read round-trips every row exactly once
     assert read_clustered(out).count() == n
+
+
+def test_weighted_topk_sample_exact_k_and_proportional():
+    """A-ES exact-k weighted sampling: equals a single-process replica
+    (determinism + repartition stability), excludes null/non-positive
+    weights, and high-weight items appear ~proportionally more often
+    across seeds."""
+    from go_distributed_log_search_ray.stages.sampling import (
+        hash_buckets, weighted_topk_sample)
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 100 == 0, 50.0, 1.0)     # 20 heavy items
+    t = pa.table({"doc_id": pa.array(ids),
+                  "w": pa.array(w, pa.float64())})
+    t = pa.concat_tables([t, pa.table({
+        "doc_id": pa.array([None, 9999], pa.int64()),
+        "w": pa.array([1.0, -3.0], pa.float64())})])
+    ds = ray.data.from_arrow(t)
+
+    got = weighted_topk_sample(ds.repartition(7), "doc_id", "w", k=100,
+                               seed=4)
+    ids_got = sorted(got.column("doc_id").to_pylist())
+    assert len(ids_got) == 100
+    assert 9999 not in ids_got and None not in ids_got
+
+    # single-process replica
+    b = hash_buckets(pa.array(ids), seed=4)
+    u = (b.astype(np.float64) + 1.0) / float(1 << 32)
+    key = np.log(u) / w
+    want = sorted(ids[np.argsort(-key, kind="stable")][:100].tolist())
+    assert ids_got == want
+
+    # proportionality across seeds: heavy ids (w=50, 1% of pop) should
+    # take far more than 1% of slots
+    heavy_frac = []
+    for seed in range(6):
+        s = weighted_topk_sample(ds, "doc_id", "w", k=100, seed=seed)
+        got_ids = np.array(s.column("doc_id").to_pylist())
+        heavy_frac.append((got_ids % 100 == 0).mean())
+    assert np.mean(heavy_frac) > 0.15           # >> 1% population share
