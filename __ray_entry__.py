@@ -1516,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_group_size_join": R.orders_group_size_join,
         "customer_order_lineitem_join": R.customer_order_lineitem_join,
         "lineitem_profile_agg": R.lineitem_profile_agg,
+        "events_retention_cohorts": R.events_retention_cohorts,
         "pages_log_templates": _pages_log_templates,
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
@@ -2428,6 +2429,18 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (tok) CROSS JOIN n
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
+        "events_retention_cohorts": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                           AS day
+                FROM events),
+            firsts AS (
+                SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+            SELECT f.cohort_day, ud.day - f.cohort_day AS day_offset,
+                   count(*) AS n_users
+            FROM ud JOIN firsts f USING (user_id)
+            GROUP BY 1, 2""",
         "lineitem_profile_agg": """
             SELECT 'l_quantity' AS "column", count(*) AS n_rows,
                    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)

@@ -834,6 +834,64 @@ def orders_bloom_semi_agg(sf_dir: str) -> pa.Table:
         .select(["o_orderpriority", "n_orders", "price_cents"])
 
 
+# -- retention cohorts ----------------------------------------------------------
+
+def events_retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention: users grouped by first-seen DAY, active-user
+    counts per (cohort_day, day_offset).  One user-bucket shuffle; the
+    per-bucket kernel derives each user's first day AND their distinct
+    active days in the same pass (sort + reduceat), emitting O(cohorts
+    x offsets) partials -- the events never move twice."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    nb = _session_buckets()
+    day_us = 86_400_000_000
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(b.column("ts"), pa.int64()),
+            pa.scalar(float(day_us)))), pa.int64())
+        t = pa.table({"user_id": b.column("user_id"), "day": day})
+        # per-batch distinct (user, day) collapse before the shuffle
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        uid = np.asarray(t.column("user_id"))
+        return t.append_column(
+            "ubucket", pa.array((uid & (nb - 1)).astype(np.int32)))
+
+    out_schema = pa.schema([("cohort_day", pa.int64()),
+                            ("day_offset", pa.int64()),
+                            ("n_users", pa.int64())])
+
+    def cohorts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # distinct (user, day) within the bucket
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("day", "ascending")]))
+        uid = np.asarray(t.column("user_id"))
+        day = np.asarray(t.column("day"))
+        new = np.empty(len(uid), dtype=bool)
+        new[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new[1:])
+        first = day[np.nonzero(new)[0]]           # per-user cohort day
+        cohort = first[np.cumsum(new) - 1]        # broadcast to rows
+        off = day - cohort
+        key = pa.table({"cohort_day": pa.array(cohort),
+                        "day_offset": pa.array(off)})
+        out = key.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("day_offset", "count")])
+        return out.rename_columns(
+            ["cohort_day", "day_offset", "n_users"]).cast(out_schema)
+
+    agg = ds.map_batches(add_cols, batch_format="pyarrow") \
+        .groupby("ubucket").map_groups(cohorts, batch_format="pyarrow") \
+        .groupby(["cohort_day", "day_offset"]).aggregate(
+            Sum("n_users", alias_name="n_users"))
+    return small_table(agg, sort_keys=["cohort_day", "day_offset"],
+                       int64_cols=["cohort_day", "day_offset", "n_users"]) \
+        .select(["cohort_day", "day_offset", "n_users"])
+
+
 # -- one-pass column profiling --------------------------------------------------
 
 def lineitem_profile_agg(sf_dir: str) -> pa.Table:
