@@ -524,6 +524,48 @@ def _events_promo_overlap_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_rows", "sum_value_cents"])
 
 
+def _doc_balanced_sample_agg(sf_dir: str):
+    """Balanced training mixture: EXACTLY min(k, n) docs per language,
+    chosen by deterministic md5 order (per-group exact-k sampling --
+    the stratified complement of the fraction-based mixture sampler).
+    Distributed via grouped_topk: each block contributes <= k rows per
+    group, the shuffle moves only candidates."""
+    import hashlib
+
+    from go_distributed_log_search_ray.functions.tableops import (
+        grouped_topk, small_table)
+
+    k = 40
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        hk = [int.from_bytes(md5(str(i).encode()).digest()[:8], "big") >> 1
+              for i in b.column("doc_id").to_pylist()]
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "lang": b.column("lang"),
+                         "hkey": pa.array(hk, pa.int64())})
+
+    picked = grouped_topk(ds.map_batches(keyed, batch_format="pyarrow"),
+                          ["lang"], k,
+                          [("hkey", "ascending"), ("doc_id", "ascending")])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"),
+                      "doc_id": pc.cast(b.column("doc_id"), pa.int64())})
+        out = t.group_by(["lang"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "sum")])
+        return out.rename_columns(["lang", "n_docs", "id_sum"])
+
+    from ray.data.aggregate import Sum
+    agg = picked.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                   Sum("id_sum", alias_name="id_sum"))
+    return small_table(agg, sort_keys=["lang"],
+                       int64_cols=["n_docs", "id_sum"]) \
+        .select(["lang", "n_docs", "id_sum"])
+
+
 def _doc_weighted_topk_sample(sf_dir: str):
     """Exact-k weighted sample without replacement (A-ES) over
     documents, weight = n_chars: 50 ids + weights, O(k x blocks) fold.
@@ -1530,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_epoch_order": _doc_epoch_order,
         "doc_top_bigrams": _doc_top_bigrams,
         "doc_weighted_topk_sample": _doc_weighted_topk_sample,
+        "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
         "pages_domain_agg": _pages_domain_agg,
@@ -1629,6 +1672,17 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "doc_balanced_sample_agg": """
+            WITH ranked AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY (('0x' || substr(md5(CAST(doc_id
+                                      AS VARCHAR)), 1, 16))::UBIGINT >> 1),
+                                    doc_id) AS r
+                FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM ranked WHERE r <= 40 GROUP BY lang""",
         "doc_top_bigrams": """
             WITH docs AS (
                 SELECT string_split_regex(lower(text), '\\s+') AS toks
