@@ -524,6 +524,63 @@ def _events_promo_overlap_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_rows", "sum_value_cents"])
 
 
+def _doc_prefix_editdist_agg(sf_dir: str):
+    """True edit distance between each doc and its id-successor over
+    64-char lowercase prefixes -- the batched Levenshtein kernel
+    (functions/editdist.py, DP vectorized ACROSS pairs) riding the
+    co-partitioned self-join."""
+    from go_distributed_log_search_ray.functions.editdist import (
+        edit_distance_batch)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pre(shift: int, out_pre: str):
+        def f(b: pa.Table) -> pa.Table:
+            p = pc.utf8_slice_codeunits(
+                pc.utf8_lower(pc.fill_null(b.column("text"), "")), 0, 64)
+            key = pc.add(pc.cast(b.column("doc_id"), pa.int64()),
+                         pa.scalar(shift, pa.int64()))
+            return pa.table({"k": key, out_pre: p})
+        return f
+
+    left = ds.map_batches(pre(0, "pre_a"), batch_format="pyarrow")
+    right = ds.map_batches(pre(-1, "pre_b"), batch_format="pyarrow")
+    j = hash_join(left, right, on="k",
+                  left_schema=pa.schema([("k", pa.int64()),
+                                         ("pre_a", pa.string())]),
+                  right_schema=pa.schema([("k", pa.int64()),
+                                          ("pre_b", pa.string())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n_pairs": pa.array([], pa.int64()),
+                             "sum_dist": pa.array([], pa.int64()),
+                             "n_close": pa.array([], pa.int64())})
+        d = edit_distance_batch(b.column("pre_a").combine_chunks()
+                                if isinstance(b.column("pre_a"),
+                                              pa.ChunkedArray)
+                                else b.column("pre_a"),
+                                b.column("pre_b").combine_chunks()
+                                if isinstance(b.column("pre_b"),
+                                              pa.ChunkedArray)
+                                else b.column("pre_b"))
+        return pa.table({"n_pairs": pa.array([len(d)], pa.int64()),
+                         "sum_dist": pa.array([int(d.sum())], pa.int64()),
+                         "n_close": pa.array([int((d <= 10).sum())],
+                                             pa.int64())})
+
+    t = small_table(j.map_batches(partial, batch_format="pyarrow"))
+    return pa.table({
+        "n_pairs": pa.array([pc.sum(t.column("n_pairs")).as_py() or 0],
+                            pa.int64()),
+        "sum_dist": pa.array([pc.sum(t.column("sum_dist")).as_py() or 0],
+                             pa.int64()),
+        "n_close": pa.array([pc.sum(t.column("n_close")).as_py() or 0],
+                            pa.int64())})
+
+
 def _doc_balanced_sample_agg(sf_dir: str):
     """Balanced training mixture: EXACTLY min(k, n) docs per language,
     chosen by deterministic md5 order (per-group exact-k sampling --
@@ -1573,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigrams": _doc_top_bigrams,
         "doc_weighted_topk_sample": _doc_weighted_topk_sample,
         "doc_balanced_sample_agg": _doc_balanced_sample_agg,
+        "doc_prefix_editdist_agg": _doc_prefix_editdist_agg,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
         "pages_domain_agg": _pages_domain_agg,
@@ -1672,6 +1730,17 @@ def oracle_sql() -> dict[str, str]:
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
     return {
+        "doc_prefix_editdist_agg": """
+            WITH p AS (
+                SELECT doc_id,
+                       substr(lower(coalesce(text, '')), 1, 64) AS pre
+                FROM documents)
+            SELECT count(*) AS n_pairs,
+                   CAST(sum(levenshtein(a.pre, b.pre)) AS BIGINT)
+                       AS sum_dist,
+                   CAST(sum(CASE WHEN levenshtein(a.pre, b.pre) <= 10
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+            FROM p a JOIN p b ON b.doc_id = a.doc_id + 1""",
         "doc_balanced_sample_agg": """
             WITH ranked AS (
                 SELECT lang, doc_id,

@@ -1296,3 +1296,31 @@ def test_weighted_topk_sample_exact_k_and_proportional():
         got_ids = np.array(s.column("doc_id").to_pylist())
         heavy_frac.append((got_ids % 100 == 0).mean())
     assert np.mean(heavy_frac) > 0.15           # >> 1% population share
+
+
+def test_edit_distance_batch_matches_reference_dp():
+    from go_distributed_log_search_ray.functions.editdist import (
+        edit_distance_batch)
+
+    def ref(a, b):
+        a = a or ""
+        b = b or ""
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp = dp, [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[len(b)]
+
+    rng = np.random.default_rng(17)
+    pairs = [("kitten", "sitting"), ("", "abc"), ("abc", ""),
+             ("same", "same"), (None, "xy"), ("üñí", "uni")]
+    for _ in range(150):
+        a = "".join(rng.choice(list("abcde"), rng.integers(0, 12)))
+        b = "".join(rng.choice(list("abcde"), rng.integers(0, 12)))
+        pairs.append((a, b))
+    A = pa.array([p[0] for p in pairs], pa.string())
+    B = pa.array([p[1] for p in pairs], pa.string())
+    got = edit_distance_batch(A, B)
+    assert got.tolist() == [ref(a, b) for a, b in pairs]
