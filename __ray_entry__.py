@@ -1620,7 +1620,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_users": _events_heavy_users,
         "doc_shared_substr_agg": _doc_shared_substr_agg,
         "doc_incremental_dedup": _doc_incremental_dedup,
-        "doc_incremental_near_dedup": _doc_incremental_near_dedup,
         "pages_line_dedup_agg": _pages_line_dedup_agg,
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "events_promo_overlap_copart_agg": _events_promo_overlap_copart_agg,
@@ -1628,7 +1627,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_clustered_read_agg": _orders_clustered_read_agg,
         "doc_epoch_order": _doc_epoch_order,
         "doc_top_bigrams": _doc_top_bigrams,
-        "doc_weighted_topk_sample": _doc_weighted_topk_sample,
         "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_prefix_editdist_agg": _doc_prefix_editdist_agg,
         "doc_export_shards": _doc_export_shards,
@@ -1658,6 +1656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_topk": _doc_search_topk,
         "pages_search": _pages_search,
         "doc_minhash_keep": _doc_minhash_keep,
+        "doc_incremental_near_dedup": _doc_incremental_near_dedup,
+        "doc_weighted_topk_sample": _doc_weighted_topk_sample,
         "doc_quality_score": _doc_quality_score,
         "doc_langid": _doc_langid,
         "doc_simhash_pairs": _doc_simhash_pairs,
