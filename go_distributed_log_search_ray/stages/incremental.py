@@ -286,3 +286,55 @@ def incremental_near_dedup(new_ds: Dataset, snapshot_dir: str,
                                  pa.scalar(0, pa.int64()))})
 
     return hits.map_batches(verdict, batch_format="pyarrow")
+
+
+def append_band_snapshot(new_ds: Dataset, snapshot_dir: str,
+                         increment_id: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_perm: int = 64, bands: int = 16,
+                         num_buckets: int = NUM_FP_BUCKETS) -> str:
+    """Fold an increment's band postings INTO the persisted snapshot --
+    the second half of the incremental loop (screen the increment, then
+    make its survivors visible to the NEXT increment).  Each increment
+    writes its rows as NEW files under the same ``bucket=N/`` dirs
+    (parquet dirs append by file; nothing rewrites), committed with a
+    per-increment ``_SUCCESS.<increment_id>`` marker so a re-run of the
+    same increment is a no-op and a torn append is redone -- the same
+    idempotence contract as the reference's segment commits."""
+    from .dedup import MinHasher
+
+    marker = os.path.join(snapshot_dir, f"_SUCCESS.{increment_id}")
+    if os.path.exists(marker):
+        return snapshot_dir
+
+    class Exploder:
+        def __init__(self) -> None:
+            self.h = MinHasher(num_perm=num_perm)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return _band_sig_rows(b, id_col, text_col, self.h, bands,
+                                  num_buckets)
+
+    # torn-append hygiene: drop any files from a previous failed run of
+    # THIS increment before rewriting them
+    import shutil
+    stage_dir = os.path.join(snapshot_dir, f"_incoming.{increment_id}")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    new_ds.map_batches(Exploder, batch_format="pyarrow",
+                       concurrency=(1, 8)) \
+        .write_parquet(stage_dir, partition_cols=["bucket"])
+    # atomic-ish publish: move each staged bucket file into the live
+    # bucket dir under a unique name, then drop the marker
+    for root, _dirs, files in os.walk(stage_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(root, stage_dir)
+            dst_dir = os.path.join(snapshot_dir, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            os.replace(os.path.join(root, f),
+                       os.path.join(dst_dir, f"inc-{increment_id}-{f}"))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("ok")
+    return snapshot_dir

@@ -1324,3 +1324,39 @@ def test_edit_distance_batch_matches_reference_dp():
     B = pa.array([p[1] for p in pairs], pa.string())
     got = edit_distance_batch(A, B)
     assert got.tolist() == [ref(a, b) for a, b in pairs]
+
+
+def test_append_band_snapshot_makes_survivors_visible(tmp_path):
+    """The full incremental loop: screen increment 1, append its docs,
+    then increment 2 (containing near-copies of increment-1 docs) is
+    flagged against them; re-appending the same increment_id is a
+    no-op."""
+    from go_distributed_log_search_ray.stages.incremental import (
+        append_band_snapshot, build_band_snapshot, incremental_near_dedup)
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(300)]
+    base = [" ".join(rng.choice(words, 60)) for _ in range(20)]
+    snap = pa.table({"doc_id": pa.array(np.arange(20), pa.int64()),
+                     "text": pa.array(base)})
+    d = str(tmp_path / "bands")
+    build_band_snapshot(ray.data.from_arrow(snap), d)
+
+    inc1 = [" ".join(rng.choice(words, 60)) for _ in range(10)]
+    t1 = pa.table({"doc_id": pa.array(np.arange(100, 110), pa.int64()),
+                   "text": pa.array(inc1)})
+    v1 = {r["doc_id"]: r["is_dup"] for r in incremental_near_dedup(
+        ray.data.from_arrow(t1), d).take_all()}
+    assert not any(v1.values())                   # fresh docs pass
+    append_band_snapshot(ray.data.from_arrow(t1), d, increment_id="inc1")
+    append_band_snapshot(ray.data.from_arrow(t1), d, increment_id="inc1")
+
+    # increment 2: near-copies of inc1 docs + fresh
+    near = [t.replace(t.split()[5], "CHANGED", 1) for t in inc1[:5]]
+    fresh = [" ".join(rng.choice(words, 60)) for _ in range(5)]
+    t2 = pa.table({"doc_id": pa.array(np.arange(200, 210), pa.int64()),
+                   "text": pa.array(near + fresh)})
+    v2 = {r["doc_id"]: r["is_dup"] for r in incremental_near_dedup(
+        ray.data.from_arrow(t2), d).take_all()}
+    assert sum(v2[i] for i in range(200, 205)) >= 4  # near-copies caught
+    assert not any(v2[i] for i in range(205, 210))   # fresh pass
