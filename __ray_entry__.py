@@ -253,6 +253,71 @@ def _doc_dup_clusters(sf_dir: str):
     return agg.map_batches(to_int, batch_format="pyarrow")
 
 
+def _doc_cluster_canonical(sf_dir: str):
+    """Canonical-representative selection: after distributed connected
+    components label the duplicate clusters, keep ONE doc per cluster
+    by (longest text, lowest id) -- the dedup endgame (which copy
+    survives).  Labels join back to doc lengths through the
+    co-partitioned shuffle join; the pick is a distributed grouped
+    top-1 (each block ships <= 1 candidate per cluster)."""
+    import hashlib
+
+    from go_distributed_log_search_ray.functions.tableops import (
+        grouped_topk, small_table)
+    from go_distributed_log_search_ray.stages.components import (
+        connected_components)
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    def keys(b: pa.Table) -> pa.Table:
+        txt = b.column("text").combine_chunks().cast(pa.binary())
+        k1, k2 = [], []
+        for v in txt.to_pylist():
+            if v is None:
+                k1.append(None)
+                k2.append(None)
+            else:
+                h = hashlib.md5(v).hexdigest()
+                k1.append("a:" + h[0:2])
+                k2.append("b:" + h[2:4])
+        ids = pc.utf8_lpad(pc.cast(b.column("doc_id"), pa.string()),
+                           width=12, padding="0")
+        return pa.table({"doc_id_s": ids,
+                         "k1": pa.array(k1, pa.string()),
+                         "k2": pa.array(k2, pa.string())})
+
+    docs = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cc = connected_components(
+        docs.map_batches(keys, batch_format="pyarrow"),
+        "doc_id_s", ["k1", "k2"])
+
+    def lab_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id_s"), pa.int64()),
+            "component": pc.cast(pc.cast(b.column("component"),
+                                         pa.string()), pa.int64())})
+
+    labels = cc.map_batches(lab_int, batch_format="pyarrow")
+    lens = _read_table(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+        .map_batches(lambda b: pa.table({
+            "d2": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64())}),
+            batch_format="pyarrow")
+    j = hash_join(
+        labels, lens, on="doc_id", right_on="d2",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("component", pa.int64())]),
+        right_schema=pa.schema([("d2", pa.int64()),
+                                ("n_chars", pa.int64())]))
+    best = grouped_topk(j, ["component"], 1,
+                        [("n_chars", "descending"),
+                         ("doc_id", "ascending")])
+    t = small_table(best, sort_keys=["component"],
+                    int64_cols=["component", "doc_id", "n_chars"])
+    return t.select(["component", "doc_id", "n_chars"]) \
+        .rename_columns(["component", "canonical_doc_id",
+                         "canonical_n_chars"])
+
+
 def _doc_token_freq_stats(sf_dir: str):
     """Corpus-statistics scoring: global vocab counts broadcast once,
     per-doc integer (n tokens, sum of global token freqs, rarest-token
@@ -1634,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_domain_agg": _pages_domain_agg,
         "doc_repetition_features": _doc_repetition_features,
         "doc_dup_clusters": _doc_dup_clusters,
+        "doc_cluster_canonical": _doc_cluster_canonical,
         "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
         "doc_contamination_agg": _doc_contamination_agg,
         "doc_token_freq_stats": _doc_token_freq_stats,
@@ -2443,6 +2509,32 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_contaminated
             FROM documents WHERE doc_id % 20 <> 0 GROUP BY lang""",
+        "doc_cluster_canonical": r"""
+            WITH RECURSIVE n AS (
+              SELECT doc_id,
+                     'a:' || substr(md5(text), 1, 2) AS k1,
+                     'b:' || substr(md5(text), 3, 2) AS k2
+              FROM documents),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM n a JOIN n b ON a.k1 = b.k1
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM n a JOIN n b ON a.k2 = b.k2),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM n
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+            lab AS (SELECT a AS doc_id, min(b) AS component
+                    FROM reach GROUP BY a),
+            rk AS (
+              SELECT l.component, l.doc_id, d.n_chars,
+                     row_number() OVER (PARTITION BY l.component
+                         ORDER BY d.n_chars DESC, l.doc_id) AS r
+              FROM lab l JOIN documents d USING (doc_id))
+            SELECT component, doc_id AS canonical_doc_id,
+                   CAST(n_chars AS BIGINT) AS canonical_n_chars
+            FROM rk WHERE r = 1""",
         "doc_dup_clusters": r"""
             WITH RECURSIVE n AS (
               SELECT doc_id,
