@@ -95,12 +95,18 @@ def pack_documents(ds: Dataset, seq_len: int, id_col: str = "doc_id",
 
 
 def packing_stats(bins: Dataset, seq_len: int) -> pa.Table:
-    """One summary row: bins, docs, tokens, mean fill fraction."""
-    t = pa.Table.from_pylist(bins.take_all())
-    n = t.num_rows
-    import pyarrow.compute as pc
-    tok = pc.sum(t.column("tokens")).as_py() or 0
-    docs = pc.sum(t.column("n_docs")).as_py() or 0
+    """One summary row: bins, docs, tokens, mean fill fraction.
+
+    Distributed fold: bin rows are O(corpus_tokens / seq_len) -- far too
+    many to collect -- so the counts are Sum/Count aggregates and only
+    the 1-row result reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+    agg = bins.aggregate(Count(alias_name="n_bins"),
+                         Sum("n_docs", alias_name="n_docs"),
+                         Sum("tokens", alias_name="total_tokens"))
+    n = int(agg["n_bins"] or 0)
+    docs = int(agg["n_docs"] or 0)
+    tok = int(agg["total_tokens"] or 0)
     return pa.table({"n_bins": pa.array([n], pa.int64()),
                      "n_docs": pa.array([docs], pa.int64()),
                      "total_tokens": pa.array([tok], pa.int64()),

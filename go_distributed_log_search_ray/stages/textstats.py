@@ -491,6 +491,101 @@ def bpe_train(ds, num_merges: int, text_col: str = "text") -> list:
     return merges
 
 
+class BPEEncoder:
+    """Actor-pool stage applying a TRAINED merge table to encode text
+    and emit per-doc BPE token counts (completes the tokenizer story:
+    ``bpe_train`` -> encode -> ``packing.pack_documents``).
+
+    Scale shape: the merge table is tiny (merges x ~2 short strings) and
+    rides the task closure; the rank dict is built ONCE per actor in
+    ``__init__``.  Per batch, tokens are dictionary-encoded so each
+    DISTINCT word is encoded once and occurrence counts scatter back via
+    the codes -- with Zipfian word frequency the Python merge loop runs
+    on a vanishing fraction of the token stream.  A bounded per-actor
+    word cache (``_CACHE_CAP``, clear-on-overflow like
+    ``dedup.SimHasher``) amortizes across batches without the
+    open-vocabulary OOM of an unbounded memo.
+
+    Encoding applies merges in TRAINING ORDER with left-to-right
+    replacement -- provably equivalent to rank-priority BPE encoding
+    because any pair involving a merged symbol can only have been
+    learned after the merge that created that symbol; the pytest pins
+    encoder output against ``bpe_train``'s own final vocabulary
+    segmentation.
+    """
+
+    _CACHE_CAP = 1 << 20
+
+    def __init__(self, merges: list, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+        # merge pass order; tuples for exact (left, right) adjacency
+        self.merges = [tuple(m) for m in merges]
+        self.id_col = id_col
+        self.text_col = text_col
+        self._cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        """Number of BPE symbols for one word."""
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        sym = list(word)
+        for left, right in self.merges:
+            if len(sym) < 2:
+                break
+            out, i, joined = [], 0, left + right
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == left
+                        and sym[i + 1] == right):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        if len(self._cache) >= self._CACHE_CAP:
+            self._cache.clear()
+        self._cache[word] = len(sym)
+        return len(sym)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        """Output = input minus ``text_col`` (text never travels past
+        the encoder) plus int64 ``n_words``/``bpe_tokens``."""
+        n = b.num_rows
+        carry = b.drop_columns([self.text_col])
+        if n == 0:
+            return carry.append_column(
+                "n_words", pa.array([], pa.int64())).append_column(
+                "bpe_tokens", pa.array([], pa.int64()))
+        toks, parent = _flat_with_doc(
+            pc.utf8_lower(b.column(self.text_col)), r"\s+", regex=True)
+        if len(toks) == 0:
+            zero = pa.array(np.zeros(n, dtype=np.int64))
+            return carry.append_column("n_words", zero).append_column(
+                "bpe_tokens", zero)
+        enc = toks.dictionary_encode()
+        lens = np.fromiter(
+            (self._encode_len(w) for w in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(enc.dictionary))
+        per_tok = lens[np.asarray(enc.indices, dtype=np.int64)]
+        return carry.append_column(
+            "n_words", pa.array(np.bincount(parent, minlength=n)
+                                .astype(np.int64))).append_column(
+            "bpe_tokens", pa.array(
+                np.bincount(parent, weights=per_tok, minlength=n)
+                .astype(np.int64)))
+
+
+def bpe_encode_counts(ds, merges: list, id_col: str = "doc_id",
+                      text_col: str = "text", concurrency=(2, 8)):
+    """Per-doc BPE token counts under a trained merge table: one
+    actor-pool ``map_batches`` pass, output ``(id, n_words,
+    bpe_tokens)`` -- the corpus is read once and never shuffled."""
+    return ds.map_batches(BPEEncoder,
+                          fn_constructor_args=(merges, id_col, text_col),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
 def _small(ds) -> pa.Table:
     from ..functions.tableops import small_table
     return small_table(ds)

@@ -1188,6 +1188,68 @@ def test_bpe_train_matches_reference():
     assert got[0] == ("t", "h")          # 'th' dominates this corpus
 
 
+def test_bpe_encode_matches_training_segmentation():
+    """Applying the trained merge table via BPEEncoder reproduces the
+    trainer's OWN final vocabulary segmentation (the strongest internal
+    consistency bar: encode(word) token count == the word's symbol
+    count at the end of training), end-to-end per-doc counts match a
+    per-word sum, a tiny cache cap changes nothing, and null/empty
+    text rows encode to zero with carry columns intact."""
+    from collections import Counter
+
+    from go_distributed_log_search_ray.stages.textstats import (
+        BPEEncoder, bpe_encode_counts, bpe_train)
+
+    docs = ["the theme thesis " * 5, "then the theory " * 4,
+            "math other bother " * 3, "zz qq zz", ""]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(4)) + [4], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "und", "und"]),
+        "text": pa.array(docs[:4] + [None], pa.string())}))
+    merges = bpe_train(ds, num_merges=6)
+
+    # reference final segmentation: run the training inner loop
+    words = Counter()
+    for d in docs[:4]:
+        for w in d.lower().split():
+            words[tuple(w)] += 1
+    for left, right in merges:
+        j = left + right
+        nw = Counter()
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == (left, right):
+                    out.append(j)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nw[tuple(out)] += n
+        words = nw
+    ref_len = {"".join(sym): len(sym) for sym in words}
+
+    enc = BPEEncoder(merges)
+    for w, n in ref_len.items():
+        assert enc._encode_len(w) == n, w
+
+    out = {r["doc_id"]: r for r in
+           bpe_encode_counts(ds, merges).take_all()}
+    for i, d in enumerate(docs[:4]):
+        toks = d.lower().split()
+        assert out[i]["n_words"] == len(toks)
+        assert out[i]["bpe_tokens"] == sum(ref_len[w] for w in toks)
+        assert out[i]["lang"] in ("en", "und")   # carry column survived
+    assert out[4]["n_words"] == 0 and out[4]["bpe_tokens"] == 0
+
+    # cache-cap crossing: clear-on-overflow must not change results
+    tiny = BPEEncoder(merges)
+    tiny._CACHE_CAP = 2
+    for w, n in ref_len.items():
+        assert tiny._encode_len(w) == n, w
+    assert len(tiny._cache) <= 2
+
+
 def test_safe_map_batches_isolates_poison_rows():
     """A UDF that throws on specific rows: every processable row is
     transformed, exactly the poison rows land on the dead-letter side
