@@ -1685,6 +1685,21 @@ def _doc_bpe_encode_agg(sf_dir: str):
     return t.take(pc.sort_indices(t, sort_keys=[("lang", "ascending")]))
 
 
+def _doc_freq_spectrum(sf_dir: str):
+    """Zipf frequency spectrum of the corpus vocabulary: for each
+    occurrence count n, how many distinct terms occur exactly n times
+    (stages/textstats.freq_spectrum -- one O(vocab) shuffle plus an
+    O(distinct-counts) fold)."""
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    from go_distributed_log_search_ray.stages.textstats import freq_spectrum
+    ds = _read_table(sf_dir, "documents", columns=["text"])
+    t = small_table(freq_spectrum(ds, "text"),
+                    int64_cols=["occurrences", "n_terms"])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("occurrences", "ascending")])) \
+        .select(["occurrences", "n_terms"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from go_distributed_log_search_ray.pipelines import relational as R
     # ORDER MATTERS: the driver's correctness gate records only the
@@ -1694,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # new in round 4 -- never driver-checked
         "doc_bpe_encode_agg": _doc_bpe_encode_agg,
+        "doc_freq_spectrum": _doc_freq_spectrum,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
         "orders_global_rank": R.orders_global_rank,
@@ -2949,6 +2965,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT cid AS centroid_id, count(*) AS n_vecs,
                    CAST(sum(label) AS BIGINT) AS sum_label
             FROM best WHERE r = 1 GROUP BY cid""",
+        "doc_freq_spectrum": """
+            WITH toks AS (
+                SELECT t.tok AS term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+                WHERE t.tok <> ''),
+            counts AS (
+                SELECT term, count(*) AS n FROM toks GROUP BY 1)
+            SELECT CAST(n AS BIGINT) AS occurrences,
+                   CAST(count(*) AS BIGINT) AS n_terms
+            FROM counts GROUP BY n ORDER BY occurrences""",
         "doc_top_terms_by_lang": """
             WITH toks AS (
                 SELECT lang, t.tok AS term

@@ -586,6 +586,23 @@ def bpe_encode_counts(ds, merges: list, id_col: str = "doc_id",
                           batch_format="pyarrow", concurrency=concurrency)
 
 
+def freq_spectrum(ds, text_col: str = "text"):
+    """Zipf frequency spectrum: how many DISTINCT terms occur exactly n
+    times, corpus-wide (the standard corpus-statistics census --
+    hapax/dis legomena counts are the n=1/n=2 rows; the spectrum's tail
+    shape is the usual Zipf sanity check before tokenizer training).
+
+    Scale shape: rides ``global_token_counts`` (per-batch distinct
+    collapse, ONE O(vocab) shuffle), then a second groupby over
+    (occurrence-count, 1) rows -- output and second-shuffle volume are
+    O(distinct counts), far below vocabulary size."""
+    from ray.data.aggregate import Count
+
+    counts = global_token_counts(ds, text_col)
+    return counts.groupby("n").aggregate(Count(alias_name="n_terms")) \
+        .rename_columns({"n": "occurrences"})
+
+
 def _small(ds) -> pa.Table:
     from ..functions.tableops import small_table
     return small_table(ds)
