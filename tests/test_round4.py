@@ -1250,6 +1250,46 @@ def test_bpe_encode_matches_training_segmentation():
     assert len(tiny._cache) <= 2
 
 
+def test_bpe_encode_property_random_merge_tables():
+    """Property check over random corpora: for arbitrary words and a
+    merge table TRAINED on them, BPEEncoder._encode_len equals a naive
+    sequential rewrite of the word through the merge list (the
+    definitional semantics), including merges that touch none of the
+    word's characters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_distributed_log_search_ray.stages.textstats import BPEEncoder
+
+    word_st = st.text(alphabet="abcd", min_size=1, max_size=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(word_st, min_size=1, max_size=8),
+           st.lists(st.tuples(st.text(alphabet="abcd", min_size=1,
+                                      max_size=2),
+                              st.text(alphabet="abcd", min_size=1,
+                                      max_size=2)),
+                    min_size=0, max_size=6))
+    def check(words, merges):
+        enc = BPEEncoder(merges)
+        for w in words:
+            sym = list(w)
+            for left, right in merges:
+                out, i = [], 0
+                while i < len(sym):
+                    if (i + 1 < len(sym) and sym[i] == left
+                            and sym[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            assert enc._encode_len(w) == len(sym), (w, merges)
+
+    check()
+
+
 def test_safe_map_batches_isolates_poison_rows():
     """A UDF that throws on specific rows: every processable row is
     transformed, exactly the poison rows land on the dead-letter side
