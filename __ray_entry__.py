@@ -431,6 +431,14 @@ def _doc_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, ["hash", "merge", "window"], k=15)
 
 
+def _doc_bm25_topk(sf_dir: str):
+    """BM25-ranked search over documents (k1=1.2, b=0.75), all floor
+    divisions so the score is bit-exact vs the SQL oracle."""
+    from go_distributed_log_search_ray.stages.search import bm25_topk
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "merge", "window"], k=15)
+
+
 def _doc_top_terms_by_lang(sf_dir: str):
     """Vocabulary extraction: top-5 tokens per language (the word-count
     wide aggregate; shuffle moves per-block distinct (lang, term)
@@ -1708,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries rotate to the tail (all were 3/3 in CORRECTNESS_r01-r03).
     return {
         # new in round 4 -- never driver-checked
+        "doc_bm25_topk": _doc_bm25_topk,
         "doc_freq_spectrum": _doc_freq_spectrum,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
@@ -2674,6 +2683,29 @@ def oracle_sql() -> dict[str, str]:
                      AS score
               FROM documents) s
             WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "doc_bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     unnest(string_split_regex(coalesce(lower(text), ''),
+                                               '\\s+')) AS t(tok)),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM toks WHERE tok IN ('hash', 'merge', 'window')
+                GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT tf.doc_id,
+                   CAST(sum(((1000000 * n.n) // df.df) * tf.tf * 2200
+                            // (1000 * tf.tf + 300
+                                + 9 * ((100 * dl.dl * n.n) // tot.t)))
+                        AS BIGINT) AS score
+            FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+                 CROSS JOIN n CROSS JOIN tot
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id ASC LIMIT 15""",
         "doc_tfidf_topk": """
             WITH toks AS (
                 SELECT doc_id, t.tok

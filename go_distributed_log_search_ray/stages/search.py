@@ -223,3 +223,124 @@ def tfidf_topk(ds: Dataset, terms: list[str], k: int = 10,
     return global_topk(scored, k, [("score", "descending"),
                                    (id_col, "ascending")]) \
         .select([id_col, "score"])
+
+
+def term_frequencies_with_dl(ds: Dataset, terms: list[str],
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> Dataset:
+    """Like :func:`term_frequencies` but each (doc, term, tf) row also
+    carries ``dl`` -- the parent doc's whitespace-token count (length of
+    ``split_pattern_regex(lower(text), '\\s+')``, so an empty/null text
+    has dl=1 exactly like DuckDB's ``string_split_regex('', '\\s+')``
+    returning [''])."""
+    tset = pa.array(sorted(set(terms)))
+    T = len(tset)
+
+    def extract(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b.column(id_col).combine_chunks()
+        empty = pa.table({id_col: pa.array([], ids.type),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "dl": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b.column(text_col), "")), r"\s+")
+        toks = toks.combine_chunks()
+        flat = toks.flatten()
+        tcode = pc.index_in(flat, value_set=tset)
+        offs = np.asarray(toks.offsets)
+        dl_all = np.diff(offs)
+        parent = np.repeat(np.arange(b.num_rows), dl_all)
+        hit = np.asarray(pc.is_valid(tcode))
+        if not hit.any():
+            return empty
+        code = np.asarray(pc.fill_null(tcode, 0), dtype=np.int64)[hit]
+        doc = parent[hit]
+        counts = np.bincount(doc * T + code,
+                             minlength=b.num_rows * T).reshape(-1, T)
+        dnz, tnz = np.nonzero(counts)
+        return pa.table({id_col: ids.take(pa.array(dnz, pa.int64())),
+                         "term": tset.take(pa.array(tnz, pa.int64())),
+                         "tf": pa.array(counts[dnz, tnz], pa.int64()),
+                         "dl": pa.array(dl_all[dnz], pa.int64())})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def corpus_token_total(ds: Dataset, text_col: str = "text") -> int:
+    """Total whitespace-token count over the corpus WITHOUT materializing
+    token lists: tokens(d) == count_substring_regex(text, '\\s+') + 1
+    (a ``\\s+`` split yields one more piece than separator runs; ''
+    yields ['']).  One vectorized counting kernel per batch, a single
+    int64 per batch leaves the stage."""
+    def partial(b: pa.Table) -> pa.Table:
+        seps = pc.count_substring_regex(
+            pc.fill_null(b.column(text_col), ""), r"\s+")
+        n = int(pc.sum(seps).as_py() or 0) + b.num_rows
+        return pa.table({"t": pa.array([n], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    got = parts.aggregate(Sum("t", alias_name="t"))
+    return int(got["t"])
+
+
+def bm25_topk(ds: Dataset, terms: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Distributed BM25 ranked search (k1=1.2, b=0.75) with EXACT
+    integer scoring so the result hashes bit-identical to the SQL
+    oracle.  Per (doc, term):
+
+        L     = (100 * dl * N) // T          # doc length vs corpus mean
+        idf   = (1_000_000 * N) // df
+        score = (idf * tf * 2200) // (1000*tf + 300 + 9*L)
+
+    where 2200 = 1000*(k1+1), 300 = 1000*k1*(1-b), 9*L ~= 1000*k1*b *
+    (dl/avgdl) with avgdl = T/N.  All floor divisions -- int64-safe up
+    to ~1e7 docs at this idf scale (drop the idf scale at 10^12 docs).
+
+    Stages: (1) one tokenization pass emitting the matched
+    (doc, term, tf, dl) set -- bounded by docs containing a query term;
+    (2) a cheap counting pass for the corpus token total T (no token
+    lists materialized); (3) df + N aggregates; (4) per-batch integer
+    scoring + groupby-sum; (5) exact distributed top-k.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.tableops import global_topk, small_table
+
+    n_docs = ds.count()
+    total_toks = corpus_token_total(ds, text_col)
+    tf = term_frequencies_with_dl(ds, terms, id_col, text_col).materialize()
+
+    df_t = small_table(tf.groupby("term").count())
+    tarr = df_t.column("term").combine_chunks()
+    import numpy as np
+    idf_w = np.array([(1_000_000 * n_docs) // int(c)
+                      for c in df_t.column("count()").to_pylist()],
+                     dtype=np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], b.column(id_col).type),
+                             "score": pa.array([], pa.int64())})
+        tcode = np.asarray(pc.index_in(b.column("term"), value_set=tarr),
+                           dtype=np.int64)
+        idf = idf_w[tcode]
+        tfv = np.asarray(b.column("tf"), dtype=np.int64)
+        dl = np.asarray(b.column("dl"), dtype=np.int64)
+        L = (100 * dl * n_docs) // total_toks
+        s = (idf * tfv * 2200) // (1000 * tfv + 300 + 9 * L)
+        out = pa.table({id_col: b.column(id_col),
+                        "score": pa.array(s, pa.int64())}) \
+            .group_by([id_col]).aggregate([("score", "sum")])
+        return out.rename_columns([id_col, "score"])
+
+    scored = tf.map_batches(score, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Sum("score", alias_name="score"))
+    return global_topk(scored, k, [("score", "descending"),
+                                   (id_col, "ascending")]) \
+        .select([id_col, "score"])

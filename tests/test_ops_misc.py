@@ -1142,3 +1142,51 @@ def test_centroid_assign_matches_bruteforce():
     assert out["centroid_id"].tolist() == want.tolist()
     # the duplicated centroid tie resolves to id 0, never 3
     assert out["centroid_id"][0] == 0 and out["centroid_id"][7] == 0
+
+
+def test_bm25_topk_matches_bruteforce():
+    """bm25_topk vs a per-doc Python reference computation (all integer
+    floor divisions, k1=1.2 b=0.75 scaled constants), including null
+    text (dl=1 via the ''-token convention), tf > 1, and ties broken
+    by doc_id."""
+    from go_distributed_log_search_ray.stages.search import bm25_topk
+    import re
+
+    rng = np.random.default_rng(11)
+    vocab = ["hash", "merge", "window", "scan", "row", "agg", "col"]
+    docs = []
+    for i in range(400):
+        words = rng.choice(vocab, rng.integers(0, 20))
+        docs.append(" ".join(words) if len(words) else
+                    (None if i % 13 == 0 else ""))
+    t = pa.table({"doc_id": pa.array(np.arange(400), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    terms = ["hash", "window"]
+
+    n_docs = 400
+    toklists = [re.split(r"\s+", (d or "").lower()) for d in docs]
+    total = sum(len(ts) for ts in toklists)
+    tfs = [{q: ts.count(q) for q in terms} for ts in toklists]
+    df = {q: sum(1 for f in tfs if f[q] > 0) for q in terms}
+    idf = {q: (1_000_000 * n_docs) // df[q] for q in terms}
+    scores = []
+    for i, (ts, f) in enumerate(zip(toklists, tfs)):
+        L = (100 * len(ts) * n_docs) // total
+        s = sum((idf[q] * f[q] * 2200) // (1000 * f[q] + 300 + 9 * L)
+                for q in terms if f[q] > 0)
+        if s > 0:
+            scores.append((i, s))
+    want = sorted(scores, key=lambda r: (-r[1], r[0]))[:12]
+
+    ds = ray.data.from_arrow(t)
+    got = bm25_topk(ds, terms, k=12)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
+
+    # length normalization engaged: two docs with identical tf but
+    # different dl must not tie (unless bucketed L collides)
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array(["hash", "hash " + "pad " * 50])})
+    out = bm25_topk(ray.data.from_arrow(t2), ["hash"], k=2)
+    s = out.column("score").to_pylist()
+    assert s[0] > s[1]  # short doc ranks above long doc at equal tf
