@@ -638,3 +638,65 @@ def bigram_counts(ds, text_col: str = "text"):
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+
+
+def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
+                     k: int = 20) -> pa.Table:
+    """Collocation mining: top-k token bigrams by pointwise mutual
+    information, EXACT integer scoring so the ranking hashes identical
+    to the SQL oracle:
+
+        score = (1_000_000 * c_xy * T_uni^2) // (c_x * c_y * T_bi)
+
+    (monotone in PMI = log(p(xy)/(p(x)p(y))) at fixed corpus totals;
+    Python bigints / DuckDB HUGEINT keep the product exact).
+
+    Distributed shape: the unigram and bigram count passes are the
+    existing O(distinct)-shuffle operators; only bigrams with
+    ``n >= min_count`` (the candidate phrases) and the unigram counts
+    of the tokens THEY mention are ever collected -- the vocabulary
+    itself never reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.tableops import small_table
+
+    bi = bigram_counts(ds, text_col).materialize()
+    uni = global_token_counts(ds, text_col).materialize()
+
+    t_bi = int(bi.aggregate(Sum("n", alias_name="t"))["t"])
+    t_uni = int(uni.aggregate(Sum("n", alias_name="t"))["t"])
+
+    mc = int(min_count)
+
+    def above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("n"), mc))
+
+    cand = small_table(bi.map_batches(above, batch_format="pyarrow"),
+                       int64_cols=["n"])
+    if cand.num_rows == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    toks = pc.split_pattern(cand.column("bigram"), " ")
+    need = pa.array(sorted({t.as_py() for row in toks for t in row}))
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("term"), value_set=need))
+
+    small_uni = small_table(uni.map_batches(pick, batch_format="pyarrow"),
+                            int64_cols=["n"])
+    cnt = {t: int(n) for t, n in zip(small_uni.column("term").to_pylist(),
+                                     small_uni.column("n").to_pylist())}
+
+    rows = []
+    for big, n in zip(cand.column("bigram").to_pylist(),
+                      cand.column("n").to_pylist()):
+        l, r = big.split(" ", 1)
+        score = (1_000_000 * int(n) * t_uni * t_uni) \
+            // (cnt[l] * cnt[r] * t_bi)
+        rows.append((big, int(n), score))
+    rows.sort(key=lambda x: (-x[2], x[0]))
+    rows = rows[:k]
+    return pa.table({"bigram": pa.array([r[0] for r in rows], pa.string()),
+                     "n": pa.array([r[1] for r in rows], pa.int64()),
+                     "score": pa.array([r[2] for r in rows], pa.int64())})

@@ -1190,3 +1190,46 @@ def test_bm25_topk_matches_bruteforce():
     out = bm25_topk(ray.data.from_arrow(t2), ["hash"], k=2)
     s = out.column("score").to_pylist()
     assert s[0] > s[1]  # short doc ranks above long doc at equal tf
+
+
+def test_pmi_collocations_matches_bruteforce():
+    """pmi_collocations vs a pure-Python PMI computation with exact
+    bigint arithmetic: planted collocation ('foo bar' always adjacent)
+    must outrank frequent-but-independent pairs; min_count filters."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        pmi_collocations)
+    import re
+    from collections import Counter
+
+    rng = np.random.default_rng(5)
+    common = ["the", "a", "of", "x", "y"]
+    docs = []
+    for i in range(200):
+        words = list(rng.choice(common, 30))
+        if i % 3 == 0:
+            pos = int(rng.integers(0, len(words)))
+            words[pos:pos] = ["foo", "bar"]   # planted collocation
+        docs.append(" ".join(words))
+    t = pa.table({"text": pa.array(docs, pa.string())})
+
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        toks = [w for w in re.split(r"\s+", d.lower()) if w]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    t_uni, t_bi = sum(uni.values()), sum(bi.values())
+    want = []
+    for (l, r), n in bi.items():
+        if n >= 5:
+            s = (1_000_000 * n * t_uni * t_uni) // (uni[l] * uni[r] * t_bi)
+            want.append((f"{l} {r}", n, s))
+    want.sort(key=lambda x: (-x[2], x[0]))
+    want = want[:10]
+
+    got = pmi_collocations(ray.data.from_arrow(t), "text",
+                           min_count=5, k=10)
+    rows = list(zip(got.column("bigram").to_pylist(),
+                    got.column("n").to_pylist(),
+                    got.column("score").to_pylist()))
+    assert rows == want
+    assert rows[0][0] == "foo bar"  # the planted pair wins on PMI
