@@ -732,6 +732,16 @@ def _doc_top_bigrams(sf_dir: str):
     return t.take(idx.slice(0, 20)).select(["bigram", "n"])
 
 
+def _doc_chunks(sf_dir: str):
+    """RAG-prep chunking: every document split into overlapping
+    64-token windows (stride 48), chunk text whitespace-canonical
+    (stages/chunking.chunk_documents -- pure flat-map, no shuffle)."""
+    from go_distributed_log_search_ray.stages.chunking import (
+        chunk_documents)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=64, overlap=16)
+
+
 def _doc_pmi_bigrams(sf_dir: str):
     """Collocation mining: top-20 bigrams by integer-exact PMI score
     over candidates with count >= 5 (stages/textstats.pmi_collocations
@@ -1729,7 +1739,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 4 -- never driver-checked
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_freq_spectrum": _doc_freq_spectrum,
-        "customer_order_full_join": R.customer_order_full_join,
         "orders_global_rank": R.orders_global_rank,
         "orders_bloom_semi_agg": R.orders_bloom_semi_agg,
         "emb_semdedup_agg": _emb_semdedup_agg,
@@ -1753,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_clustered_read_agg": _orders_clustered_read_agg,
         "doc_epoch_order": _doc_epoch_order,
         "doc_pmi_bigrams": _doc_pmi_bigrams,
+        "doc_chunks": _doc_chunks,
         "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_prefix_editdist_agg": _doc_prefix_editdist_agg,
         "doc_export_shards": _doc_export_shards,
@@ -1783,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the join family has five driver-green rows + pytest)
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
+        "customer_order_full_join": R.customer_order_full_join,
         # rows-only entries (no SQL oracle) sit just past the 50-entry
         # driver window: a rows-only driver record adds little over the
         # pytest pins, while every oracle-backed never-checked query
@@ -1902,6 +1913,23 @@ def oracle_sql() -> dict[str, str]:
                 WHERE toks[g.i] <> '' AND toks[g.i + 1] <> '')
             SELECT l || ' ' || r AS bigram, count(*) AS n
             FROM pairs GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
+        "doc_chunks": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           coalesce(lower(text), ''), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            chunks AS (
+                SELECT doc_id, g.s // 48 AS chunk_id,
+                       toks[g.s + 1 : least(g.s + 64, len(toks))] AS ctoks
+                FROM docs,
+                     unnest(generate_series(0, len(toks) - 1, 48)) AS g(s)
+                WHERE len(toks) > 0)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(ctoks) AS BIGINT) AS n_tokens,
+                   array_to_string(ctoks, ' ') AS chunk_text
+            FROM chunks""",
         "doc_pmi_bigrams": """
             WITH docs AS (
                 SELECT string_split_regex(lower(text), '\\s+') AS toks

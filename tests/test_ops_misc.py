@@ -1233,3 +1233,42 @@ def test_pmi_collocations_matches_bruteforce():
                     got.column("score").to_pylist()))
     assert rows == want
     assert rows[0][0] == "foo bar"  # the planted pair wins on PMI
+
+
+def test_chunk_documents_matches_bruteforce():
+    """chunk_documents vs a per-doc Python chunker: overlap windows,
+    short tails, empty/null/whitespace-only docs, multi-space
+    canonicalization, and chunk_id sequencing."""
+    from go_distributed_log_search_ray.stages.chunking import (
+        chunk_batch, chunk_documents)
+    import re
+
+    rng = np.random.default_rng(3)
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(0, 40))
+        words = [f"w{int(rng.integers(0, 50))}" for _ in range(n)]
+        s = "  ".join(words) if i % 2 else " ".join(words)
+        docs.append(None if i % 19 == 0 else ("   " if i % 23 == 0 else s))
+    t = pa.table({"doc_id": pa.array(np.arange(120), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    C, O, S = 10, 3, 7
+    want = []
+    for i, d in enumerate(docs):
+        toks = [w for w in re.split(r"\s+", (d or "").lower()) if w]
+        for ci, s in enumerate(range(0, len(toks), S)):
+            part = toks[s:s + C]
+            want.append((i, ci, len(part), " ".join(part)))
+
+    got = chunk_documents(ray.data.from_arrow(t), chunk_tokens=C,
+                          overlap=O).to_pandas()
+    rows = sorted(zip(got["doc_id"], got["chunk_id"],
+                      got["n_tokens"], got["chunk_text"]))
+    assert rows == sorted(want)
+
+    # parameter validation
+    with pytest.raises(ValueError):
+        chunk_batch(t, 5, 5)
+    with pytest.raises(ValueError):
+        chunk_batch(t, 0, 0)
