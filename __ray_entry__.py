@@ -1747,7 +1747,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_diff_agg": R.orders_diff_agg,
         "orders_validate_agg": R.orders_validate_agg,
         "events_resample_gapfill": R.events_resample_gapfill,
-        "orders_group_size_join": R.orders_group_size_join,
         "customer_order_lineitem_join": R.customer_order_lineitem_join,
         "lineitem_profile_agg": R.lineitem_profile_agg,
         "events_retention_cohorts": R.events_retention_cohorts,
@@ -1778,6 +1777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_redact_agg": _pages_redact_agg,
         "doc_weighted_sample_agg": _doc_weighted_sample_agg,
         "events_funnel_agg": R.events_funnel_agg,
+        "events_anomaly_mad": R.events_anomaly_mad,
         # never/rarely driver-checked (VERDICT r3 item 1) -- keep first
         "doc_tfidf_topk": _doc_tfidf_topk,
         "doc_top_terms_by_lang": _doc_top_terms_by_lang,
@@ -1794,6 +1794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
+        "orders_group_size_join": R.orders_group_size_join,
         # rows-only entries (no SQL oracle) sit just past the 50-entry
         # driver window: a rows-only driver record adds little over the
         # pytest pins, while every oracle-backed never-checked query
@@ -1913,6 +1914,30 @@ def oracle_sql() -> dict[str, str]:
                 WHERE toks[g.i] <> '' AND toks[g.i + 1] <> '')
             SELECT l || ' ' || r AS bigram, count(*) AS n
             FROM pairs GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
+        "events_anomaly_mad": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            med AS (
+                SELECT event_type, quantile_disc(cents, 0.5) AS med
+                FROM c GROUP BY 1),
+            dev AS (
+                SELECT c.event_type, med.med,
+                       abs(c.cents - med.med) AS d
+                FROM c JOIN med USING (event_type)),
+            mad AS (
+                SELECT event_type, quantile_disc(d, 0.5) AS mad
+                FROM dev GROUP BY 1)
+            SELECT dev.event_type, count(*) AS n,
+                   CAST(any_value(dev.med) AS BIGINT) AS med,
+                   CAST(any_value(mad.mad) AS BIGINT) AS mad,
+                   CAST(sum(CASE WHEN dev.d > 5 * mad.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+            FROM dev JOIN mad USING (event_type)
+            GROUP BY dev.event_type
+            ORDER BY dev.event_type""",
         "doc_chunks": """
             WITH docs AS (
                 SELECT doc_id,

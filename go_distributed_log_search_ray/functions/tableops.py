@@ -205,3 +205,52 @@ def grouped_exact_quantiles(ds: Dataset, group_col: str, col: str,
         group_col: pa.array(out_g, t.schema.field(group_col).type),
         "q": pa.array(out_q, pa.float64()),
         col: pa.array(out_v, t.schema.field(col).type)})
+
+
+def grouped_mad_anomalies(ds: Dataset, group_col: str, col: str,
+                          k_mad: int = 5) -> pa.Table:
+    """Robust per-group anomaly detection: median / MAD (median
+    absolute deviation) per group, then the count of rows with
+    ``|v - median| > k_mad * MAD`` -- the telemetry outlier screen.
+
+    EXACT integer statistics from ONE value-counts shuffle: the
+    groupby moves a row per distinct (group, value) pair; medians,
+    deviation medians and anomaly counts all fold from that run-length
+    view on the driver (deviations of a sorted value list fold without
+    expansion: |v - med| re-sorts as two monotone halves).  Same
+    bounded-cardinality assumption as ``exact_quantiles``; discrete
+    quantile semantics match DuckDB ``quantile_disc``."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    vc = ds.groupby([group_col, col]).aggregate(Count(alias_name="cnt"))
+    t = small_table(vc, int64_cols=["cnt"])
+    t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
+                         pc.is_valid(t.column(col))))
+    t = t.take(pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                             (col, "ascending")]))
+    grp = t.column(group_col).to_pylist()
+    vals = np.asarray(t.column(col), dtype=np.int64)
+    cnts = np.asarray(t.column("cnt"), dtype=np.int64)
+    starts = [i for i in range(len(grp)) if i == 0 or grp[i] != grp[i - 1]]
+    bounds = starts + [len(grp)]
+    out = {"n": [], "med": [], "mad": [], "n_anomalies": []}
+    out_g = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        v, c = vals[s:e], cnts[s:e]
+        med = _quantile_fold(v, c, [0.5])[0]
+        dev = np.abs(v - med)
+        order = np.argsort(dev, kind="stable")
+        mad = _quantile_fold(dev[order], c[order], [0.5])[0]
+        out_g.append(grp[s])
+        out["n"].append(int(c.sum()))
+        out["med"].append(int(med))
+        out["mad"].append(int(mad))
+        out["n_anomalies"].append(int(c[dev > k_mad * mad].sum()))
+    return pa.table({group_col: pa.array(out_g,
+                                         t.schema.field(group_col).type),
+                     "n": pa.array(out["n"], pa.int64()),
+                     "med": pa.array(out["med"], pa.int64()),
+                     "mad": pa.array(out["mad"], pa.int64()),
+                     "n_anomalies": pa.array(out["n_anomalies"],
+                                             pa.int64())})

@@ -1771,3 +1771,26 @@ def events_funnel_agg(sf_dir: str) -> pa.Table:
                        int64_cols=["click_hour", "users_clicked",
                                    "users_converted"]) \
         .select(["click_hour", "users_clicked", "users_converted"])
+
+
+def events_anomaly_mad(sf_dir: str) -> pa.Table:
+    """Per-event-type robust anomaly screen: median / MAD of value
+    cents and the count of rows beyond 5 MADs -- the telemetry-outlier
+    analog of the reference's per-severity log triage.  One value-
+    counts shuffle (row per distinct (type, cents)), exact integer
+    fold on the driver (functions/tableops.grouped_mad_anomalies)."""
+    from ..functions.tableops import grouped_mad_anomalies
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b.column("event_type")),
+                       pc.is_valid(b.column("value")))
+        b = b.filter(keep)
+        return pa.table({"event_type": b.column("event_type"),
+                         "cents": _cents(b.column("value"))})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    t = grouped_mad_anomalies(cents, "event_type", "cents", k_mad=5)
+    idx = pc.sort_indices(t, sort_keys=[("event_type", "ascending")])
+    return t.take(idx)

@@ -1272,3 +1272,47 @@ def test_chunk_documents_matches_bruteforce():
         chunk_batch(t, 5, 5)
     with pytest.raises(ValueError):
         chunk_batch(t, 0, 0)
+
+
+def test_grouped_mad_anomalies_matches_bruteforce():
+    """grouped_mad_anomalies vs per-group expanded-list computation
+    (quantile_disc lower-median semantics), with planted outliers,
+    null groups/values dropped, and a constant-valued group (MAD=0
+    flags every deviating row)."""
+    from go_distributed_log_search_ray.functions.tableops import (
+        grouped_mad_anomalies)
+    import math
+
+    rng = np.random.default_rng(21)
+    groups, vals = [], []
+    for g, (mu, n_out) in {"a": (100, 7), "b": (5000, 3)}.items():
+        base = list(rng.integers(mu - 20, mu + 21, 500))
+        out = [mu + 10_000] * n_out
+        groups += [g] * (500 + n_out); vals += base + out
+    groups += ["c"] * 50; vals += [42] * 50          # constant group
+    groups += [None, "a"]; vals += [1, None]          # dropped rows
+    t = pa.table({"g": pa.array(groups, pa.string()),
+                  "v": pa.array(vals, pa.int64())})
+
+    def disc_median(xs):
+        xs = sorted(xs)
+        return xs[max(0, math.ceil(0.5 * len(xs)) - 1)]
+
+    want = {}
+    for g in ("a", "b", "c"):
+        xs = [v for gg, v in zip(groups, vals)
+              if gg == g and v is not None]
+        med = disc_median(xs)
+        dev = [abs(x - med) for x in xs]
+        mad = disc_median(dev)
+        want[g] = (len(xs), med, mad,
+                   sum(1 for d in dev if d > 5 * mad))
+
+    got = grouped_mad_anomalies(ray.data.from_arrow(t), "g", "v",
+                                k_mad=5)
+    for row in got.to_pylist():
+        assert (row["n"], row["med"], row["mad"],
+                row["n_anomalies"]) == want[row["g"]]
+    assert got.num_rows == 3
+    # the planted outliers are exactly what gets flagged
+    assert want["a"][3] >= 7 and want["b"][3] >= 3
