@@ -732,6 +732,16 @@ def _doc_top_bigrams(sf_dir: str):
     return t.take(idx.slice(0, 20)).select(["bigram", "n"])
 
 
+def _doc_hash_embed(sf_dir: str):
+    """Feature-hashing text vectorizer: 16-dim integer count vector per
+    doc, component = md5(token)[:8] % 16 (stages/textstats.hash_embed
+    -- md5 once per distinct token per batch, one bincount, no
+    shuffle).  Vocabulary-free embedding for the ANN/dedup family."""
+    from go_distributed_log_search_ray.stages.textstats import hash_embed
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return hash_embed(ds, dim=16)
+
+
 def _doc_chunks(sf_dir: str):
     """RAG-prep chunking: every document split into overlapping
     64-token windows (stride 48), chunk text whitespace-canonical
@@ -1762,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_epoch_order": _doc_epoch_order,
         "doc_pmi_bigrams": _doc_pmi_bigrams,
         "doc_chunks": _doc_chunks,
+        "doc_hash_embed": _doc_hash_embed,
         "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_prefix_editdist_agg": _doc_prefix_editdist_agg,
         "doc_export_shards": _doc_export_shards,
@@ -1878,7 +1889,24 @@ def oracle_sql() -> dict[str, str]:
     lookups = os.path.join(os.path.dirname(os.path.dirname(pages)), "lookups")
     media = os.path.join(os.path.dirname(os.path.dirname(pages)),
                          "media", "*.parquet")
+    hash_embed_cols = ",\n".join(
+        f"                   CAST(sum(CASE WHEN j = {j} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS v{j}" for j in range(16))
     return {
+        "doc_hash_embed": f"""
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     unnest(string_split_regex(coalesce(lower(text), ''),
+                                               '\\s+')) AS t(tok)
+                WHERE t.tok <> ''),
+            b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 16 AS j
+                FROM toks)
+            SELECT doc_id,
+{hash_embed_cols}
+            FROM b GROUP BY doc_id""",
         "doc_prefix_editdist_agg": """
             WITH p AS (
                 SELECT doc_id,

@@ -700,3 +700,47 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
     return pa.table({"bigram": pa.array([r[0] for r in rows], pa.string()),
                      "n": pa.array([r[1] for r in rows], pa.int64()),
                      "score": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def hash_embed_batch(b: pa.Table, dim: int = 16, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Feature-hashing embedder (the 'hashing trick'): token t of a doc
+    increments component ``md5(t)[:8] % dim`` -- a deterministic,
+    vocabulary-free text vectorizer whose output feeds the ANN / dedup
+    family without a trained model.  Per batch the md5 runs once per
+    DISTINCT token (dictionary-encode first), the doc x dim count
+    matrix is one bincount.  Docs with zero tokens emit no row."""
+    import hashlib
+
+    ids = b.column(id_col).combine_chunks()
+    cols = {id_col: pa.array([], ids.type)}
+    cols.update({f"v{j}": pa.array([], pa.int64()) for j in range(dim)})
+    if b.num_rows == 0:
+        return pa.table(cols)
+    flat, doc_of = _flat_with_doc(pc.utf8_lower(b.column(text_col)),
+                                  r"\s+", regex=True)
+    if len(flat) == 0:
+        return pa.table(cols)
+    enc = flat.dictionary_encode()
+    buckets = np.array(
+        [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
+         for w in enc.dictionary.to_pylist()], dtype=np.int64)
+    j = buckets[np.asarray(enc.indices, dtype=np.int64)]
+    counts = np.bincount(doc_of * dim + j,
+                         minlength=b.num_rows * dim).reshape(-1, dim)
+    keep = counts.sum(axis=1) > 0
+    out = {id_col: ids.filter(pa.array(keep))}
+    kept = counts[keep]
+    for col in range(dim):
+        out[f"v{col}"] = pa.array(kept[:, col], pa.int64())
+    return pa.table(out)
+
+
+def hash_embed(ds, dim: int = 16, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Dataset-level feature-hash embedding stage -- a pure flat
+    ``map_batches``, no shuffle, no state."""
+    def fn(b: pa.Table) -> pa.Table:
+        return hash_embed_batch(b, dim, id_col, text_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1316,3 +1316,38 @@ def test_grouped_mad_anomalies_matches_bruteforce():
     assert got.num_rows == 3
     # the planted outliers are exactly what gets flagged
     assert want["a"][3] >= 7 and want["b"][3] >= 3
+
+
+def test_hash_embed_matches_bruteforce():
+    """hash_embed vs per-doc Python md5-bucket counting; zero-token
+    docs emit no row; component sum equals token count."""
+    from go_distributed_log_search_ray.stages.textstats import hash_embed
+    import hashlib
+    import re
+
+    rng = np.random.default_rng(9)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs = []
+    for i in range(150):
+        n = int(rng.integers(0, 15))
+        docs.append(None if i % 11 == 0
+                    else " ".join(rng.choice(vocab, n)))
+    t = pa.table({"doc_id": pa.array(np.arange(150), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    want = {}
+    for i, d in enumerate(docs):
+        toks = [w for w in re.split(r"\s+", (d or "").lower()) if w]
+        if not toks:
+            continue
+        v = [0] * 16
+        for w in toks:
+            v[int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 16] += 1
+        want[i] = v
+
+    got = hash_embed(ray.data.from_arrow(t), dim=16).to_pandas()
+    assert set(got["doc_id"]) == set(want)
+    for _, row in got.iterrows():
+        v = [int(row[f"v{j}"]) for j in range(16)]
+        assert v == want[int(row["doc_id"])]
+        assert sum(v) > 0
