@@ -732,6 +732,17 @@ def _doc_top_bigrams(sf_dir: str):
     return t.take(idx.slice(0, 20)).select(["bigram", "n"])
 
 
+def _doc_bigram_surprise(sf_dir: str):
+    """Corpus-trained bigram-LM scoring (the CCNet perplexity-filter
+    shape) with exact integer inverse-conditional-probability math
+    (stages/textstats.bigram_surprise -- two count shuffles train the
+    model, one broadcast-model scoring pass)."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        bigram_surprise)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_surprise(ds)
+
+
 def _doc_hash_embed(sf_dir: str):
     """Feature-hashing text vectorizer: 16-dim integer count vector per
     doc, component = md5(token)[:8] % 16 (stages/textstats.hash_embed
@@ -1773,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pmi_bigrams": _doc_pmi_bigrams,
         "doc_chunks": _doc_chunks,
         "doc_hash_embed": _doc_hash_embed,
+        "doc_bigram_surprise": _doc_bigram_surprise,
         "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_prefix_editdist_agg": _doc_prefix_editdist_agg,
         "doc_export_shards": _doc_export_shards,
@@ -1942,6 +1954,31 @@ def oracle_sql() -> dict[str, str]:
                 WHERE toks[g.i] <> '' AND toks[g.i + 1] <> '')
             SELECT l || ' ' || r AS bigram, count(*) AS n
             FROM pairs GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
+        "doc_bigram_surprise": """
+            WITH docs AS (
+                SELECT doc_id,
+                       string_split_regex(coalesce(lower(text), ''),
+                                          '\\s+') AS toks
+                FROM documents),
+            pairs AS (
+                SELECT doc_id, toks[g.i] AS l, toks[g.i + 1] AS r
+                FROM docs JOIN (
+                    SELECT unnest(generate_series(
+                        1, (SELECT max(len(toks)) FROM docs) - 1)) AS i) g
+                  ON g.i < len(toks)
+                WHERE toks[g.i] <> '' AND toks[g.i + 1] <> ''),
+            uni AS (SELECT t.tok AS term, count(*) AS n
+                    FROM docs, unnest(toks) AS t(tok)
+                    WHERE t.tok <> '' GROUP BY 1),
+            bi AS (SELECT l, r, count(*) AS n FROM pairs GROUP BY 1, 2),
+            icp AS (SELECT bi.l, bi.r,
+                           (uni.n * 1000) // bi.n AS icp
+                    FROM bi JOIN uni ON uni.term = bi.l)
+            SELECT p.doc_id, count(*) AS n_bigrams,
+                   CAST(CAST(sum(icp.icp) AS BIGINT) // count(*)
+                        AS BIGINT) AS surprise
+            FROM pairs p JOIN icp USING (l, r)
+            GROUP BY p.doc_id""",
         "events_anomaly_mad": """
             WITH c AS (
                 SELECT event_type,

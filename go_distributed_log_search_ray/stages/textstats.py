@@ -744,3 +744,82 @@ def hash_embed(ds, dim: int = 16, id_col: str = "doc_id",
         return hash_embed_batch(b, dim, id_col, text_col)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
+                    scale: int = 1000):
+    """Statistical-LM quality filter (the CCNet-perplexity shape): train
+    a bigram model ON the corpus, then score every doc by how
+    surprising its bigrams are under that model -- high scores flag
+    boilerplate-free but incoherent text.  EXACT integer proxy for
+    cross-entropy: per bigram (l, r),
+
+        icp = (count(l) * scale) // count(l, r)     # 1/p(r|l), scaled
+
+    and a doc's surprise is ``sum(icp) // n_bigrams``.  Monotone in
+    mean inverse conditional probability, so the ranking is the
+    perplexity ranking of the count model, with no float logs.
+
+    Two-pass shape: (1) the existing O(distinct)-shuffle unigram +
+    bigram count passes build the model, icp folds on the model table
+    with a broadcast unigram lookup; (2) a broadcast-model scoring
+    pass (one index_in + bincount per batch).  The model rides the
+    object store once (``ray.put``); prune low-count bigrams upstream
+    when the corpus vocabulary outgrows a worker heap."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.tableops import small_table
+
+    uni_t = small_table(global_token_counts(ds, text_col),
+                        int64_cols=["n"])
+    term_arr = uni_t.column("term").combine_chunks()
+    un = np.asarray(uni_t.column("n"), dtype=np.int64)
+    bi_t = small_table(bigram_counts(ds, text_col), int64_cols=["n"])
+    big_arr = bi_t.column("bigram").combine_chunks()
+    left = pc.list_element(pc.split_pattern(big_arr, " "), 0)
+    li = np.asarray(pc.index_in(left, value_set=term_arr), dtype=np.int64)
+    icp = (un[li] * int(scale)) // np.asarray(bi_t.column("n"),
+                                              dtype=np.int64)
+    model_ref = _ray.put((big_arr, icp))
+
+    class Score:
+        def __init__(self, ref) -> None:
+            self.bigrams, self.icp = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).combine_chunks()
+            empty = pa.table({id_col: pa.array([], ids.type),
+                              "n_bigrams": pa.array([], pa.int64()),
+                              "surprise": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            toks, doc_of = _flat_with_doc(
+                pc.utf8_lower(b.column(text_col)), r"\s+", regex=True)
+            if len(toks) < 2:
+                return empty
+            same = doc_of[1:] == doc_of[:-1]
+            if not same.any():
+                return empty
+            mask = pa.array(same)
+            pair = pc.binary_join_element_wise(
+                toks.slice(0, len(toks) - 1).filter(mask),
+                toks.slice(1).filter(mask), " ")
+            pdoc = doc_of[:-1][same]
+            code = pc.index_in(pair, value_set=self.bigrams)
+            # model trained on this corpus: every bigram is in-vocab;
+            # foreign-corpus scoring would fill_null with a cap here
+            w = self.icp[np.asarray(code, dtype=np.int64)]
+            sums_i = np.zeros(b.num_rows, dtype=np.int64)
+            np.add.at(sums_i, pdoc, w)          # exact int64 accumulate
+            cnts = np.bincount(pdoc, minlength=b.num_rows)
+            keep = cnts > 0
+            ids_k = ids.filter(pa.array(keep))
+            return pa.table({
+                id_col: ids_k,
+                "n_bigrams": pa.array(cnts[keep], pa.int64()),
+                "surprise": pa.array(sums_i[keep] // cnts[keep],
+                                     pa.int64())})
+
+    return ds.map_batches(Score, fn_constructor_args=(model_ref,),
+                          concurrency=(1, 8), batch_format="pyarrow")

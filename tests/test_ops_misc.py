@@ -1351,3 +1351,43 @@ def test_hash_embed_matches_bruteforce():
         v = [int(row[f"v{j}"]) for j in range(16)]
         assert v == want[int(row["doc_id"])]
         assert sum(v) > 0
+
+
+def test_bigram_surprise_matches_bruteforce():
+    """bigram_surprise vs pure-Python bigram-LM computation: repeated
+    boilerplate docs score LOW (predictable bigrams), a unique-text doc
+    scores HIGH; zero-bigram docs emit no row."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        bigram_surprise)
+    import re
+    from collections import Counter
+
+    boiler = "click here to accept all cookies and continue reading"
+    docs = [boiler] * 60
+    # common words in a NOVEL order: high unigram counts, unit bigram
+    # counts -> large inverse conditional probability
+    docs += ["cookies click reading to all here continue and accept"]
+    docs += ["", None, "single"]          # 0-bigram docs: no row
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    uni, bi = Counter(), Counter()
+    tok_of = []
+    for d in docs:
+        toks = [w for w in re.split(r"\s+", (d or "").lower()) if w]
+        tok_of.append(toks)
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    want = {}
+    for i, toks in enumerate(tok_of):
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        s = sum((uni[l] * 1000) // bi[(l, r)] for l, r in pairs)
+        want[i] = (len(pairs), s // len(pairs))
+
+    got = bigram_surprise(ray.data.from_arrow(t)).to_pandas()
+    have = {int(r["doc_id"]): (int(r["n_bigrams"]), int(r["surprise"]))
+            for _, r in got.iterrows()}
+    assert have == want
+    assert have[60][1] > have[0][1]   # unique text more surprising
