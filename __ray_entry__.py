@@ -1801,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample_agg": _doc_weighted_sample_agg,
         "events_funnel_agg": R.events_funnel_agg,
         "events_anomaly_mad": R.events_anomaly_mad,
+        "events_dedup_window": R.events_dedup_window,
         # never/rarely driver-checked (VERDICT r3 item 1) -- keep first
         "doc_tfidf_topk": _doc_tfidf_topk,
         "doc_top_terms_by_lang": _doc_top_terms_by_lang,
@@ -1954,6 +1955,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE toks[g.i] <> '' AND toks[g.i + 1] <> '')
             SELECT l || ' ' || r AS bigram, count(*) AS n
             FROM pairs GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
+        "events_dedup_window": """
+            WITH x AS (
+                SELECT event_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pts
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  AND ts IS NOT NULL)
+            SELECT event_type, count(*) AS n_kept,
+                   CAST(sum(event_id) AS BIGINT) AS id_sum
+            FROM x
+            WHERE pts IS NULL
+               OR epoch_us(ts) - epoch_us(pts) > 5000000
+            GROUP BY event_type ORDER BY event_type""",
         "doc_bigram_surprise": """
             WITH docs AS (
                 SELECT doc_id,

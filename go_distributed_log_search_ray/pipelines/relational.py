@@ -1794,3 +1794,67 @@ def events_anomaly_mad(sf_dir: str) -> pa.Table:
     t = grouped_mad_anomalies(cents, "event_type", "cents", k_mad=5)
     idx = pc.sort_indices(t, sort_keys=[("event_type", "ascending")])
     return t.take(idx)
+
+
+def events_dedup_window(sf_dir: str, window_s: int = 5) -> pa.Table:
+    """Windowed event throttling -- the log-pipeline debounce: an event
+    is KEPT iff it is the first of its (user, event_type) stream or
+    arrives more than ``window_s`` after the PREVIOUS event of that
+    stream (lag semantics; ties on ts collapse to one survivor).
+    Same shape as sessionization: coarse user-bucket shuffle, one Arrow
+    sort + numpy shift-compare per bucket, per-type aggregate out."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+    win_us = np.int64(window_s) * 1_000_000
+    nb = _session_buckets()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b.column("user_id")),
+                               pc.is_valid(b.column("event_type"))),
+                       pc.is_valid(b.column("ts")))
+        b = b.filter(keep)
+        return b.append_column(
+            "ubucket", pc.cast(pc.bit_wise_and(b.column("user_id"),
+                                               pa.scalar(nb - 1)),
+                               pa.int32()))
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_kept", pa.int64()),
+                            ("id_sum", pa.int64())])
+
+    def throttle(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("event_type", "ascending"),
+            ("ts", "ascending"), ("event_id", "ascending")])
+        t = t.take(idx)
+        uid = np.asarray(t.column("user_id"))
+        ts = np.asarray(t.column("ts").cast(pa.timestamp("us"))
+                        .cast(pa.int64()))
+        et = t.column("event_type").combine_chunks().dictionary_encode()
+        etc = np.asarray(et.indices, dtype=np.int64)
+        n = len(uid)
+        keep = np.empty(n, dtype=bool)
+        keep[0] = True
+        keep[1:] = ((uid[1:] != uid[:-1]) | (etc[1:] != etc[:-1])
+                    | ((ts[1:] - ts[:-1]) > win_us))
+        kept = t.filter(pa.array(keep))
+        # per-type partial: the groupby below folds across buckets
+        g = pa.table({"event_type": kept.column("event_type"),
+                      "n_kept": pa.array(
+                          np.ones(kept.num_rows, dtype=np.int64)),
+                      "id_sum": kept.column("event_id")}) \
+            .group_by(["event_type"]) \
+            .aggregate([("n_kept", "sum"), ("id_sum", "sum")])
+        return g.rename_columns(["event_type", "n_kept", "id_sum"])
+
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("ubucket").map_groups(throttle,
+                                           batch_format="pyarrow") \
+            .groupby("event_type") \
+            .aggregate(Sum("n_kept", alias_name="n_kept"),
+                       Sum("id_sum", alias_name="id_sum"))
+    t = _sorted_table(out, ["event_type"])
+    return t.select(["event_type", "n_kept", "id_sum"])

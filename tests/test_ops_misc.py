@@ -1391,3 +1391,54 @@ def test_bigram_surprise_matches_bruteforce():
             for _, r in got.iterrows()}
     assert have == want
     assert have[60][1] > have[0][1]   # unique text more surprising
+
+
+def test_events_dedup_window_matches_bruteforce(tmp_path):
+    """events_dedup_window vs per-stream Python lag-throttle: bursts
+    collapse to one survivor per window edge, exact tie timestamps
+    collapse, distinct (user, type) streams are independent."""
+    from go_distributed_log_search_ray.pipelines.relational import (
+        events_dedup_window)
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(17)
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000  # us
+    for u in range(40):
+        for et in ("click", "view"):
+            t = base + int(rng.integers(0, 10**9))
+            for _ in range(int(rng.integers(1, 12))):
+                rows.append((eid, u, et, t))
+                eid += 1
+                t += int(rng.integers(0, 12)) * 1_000_000  # 0..11 s
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+        "event_id2": pa.array([0] * len(rows), pa.int64()),
+    }).select(["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from collections import defaultdict
+    streams = defaultdict(list)
+    for e, u, et, t in rows:
+        streams[(u, et)].append((t, e))
+    kept = defaultdict(lambda: [0, 0])
+    for (u, et), evs in streams.items():
+        evs.sort()
+        prev = None
+        for t, e in evs:
+            if prev is None or t - prev > 5_000_000:
+                kept[et][0] += 1
+                kept[et][1] += e
+            prev = t
+    got = events_dedup_window(str(tmp_path), window_s=5)
+    for r in got.to_pylist():
+        assert [r["n_kept"], r["id_sum"]] == kept[r["event_type"]]
+    assert got.num_rows == len(kept)
