@@ -732,6 +732,17 @@ def _doc_top_bigrams(sf_dir: str):
     return t.take(idx.slice(0, 20)).select(["bigram", "n"])
 
 
+def _doc_chunk_search(sf_dir: str):
+    """Composed RAG retrieval chain: chunk -> feature-hash embed ->
+    integer-cosine top-k against the query's hash vector
+    (stages/similarity.chunk_semantic_search -- two shuffle-free flat
+    maps plus the O(k x blocks) top-k fold)."""
+    from go_distributed_log_search_ray.stages.similarity import (
+        chunk_semantic_search)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_semantic_search(ds, "hash merge window", k=20)
+
+
 def _doc_bigram_surprise(sf_dir: str):
     """Corpus-trained bigram-LM scoring (the CCNet perplexity-filter
     shape) with exact integer inverse-conditional-probability math
@@ -1785,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _doc_chunks,
         "doc_hash_embed": _doc_hash_embed,
         "doc_bigram_surprise": _doc_bigram_surprise,
+        "doc_chunk_search": _doc_chunk_search,
         "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_prefix_editdist_agg": _doc_prefix_editdist_agg,
         "doc_export_shards": _doc_export_shards,
@@ -1905,7 +1917,49 @@ def oracle_sql() -> dict[str, str]:
     hash_embed_cols = ",\n".join(
         f"                   CAST(sum(CASE WHEN j = {j} THEN 1 ELSE 0 END)"
         f" AS BIGINT) AS v{j}" for j in range(16))
+    # query vector for doc_chunk_search ("hash merge window"), same md5
+    # bucketing convention as the Ray-side embedder
+    from go_distributed_log_search_ray.stages.textstats import (
+        hash_bucket_tokens)
+    import numpy as _np
+    _qv = _np.zeros(16, dtype=_np.int64)
+    _np.add.at(_qv, hash_bucket_tokens("hash merge window".split(), 16), 1)
+    _qn2 = int((_qv * _qv).sum())
+    _dot = " + ".join(f"{int(_qv[j])} * v{j}"
+                      for j in range(16) if _qv[j] > 0)
+    _n2 = " + ".join(f"v{j} * v{j}" for j in range(16))
     return {
+        "doc_chunk_search": f"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           coalesce(lower(text), ''), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            chunks AS (
+                SELECT doc_id, g.s // 48 AS chunk_id,
+                       toks[g.s + 1 : least(g.s + 64, len(toks))] AS ctoks
+                FROM docs,
+                     unnest(generate_series(0, len(toks) - 1, 48)) AS g(s)
+                WHERE len(toks) > 0),
+            ctok AS (
+                SELECT doc_id, chunk_id,
+                       ('0x' || substr(md5(t.tok), 1, 8))::UBIGINT % 16
+                           AS j
+                FROM chunks, unnest(ctoks) AS t(tok)),
+            v AS (
+                SELECT doc_id, chunk_id,
+{hash_embed_cols}
+                FROM ctok GROUP BY 1, 2),
+            s AS (
+                SELECT doc_id, chunk_id,
+                       ({_dot}) AS dot, ({_n2}) AS n2
+                FROM v)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST((dot * dot * 1000000) // ({_qn2} * n2)
+                        AS BIGINT) AS score
+            FROM s WHERE dot > 0
+            ORDER BY score DESC, doc_id ASC, chunk_id ASC LIMIT 20""",
         "doc_hash_embed": f"""
             WITH toks AS (
                 SELECT doc_id, t.tok

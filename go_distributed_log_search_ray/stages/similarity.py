@@ -369,3 +369,65 @@ def kmeans_train(ds: Dataset, init_q: np.ndarray, iters: int,
             / agg["n"].to_numpy(dtype=np.float64)).astype(np.int64)
         cent_q = new
     return cent_q
+
+
+def chunk_semantic_search(ds, query_text: str, k: int = 20,
+                          dim: int = 16, chunk_tokens: int = 64,
+                          overlap: int = 16, id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Model-free semantic search over a chunked corpus: chunk ->
+    feature-hash embed -> integer cosine ranking against the query's
+    own hash vector.  The retrieval shape of a RAG pipeline with a
+    deterministic embedder, so the whole chain is oracle-checkable.
+
+    EXACT integer cosine proxy (monotone in cosine^2 for non-negative
+    count vectors):  score = (dot^2 * 1_000_000) // (|q|^2 * |v|^2);
+    chunks with dot == 0 are dropped before the top-k.
+
+    Scale shape: chunking and embedding are shuffle-free flat maps; the
+    only coordination is the existing O(k x blocks) distributed top-k
+    fold.  The query vector is a driver-side constant (a few ints)."""
+    import numpy as np
+
+    from ..functions.tableops import global_topk
+    from .chunking import chunk_documents
+    from .textstats import hash_bucket_tokens, hash_embed
+
+    qtoks = [w for w in query_text.lower().split() if w]
+    qv = np.zeros(dim, dtype=np.int64)
+    if qtoks:
+        np.add.at(qv, hash_bucket_tokens(qtoks, dim), 1)
+    qnorm2 = int((qv * qv).sum())
+    if qnorm2 == 0:
+        raise ValueError("empty query")
+
+    chunks = chunk_documents(ds, chunk_tokens, overlap, id_col,
+                             text_col=text_col)
+    emb = hash_embed(chunks, dim=dim, id_col=[id_col, "chunk_id"],
+                     text_col="chunk_text")
+
+    def score(b: pa.Table) -> pa.Table:
+        out_empty = pa.table({
+            id_col: pa.array([], b.schema.field(id_col).type),
+            "chunk_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return out_empty
+        v = np.stack([np.asarray(b.column(f"v{j}"), dtype=np.int64)
+                      for j in range(dim)], axis=1)
+        dot = v @ qv
+        n2 = (v * v).sum(axis=1)
+        keep = dot > 0
+        if not keep.any():
+            return out_empty
+        s = (dot[keep] ** 2 * 1_000_000) // (qnorm2 * n2[keep])
+        kt = b.filter(pa.array(keep))
+        return pa.table({id_col: kt.column(id_col),
+                         "chunk_id": kt.column("chunk_id"),
+                         "score": pa.array(s, pa.int64())})
+
+    scored = emb.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored, k, [("score", "descending"),
+                                   (id_col, "ascending"),
+                                   ("chunk_id", "ascending")]) \
+        .select([id_col, "chunk_id", "score"])

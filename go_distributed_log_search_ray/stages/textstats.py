@@ -702,7 +702,17 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
                      "score": pa.array([r[2] for r in rows], pa.int64())})
 
 
-def hash_embed_batch(b: pa.Table, dim: int = 16, id_col: str = "doc_id",
+def hash_bucket_tokens(words: list[str], dim: int) -> np.ndarray:
+    """md5-bucket of each word -- the single hashing convention shared
+    by the embedder, its SQL oracle and driver-side query vectors."""
+    import hashlib
+
+    return np.array([int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                     % dim for w in words], dtype=np.int64)
+
+
+def hash_embed_batch(b: pa.Table, dim: int = 16,
+                     id_col: str | list[str] = "doc_id",
                      text_col: str = "text") -> pa.Table:
     """Feature-hashing embedder (the 'hashing trick'): token t of a doc
     increments component ``md5(t)[:8] % dim`` -- a deterministic,
@@ -710,10 +720,9 @@ def hash_embed_batch(b: pa.Table, dim: int = 16, id_col: str = "doc_id",
     family without a trained model.  Per batch the md5 runs once per
     DISTINCT token (dictionary-encode first), the doc x dim count
     matrix is one bincount.  Docs with zero tokens emit no row."""
-    import hashlib
-
-    ids = b.column(id_col).combine_chunks()
-    cols = {id_col: pa.array([], ids.type)}
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    ids = b.select(id_cols)
+    cols = {c: pa.array([], ids.schema.field(c).type) for c in id_cols}
     cols.update({f"v{j}": pa.array([], pa.int64()) for j in range(dim)})
     if b.num_rows == 0:
         return pa.table(cols)
@@ -722,21 +731,20 @@ def hash_embed_batch(b: pa.Table, dim: int = 16, id_col: str = "doc_id",
     if len(flat) == 0:
         return pa.table(cols)
     enc = flat.dictionary_encode()
-    buckets = np.array(
-        [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
-         for w in enc.dictionary.to_pylist()], dtype=np.int64)
+    buckets = hash_bucket_tokens(enc.dictionary.to_pylist(), dim)
     j = buckets[np.asarray(enc.indices, dtype=np.int64)]
     counts = np.bincount(doc_of * dim + j,
                          minlength=b.num_rows * dim).reshape(-1, dim)
-    keep = counts.sum(axis=1) > 0
-    out = {id_col: ids.filter(pa.array(keep))}
-    kept = counts[keep]
+    keep = pa.array(counts.sum(axis=1) > 0)
+    kept_ids = ids.filter(keep)
+    out = {c: kept_ids.column(c) for c in id_cols}
+    kept = counts[np.asarray(keep)]
     for col in range(dim):
         out[f"v{col}"] = pa.array(kept[:, col], pa.int64())
     return pa.table(out)
 
 
-def hash_embed(ds, dim: int = 16, id_col: str = "doc_id",
+def hash_embed(ds, dim: int = 16, id_col: str | list[str] = "doc_id",
                text_col: str = "text"):
     """Dataset-level feature-hash embedding stage -- a pure flat
     ``map_batches``, no shuffle, no state."""

@@ -1442,3 +1442,51 @@ def test_events_dedup_window_matches_bruteforce(tmp_path):
     for r in got.to_pylist():
         assert [r["n_kept"], r["id_sum"]] == kept[r["event_type"]]
     assert got.num_rows == len(kept)
+
+
+def test_chunk_semantic_search_matches_bruteforce():
+    """chunk_semantic_search vs a pure-Python chunk/embed/cosine chain;
+    a planted on-topic doc must rank first; empty query rejected."""
+    from go_distributed_log_search_ray.stages.similarity import (
+        chunk_semantic_search)
+    from go_distributed_log_search_ray.stages.textstats import (
+        hash_bucket_tokens)
+    import re
+
+    rng = np.random.default_rng(29)
+    filler = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [" ".join(rng.choice(filler, 30)) for _ in range(80)]
+    docs[37] = "searchterm one " * 10       # planted on-topic doc
+    t = pa.table({"doc_id": pa.array(np.arange(80), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    C, O, S, DIM = 10, 2, 8, 16
+    q = "searchterm two"
+    qv = np.zeros(DIM, dtype=np.int64)
+    np.add.at(qv, hash_bucket_tokens(q.split(), DIM), 1)
+    qn2 = int((qv * qv).sum())
+
+    want = []
+    for i, d in enumerate(docs):
+        toks = [w for w in re.split(r"\s+", d.lower()) if w]
+        for ci, s in enumerate(range(0, len(toks), S)):
+            part = toks[s:s + C]
+            v = np.zeros(DIM, dtype=np.int64)
+            np.add.at(v, hash_bucket_tokens(part, DIM), 1)
+            dot = int(v @ qv)
+            if dot > 0:
+                want.append((i, ci,
+                             (dot * dot * 1_000_000)
+                             // (qn2 * int((v * v).sum()))))
+    want.sort(key=lambda r: (-r[2], r[0], r[1]))
+    want = want[:15]
+
+    got = chunk_semantic_search(ray.data.from_arrow(t), q, k=15,
+                                dim=DIM, chunk_tokens=C, overlap=O)
+    rows = list(zip(got.column("doc_id").to_pylist(),
+                    got.column("chunk_id").to_pylist(),
+                    got.column("score").to_pylist()))
+    assert rows == want
+    assert rows[0][0] == 37
+
+    with pytest.raises(ValueError):
+        chunk_semantic_search(ray.data.from_arrow(t), "", k=3)
