@@ -732,6 +732,17 @@ def _doc_top_bigrams(sf_dir: str):
     return t.take(idx.slice(0, 20)).select(["bigram", "n"])
 
 
+def _doc_cooccurrence_topk(sf_dir: str):
+    """Frequent-pattern mining: top-20 same-document token pairs over
+    the corpus' 100 most frequent tokens
+    (stages/textstats.cooccurrence_topk -- per-batch incidence matmul,
+    O(vocab^2) partials leave each batch, never O(docs))."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        cooccurrence_topk)
+    ds = _read_table(sf_dir, "documents", columns=["text"])
+    return cooccurrence_topk(ds, k=20, vocab_k=100)
+
+
 def _doc_chunk_search(sf_dir: str):
     """Composed RAG retrieval chain: chunk -> feature-hash embed ->
     integer-cosine top-k against the query's hash vector
@@ -1797,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_embed": _doc_hash_embed,
         "doc_bigram_surprise": _doc_bigram_surprise,
         "doc_chunk_search": _doc_chunk_search,
+        "doc_cooccurrence_topk": _doc_cooccurrence_topk,
         "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_prefix_editdist_agg": _doc_prefix_editdist_agg,
         "doc_export_shards": _doc_export_shards,
@@ -2009,6 +2021,24 @@ def oracle_sql() -> dict[str, str]:
                 WHERE toks[g.i] <> '' AND toks[g.i + 1] <> '')
             SELECT l || ' ' || r AS bigram, count(*) AS n
             FROM pairs GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
+        "doc_cooccurrence_topk": """
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     unnest(string_split_regex(coalesce(lower(text), ''),
+                                               '\\s+')) AS t(tok)
+                WHERE t.tok <> ''),
+            uni AS (SELECT tok AS term, count(*) AS n
+                    FROM toks GROUP BY 1),
+            vocab AS (SELECT term FROM uni
+                      ORDER BY n DESC, term ASC LIMIT 100),
+            dt AS (SELECT DISTINCT doc_id, tok FROM toks
+                   WHERE tok IN (SELECT term FROM vocab))
+            SELECT a.tok AS t1, b.tok AS t2, count(*) AS n
+            FROM dt a JOIN dt b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+            ORDER BY n DESC, t1 ASC, t2 ASC LIMIT 20""",
         "events_dedup_window": """
             WITH x AS (
                 SELECT event_id, event_type, ts,

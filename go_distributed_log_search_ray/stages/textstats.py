@@ -831,3 +831,72 @@ def bigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(Score, fn_constructor_args=(model_ref,),
                           concurrency=(1, 8), batch_format="pyarrow")
+
+
+def cooccurrence_topk(ds, k: int = 20, vocab_k: int = 100,
+                      text_col: str = "text"):
+    """Frequent-pattern mining: top-k PAIRS of distinct tokens that
+    co-occur in the same document (order-independent, distinct per
+    doc), restricted to the corpus' ``vocab_k`` most frequent tokens
+    so the pair space is bounded (the classic support-counting
+    restriction).
+
+    Distributed shape: pass 1 = the existing O(distinct) token-count
+    shuffle picks the vocabulary (ties broken by term so the set is
+    deterministic); pass 2 = per batch, a docs x vocab_k 0/1 incidence
+    matrix (index_in + bincount) and ONE integer matmul I^T @ I emits
+    upper-triangle partial counts -- O(vocab_k^2) rows per batch leave
+    the stage, never O(docs).  A final tiny groupby-sum + top-k."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.tableops import global_topk, small_table
+
+    uni = small_table(global_token_counts(ds, text_col),
+                      int64_cols=["n"])
+    idx = pc.sort_indices(uni, sort_keys=[("n", "descending"),
+                                          ("term", "ascending")])
+    vocab = uni.take(idx.slice(0, vocab_k)).column("term") \
+        .combine_chunks()
+    V = len(vocab)
+    voc_np = np.asarray(vocab.to_pylist(), dtype=object)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        flat, doc_of = _flat_with_doc(pc.utf8_lower(b.column(text_col)),
+                                      r"\s+", regex=True)
+        code = pc.index_in(flat, value_set=vocab)
+        hit = np.asarray(pc.is_valid(code))
+        if not hit.any():
+            return empty
+        c = np.asarray(pc.fill_null(code, 0), dtype=np.int64)[hit]
+        d = doc_of[hit]
+        inc = np.zeros((b.num_rows, V), dtype=np.int64)
+        inc[d, c] = 1                      # distinct-per-doc incidence
+        co = inc.T @ inc                   # V x V pair counts
+        iu, ju = np.triu_indices(V, k=1)
+        n = co[iu, ju]
+        nz = n > 0
+        if not nz.any():
+            return empty
+        # canonicalize pairs LEXICOGRAPHICALLY (vocab order is by
+        # frequency, so index order != string order)
+        a = voc_np[iu[nz]]
+        b = voc_np[ju[nz]]
+        swap = a > b
+        t1 = np.where(swap, b, a)
+        t2 = np.where(swap, a, b)
+        return pa.table({
+            "t1": pa.array(t1, pa.string()),
+            "t2": pa.array(t2, pa.string()),
+            "n": pa.array(n[nz], pa.int64())})
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="n"))
+    return global_topk(pairs, k, [("n", "descending"),
+                                  ("t1", "ascending"),
+                                  ("t2", "ascending")]) \
+        .select(["t1", "t2", "n"])

@@ -1490,3 +1490,47 @@ def test_chunk_semantic_search_matches_bruteforce():
 
     with pytest.raises(ValueError):
         chunk_semantic_search(ray.data.from_arrow(t), "", k=3)
+
+
+def test_cooccurrence_topk_matches_bruteforce():
+    """cooccurrence_topk vs itertools-combinations counting: distinct
+    per doc (repeats count once), lexicographic pair canonicalization,
+    out-of-vocab tokens excluded by the top-N vocabulary cut."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        cooccurrence_topk)
+    import re
+    from collections import Counter
+    from itertools import combinations
+
+    rng = np.random.default_rng(33)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    docs = []
+    for i in range(250):
+        n = int(rng.integers(2, 12))
+        ws = list(rng.choice(vocab, n))
+        if i % 4 == 0:
+            ws += ["zebra", "yak"]          # rare: outside top-20 vocab
+        if i % 3 == 0:
+            ws += ["w01", "w01", "w02"]     # repeats count once
+        docs.append(" ".join(ws))
+    t = pa.table({"text": pa.array(docs, pa.string())})
+
+    uni = Counter()
+    for d in docs:
+        uni.update(w for w in re.split(r"\s+", d.lower()) if w)
+    top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    vset = {w for w, _ in top}
+    pairs = Counter()
+    for d in docs:
+        toks = sorted({w for w in re.split(r"\s+", d.lower())
+                       if w in vset})
+        pairs.update(combinations(toks, 2))
+    want = sorted(((l, r, n) for (l, r), n in pairs.items()),
+                  key=lambda x: (-x[2], x[0], x[1]))[:15]
+
+    got = cooccurrence_topk(ray.data.from_arrow(t), k=15, vocab_k=20)
+    rows = list(zip(got.column("t1").to_pylist(),
+                    got.column("t2").to_pylist(),
+                    got.column("n").to_pylist()))
+    assert rows == want
+    assert all(a < b for a, b, _ in rows)
