@@ -1826,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_agg": R.events_funnel_agg,
         "events_anomaly_mad": R.events_anomaly_mad,
         "events_dedup_window": R.events_dedup_window,
+        "events_chi2_type_hour": R.events_chi2_type_hour,
         # never/rarely driver-checked (VERDICT r3 item 1) -- keep first
         "doc_tfidf_topk": _doc_tfidf_topk,
         "doc_top_terms_by_lang": _doc_top_terms_by_lang,
@@ -2021,6 +2022,29 @@ def oracle_sql() -> dict[str, str]:
                 WHERE toks[g.i] <> '' AND toks[g.i + 1] <> '')
             SELECT l || ' ' || r AS bigram, count(*) AS n
             FROM pairs GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
+        "events_chi2_type_hour": """
+            WITH e AS (
+                SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            ct AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+            rm AS (SELECT a, count(*) AS r FROM e GROUP BY 1),
+            cm AS (SELECT b, count(*) AS c FROM e GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM e),
+            cells AS (
+                SELECT coalesce(ct.o, 0) AS o, rm.r, cm.c, nn.n
+                FROM rm CROSS JOIN cm CROSS JOIN nn
+                     LEFT JOIN ct ON ct.a = rm.a AND ct.b = cm.b)
+            SELECT CAST(any_value(n) AS BIGINT) AS n,
+                   count(*) AS n_cells,
+                   CAST(sum(
+                       ((CAST(n AS HUGEINT) * o
+                         - CAST(r AS HUGEINT) * c)
+                        * (CAST(n AS HUGEINT) * o
+                           - CAST(r AS HUGEINT) * c) * 1000000)
+                       // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
+                       AS chi2_scaled
+            FROM cells""",
         "doc_cooccurrence_topk": """
             WITH toks AS (
                 SELECT doc_id, t.tok

@@ -254,3 +254,47 @@ def grouped_mad_anomalies(ds: Dataset, group_col: str, col: str,
                      "mad": pa.array(out["mad"], pa.int64()),
                      "n_anomalies": pa.array(out["n_anomalies"],
                                              pa.int64())})
+
+
+def chi2_association(ds: Dataset, col_a: str, col_b: str,
+                     scale: int = 1_000_000) -> pa.Table:
+    """Categorical-association screen: the chi-squared statistic
+    between two low-cardinality columns, EXACT integer arithmetic
+    (the feature-selection / drift-detection primitive):
+
+        chi2_scaled = sum_cells ((N*O - R*C)^2 * scale) // (N * R * C)
+
+    over the contingency table (O = cell count, R/C = marginals,
+    N = total) -- Python bigints keep the squared products exact, the
+    SQL twin uses HUGEINT.  One groupby-count shuffle moves a row per
+    DISTINCT (a, b) pair; the fold is O(cells) on the driver.
+    Output: one row (n, n_cells, chi2_scaled)."""
+    from ray.data.aggregate import Count
+
+    vc = ds.groupby([col_a, col_b]).aggregate(Count(alias_name="cnt"))
+    t = small_table(vc, int64_cols=["cnt"])
+    t = t.filter(pc.and_(pc.is_valid(t.column(col_a)),
+                         pc.is_valid(t.column(col_b))))
+    a = t.column(col_a).to_pylist()
+    b = t.column(col_b).to_pylist()
+    o = [int(x) for x in t.column("cnt").to_pylist()]
+    n = sum(o)
+    row_m: dict = {}
+    col_m: dict = {}
+    for ai, bi, oi in zip(a, b, o):
+        row_m[ai] = row_m.get(ai, 0) + oi
+        col_m[bi] = col_m.get(bi, 0) + oi
+    obs = {(ai, bi): oi for ai, bi, oi in zip(a, b, o)}
+    chi2 = 0
+    n_cells = 0
+    # every (row, col) combination, INCLUDING zero-count cells (they
+    # contribute (R*C)^2*scale // (N*R*C))
+    for ai, r in row_m.items():
+        for bi, c in col_m.items():
+            oi = obs.get((ai, bi), 0)
+            num = (n * oi - r * c) ** 2 * scale
+            chi2 += num // (n * r * c)
+            n_cells += 1
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "n_cells": pa.array([n_cells], pa.int64()),
+                     "chi2_scaled": pa.array([chi2], pa.int64())})

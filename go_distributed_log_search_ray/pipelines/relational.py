@@ -1858,3 +1858,27 @@ def events_dedup_window(sf_dir: str, window_s: int = 5) -> pa.Table:
                        Sum("id_sum", alias_name="id_sum"))
     t = _sorted_table(out, ["event_type"])
     return t.select(["event_type", "n_kept", "id_sum"])
+
+
+def events_chi2_type_hour(sf_dir: str) -> pa.Table:
+    """Association screen between event_type and UTC hour-of-day --
+    the drift/feature-selection primitive: exact-integer chi-squared
+    over the 5 x 24 contingency table
+    (functions/tableops.chi2_association -- one distinct-pair count
+    shuffle, O(cells) driver fold)."""
+    from ..functions.tableops import chi2_association
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b.column("event_type")),
+                       pc.is_valid(b.column("ts")))
+        b = b.filter(keep)
+        us = np.asarray(b.column("ts").cast(pa.timestamp("us"))
+                        .cast(pa.int64()))
+        hour = (us // 3_600_000_000) % 24
+        return pa.table({"event_type": b.column("event_type"),
+                         "hour": pa.array(hour, pa.int64())})
+
+    return chi2_association(ds.map_batches(prep, batch_format="pyarrow"),
+                            "event_type", "hour")

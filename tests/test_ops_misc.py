@@ -1534,3 +1534,45 @@ def test_cooccurrence_topk_matches_bruteforce():
                     got.column("n").to_pylist()))
     assert rows == want
     assert all(a < b for a, b, _ in rows)
+
+
+def test_chi2_association_matches_bruteforce():
+    """chi2_association vs a hand-rolled contingency computation:
+    a strongly dependent pair scores far above an independent pair;
+    zero cells contribute; exact bigint floor arithmetic."""
+    from go_distributed_log_search_ray.functions.tableops import (
+        chi2_association)
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    a_dep = rng.integers(0, 4, n)
+    b_dep = np.where(rng.random(n) < 0.9, a_dep % 3,
+                     rng.integers(0, 3, n))     # b mostly follows a
+    a_ind = rng.integers(0, 4, n)
+    b_ind = rng.integers(0, 3, n)
+
+    def brute(av, bv):
+        from collections import Counter
+        o = Counter(zip(av.tolist(), bv.tolist()))
+        rm = Counter(av.tolist()); cm = Counter(bv.tolist())
+        nn = len(av)
+        chi2 = 0
+        for ai, r in rm.items():
+            for bi, c in cm.items():
+                oi = o.get((ai, bi), 0)
+                chi2 += ((nn * oi - r * c) ** 2 * 1_000_000) \
+                    // (nn * r * c)
+        return chi2, len(rm) * len(cm)
+
+    for av, bv in ((a_dep, b_dep), (a_ind, b_ind)):
+        t = pa.table({"a": pa.array(av, pa.int64()),
+                      "b": pa.array(bv, pa.int64())})
+        got = chi2_association(ray.data.from_arrow(t), "a", "b")
+        w_chi2, w_cells = brute(av, bv)
+        assert got.column("chi2_scaled")[0].as_py() == w_chi2
+        assert got.column("n_cells")[0].as_py() == w_cells
+        assert got.column("n")[0].as_py() == len(av)
+
+    dep = brute(a_dep, b_dep)[0]
+    ind = brute(a_ind, b_ind)[0]
+    assert dep > 50 * ind       # dependence detected decisively
