@@ -732,6 +732,17 @@ def _doc_top_bigrams(sf_dir: str):
     return t.take(idx.slice(0, 20)).select(["bigram", "n"])
 
 
+def _doc_compress_ratio_agg(sf_dir: str):
+    """Compression-ratio entropy screen (stages/textstats
+    .compress_ratio_agg -- zlib per doc in a shuffle-free flat map,
+    four-int aggregate out).  No SQL oracle (DuckDB has no zlib);
+    definitional pytest pins the kernel."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        compress_ratio_agg)
+    ds = _read_table(sf_dir, "documents", columns=["text"])
+    return compress_ratio_agg(ds)
+
+
 def _doc_cooccurrence_topk(sf_dir: str):
     """Frequent-pattern mining: top-20 same-document token pairs over
     the corpus' 100 most frequent tokens
@@ -1850,6 +1861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # above gets full row+schema+hash verification
         "doc_bpe_encode_agg": _doc_bpe_encode_agg,
         "doc_pack_bins": _doc_pack_bins,
+        "doc_compress_ratio_agg": _doc_compress_ratio_agg,
         "media_decode_agg": _media_decode_agg,
         "doc_search_topk": _doc_search_topk,
         "pages_search": _pages_search,

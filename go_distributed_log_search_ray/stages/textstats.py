@@ -900,3 +900,63 @@ def cooccurrence_topk(ds, k: int = 20, vocab_k: int = 100,
                                   ("t1", "ascending"),
                                   ("t2", "ascending")]) \
         .select(["t1", "t2", "n"])
+
+
+def compress_ratio_batch(b: pa.Table, text_col: str = "text",
+                         level: int = 6) -> pa.Table:
+    """Compression-ratio quality signal: ``ratio_pm = 1000 *
+    len(zlib(text)) // len(text)`` per doc -- low ratios flag
+    repetitive/boilerplate text, very high ratios flag random noise
+    (the Gopher-style entropy screen without a model).  zlib runs in C
+    per row over a bytes list (the md5-fingerprint precedent); empty /
+    null text gets a null ratio.  No SQL twin (DuckDB has no zlib):
+    verified by the definitional pytest."""
+    import zlib
+
+    t = b.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    buf = t.cast(pa.binary()).to_pylist()
+    out = [None if (v is None or len(v) == 0)
+           else (1000 * len(zlib.compress(v, level))) // len(v)
+           for v in buf]
+    return b.append_column("compress_ratio_pm",
+                           pa.array(out, pa.int64()))
+
+
+def compress_ratio_agg(ds, text_col: str = "text", level: int = 6,
+                       low_pm: int = 200, high_pm: int = 900):
+    """Corpus screen over the compression signal: per-doc ratios via
+    ``compress_ratio_batch`` (shuffle-free flat map), then ONE tiny
+    aggregate of (n_docs, n_repetitive, n_noisy, ratio_sum) -- the
+    quality-gate shape for a 100 TB corpus where only four ints leave
+    the cluster."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        r = compress_ratio_batch(b, text_col, level) \
+            .column("compress_ratio_pm")
+        valid = pc.is_valid(r)
+        n = int(pc.sum(pc.cast(valid, pa.int64())).as_py() or 0)
+        lo = pc.and_(valid, pc.less(r, low_pm))
+        hi = pc.and_(valid, pc.greater(r, high_pm))
+        return pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            "n_repetitive": pa.array(
+                [int(pc.sum(pc.cast(lo, pa.int64())).as_py() or 0)],
+                pa.int64()),
+            "n_noisy": pa.array(
+                [int(pc.sum(pc.cast(hi, pa.int64())).as_py() or 0)],
+                pa.int64()),
+            "ratio_sum": pa.array(
+                [int(pc.sum(pc.fill_null(r, 0)).as_py() or 0)],
+                pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.aggregate(Sum("n_docs", alias_name="n_docs"),
+                          Sum("n_repetitive", alias_name="n_repetitive"),
+                          Sum("n_noisy", alias_name="n_noisy"),
+                          Sum("ratio_sum", alias_name="ratio_sum"))
+    return pa.table({k: pa.array([int(agg[k])], pa.int64())
+                     for k in ("n_docs", "n_repetitive", "n_noisy",
+                               "ratio_sum")})

@@ -1576,3 +1576,38 @@ def test_chi2_association_matches_bruteforce():
     dep = brute(a_dep, b_dep)[0]
     ind = brute(a_ind, b_ind)[0]
     assert dep > 50 * ind       # dependence detected decisively
+
+
+def test_compress_ratio_matches_definition():
+    """compress_ratio_batch == the zlib definition per row; repetitive
+    text scores LOW, random text HIGH; null/empty -> null; the corpus
+    aggregate counts both screens."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        compress_ratio_batch, compress_ratio_agg)
+    import zlib
+
+    rng = np.random.default_rng(47)
+    rand_text = "".join(chr(rng.integers(33, 0x2fff)) for _ in range(800))
+    prose = ("the distributed engine reads parquet shards, extracts "
+             "fields with compiled patterns, enriches each batch from "
+             "broadcast lookup tables and routes rows to per-sink "
+             "writers while a manifest records exactly-once lineage. ")
+    docs = ["spam " * 500, rand_text, "", None, prose * 4]
+    t = pa.table({"text": pa.array(docs, pa.string())})
+
+    out = compress_ratio_batch(t).column("compress_ratio_pm").to_pylist()
+    for d, got in zip(docs, out):
+        if not d:
+            assert got is None
+        else:
+            raw = d.encode()
+            assert got == (1000 * len(zlib.compress(raw, 6))) // len(raw)
+    assert out[0] < 50          # repetitive compresses hard
+    assert out[1] > 700         # random barely compresses
+    assert out[0] < out[4] < out[1]   # prose sits between the screens
+
+    agg = compress_ratio_agg(ray.data.from_arrow(t), low_pm=100,
+                             high_pm=700).to_pylist()[0]
+    assert agg["n_docs"] == 3
+    assert agg["n_repetitive"] == 1 and agg["n_noisy"] == 1
+    assert agg["ratio_sum"] == sum(v for v in out if v is not None)
