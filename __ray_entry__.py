@@ -1809,24 +1809,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shared_substr_agg": _doc_shared_substr_agg,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "pages_line_dedup_agg": _pages_line_dedup_agg,
-        "events_promo_overlap_agg": _events_promo_overlap_agg,
         "events_promo_overlap_copart_agg": _events_promo_overlap_copart_agg,
         "doc_bpe_pairs": _doc_bpe_pairs,
         "orders_clustered_read_agg": _orders_clustered_read_agg,
-        "doc_epoch_order": _doc_epoch_order,
         "doc_pmi_bigrams": _doc_pmi_bigrams,
-        "doc_chunks": _doc_chunks,
-        "doc_hash_embed": _doc_hash_embed,
         "doc_bigram_surprise": _doc_bigram_surprise,
         "doc_chunk_search": _doc_chunk_search,
         "doc_cooccurrence_topk": _doc_cooccurrence_topk,
-        "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_prefix_editdist_agg": _doc_prefix_editdist_agg,
         "doc_export_shards": _doc_export_shards,
         "doc_classifier_agg": _doc_classifier_agg,
         "pages_domain_agg": _pages_domain_agg,
         "doc_repetition_features": _doc_repetition_features,
-        "doc_dup_clusters": _doc_dup_clusters,
         "doc_cluster_canonical": _doc_cluster_canonical,
         "doc_normalize_dedup_agg": _doc_normalize_dedup_agg,
         "doc_contamination_agg": _doc_contamination_agg,
@@ -1850,7 +1844,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_agg": _media_video_agg,
         # rotated just past the window: operators subsumed by an
         # in-window sibling (doc_pmi_bigrams drives bigram_counts;
-        # the join family has five driver-green rows + pytest)
+        # the join family has five driver-green rows + pytest;
+        # doc_chunk_search drives chunking + hash_embed end to end;
+        # copart overlap join / cluster-canonical / global-rank are
+        # the scale-path supersets of their rotated siblings)
+        "events_promo_overlap_agg": _events_promo_overlap_agg,
+        "doc_epoch_order": _doc_epoch_order,
+        "doc_chunks": _doc_chunks,
+        "doc_hash_embed": _doc_hash_embed,
+        "doc_balanced_sample_agg": _doc_balanced_sample_agg,
+        "doc_dup_clusters": _doc_dup_clusters,
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
