@@ -2,7 +2,10 @@
 entry at sf0.01 and compare against oracle_sql() via DuckDB
 (row count + column names + order-insensitive values).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT] [sf_dir] [query ...]
+
+With --json, per-query results (status, rows, seconds) are also written
+to OUT as a machine-readable record of the full local gate.
 """
 
 from __future__ import annotations
@@ -36,8 +39,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -54,6 +62,12 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
+    record = {}
+
+    def rec(name, status, rows, dt):
+        record[name] = {"status": status, "rows": rows,
+                        "sec": round(dt, 2)}
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -62,35 +76,54 @@ def main() -> int:
             mine = canon(to_pandas(fn(sf_dir)))
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            rec(name, f"fail_query:{type(ex).__name__}", 0,
+                time.perf_counter() - t0)
             failures += 1
             continue
         dt = time.perf_counter() - t0
         sql = oracles.get(name)
         if sql is None:
             print(f"okNA {name}: {len(mine)} rows (no oracle) [{dt:.1f}s]")
+            rec(name, "rows_only", len(mine), dt)
             continue
         try:
             ref = canon(con.execute(sql).df())
         except Exception as ex:
             print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
+            rec(name, f"fail_oracle:{type(ex).__name__}", len(mine), dt)
             failures += 1
             continue
         if list(mine.columns) != list(ref.columns):
             print(f"FAIL {name}: columns {list(mine.columns)} != {list(ref.columns)}")
+            rec(name, "fail_schema", len(mine), dt)
             failures += 1
             continue
         if len(mine) != len(ref):
             print(f"FAIL {name}: rows {len(mine)} != {len(ref)}")
+            rec(name, "fail_rows", len(mine), dt)
             failures += 1
             continue
         if not mine.equals(ref):
             neq = (mine != ref).any(axis=1)
             print(f"FAIL {name}: {int(neq.sum())}/{len(mine)} differing rows")
             print(pd.concat([mine[neq].head(3), ref[neq].head(3)]))
+            rec(name, "fail_values", len(mine), dt)
             failures += 1
             continue
         print(f"PASS {name}: {len(mine)} rows [{dt:.1f}s]")
+        rec(name, "pass", len(mine), dt)
     print("failures:", failures)
+    if json_out:
+        import json
+        summary = {"sf_dir": sf_dir, "n_queries": len(record),
+                   "n_pass": sum(r["status"] == "pass"
+                                 for r in record.values()),
+                   "n_rows_only": sum(r["status"] == "rows_only"
+                                      for r in record.values()),
+                   "n_fail": failures, "queries": record}
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print("wrote", json_out)
     return 1 if failures else 0
 
 
