@@ -24,9 +24,15 @@ from .ingest import _read_committed, _read_back_counts
 
 
 def compact(out_dir: str, target_partitions: int = 1,
-            filesystem=None) -> dict:
+            filesystem=None, keep_history: bool = False) -> dict:
     """read committed sinks -> repartition -> rewrite as one compacted
-    partition -> atomic manifest supersede."""
+    partition -> atomic manifest supersede.
+
+    ``keep_history=True`` retains the superseded entries AND their sink
+    data (``Manifest.entries()`` hides them via ``compacted_from``
+    regardless), enabling ``Manifest.entries_as_of(ts)`` time-travel
+    reads of pre-compaction snapshots at the cost of double storage
+    until a later cleanup."""
     manifest = Manifest(out_dir, filesystem)
     old_ids = sorted(manifest.committed_ids())
     if len(old_ids) < 2:
@@ -65,12 +71,13 @@ def compact(out_dir: str, target_partitions: int = 1,
         "compacted_from": old_ids,
         "metrics": {},
     })
-    for pid in old_ids:                      # best-effort, leak-tolerant
-        manifest.retire(pid)
-    for d in old_dirs:
-        try:
-            manifest.fs.delete_dir(d)
-        except (FileNotFoundError, OSError):
-            pass
+    if not keep_history:
+        for pid in old_ids:                  # best-effort, leak-tolerant
+            manifest.retire(pid)
+        for d in old_dirs:
+            try:
+                manifest.fs.delete_dir(d)
+            except (FileNotFoundError, OSError):
+                pass
     return {"new_partition": new_id, "merged": old_ids,
             "rows": sum(m["rows"] for m in sinks.values())}

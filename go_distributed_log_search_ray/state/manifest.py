@@ -150,6 +150,33 @@ class Manifest:
             for e in self.entries()
         ]
 
+    # -- time travel ---------------------------------------------------------
+
+    def entries_as_of(self, ts: float) -> list[dict[str, Any]]:
+        """Snapshot-isolation view of the catalog at time ``ts``
+        (Iceberg-style time travel over the commit log): committed
+        entries with ``committed_at <= ts``, compaction supersede
+        applied only for compactions themselves committed by ``ts`` --
+        a reader pinned to ``ts`` never sees a half-applied compaction.
+        Requires history retention (``compact(keep_history=True)``);
+        under best-effort cleanup, snapshots older than the last
+        cleanup degrade to whatever entry files remain."""
+        raw = [e for e in self._raw_entries()
+               if e.get("committed_at", 0) <= ts]
+        superseded: set[int] = set()
+        for e in raw:
+            superseded.update(e.get("compacted_from", []))
+        return sorted((e for e in raw
+                       if e["partition_id"] not in superseded),
+                      key=lambda e: e["partition_id"])
+
+    def committed_sink_dirs_as_of(self, ts: float) -> list[str]:
+        """Sink directories visible to a reader pinned at ``ts``."""
+        return [
+            posixpath.join(self.out_dir, "sinks", f"p{e['partition_id']:05d}")
+            for e in self.entries_as_of(ts)
+        ]
+
     def compacted_shard_files(self) -> set[str]:
         """Union of input shards covered by committed COMPACTED entries --
         an ingest resume must not re-process these even though their

@@ -187,3 +187,56 @@ def test_manifest_drop(corpus_dir, tmp_path):
     m.drop()
     assert m.committed_ids() == set()
     assert not os.path.isdir(os.path.join(out, "sinks"))
+
+
+def test_time_travel_reads_pre_compaction_snapshot(corpus_dir, tmp_path):
+    """compact(keep_history=True) + Manifest.entries_as_of: a reader
+    pinned to a pre-compaction timestamp sees the ORIGINAL partitions
+    (and their data still exists); current readers see only the
+    compacted one; row multisets agree; as-of(now) == entries()."""
+    import time as _time
+
+    import ray
+    from go_distributed_log_search_ray.pipelines.compact import compact
+
+    out = str(tmp_path / "tt")
+    res = run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out,
+                                      num_partitions=3, resume=False))
+    m = Manifest(out)
+    old_ids = sorted(m.committed_ids())
+    t1 = _time.time()
+    _time.sleep(0.02)
+    compact(out, keep_history=True)
+
+    m2 = Manifest(out)
+    assert sorted(m2.committed_ids()) == [max(old_ids) + 1]
+    past = m2.entries_as_of(t1)
+    assert sorted(e["partition_id"] for e in past) == old_ids
+    now = m2.entries_as_of(_time.time())
+    assert now == m2.entries()
+
+    def url_set(dirs):
+        files = sorted(f for d in dirs for f in
+                       glob.glob(os.path.join(d, "**", "*.parquet"),
+                                 recursive=True))
+        ds = ray.data.read_parquet(files, columns=["url"])
+        return sorted(ds.to_pandas()["url"])
+
+    assert url_set(m2.committed_sink_dirs_as_of(t1)) == \
+        url_set(m2.committed_sink_dirs())
+    assert sum(e["row_count"] for e in past) == res["total_rows"]
+
+    # before any commit, the as-of view is empty
+    assert m2.entries_as_of(0.0) == []
+
+    # default compaction (keep_history=False) still cleans up
+    out2 = str(tmp_path / "tt2")
+    run_pipeline(PipelineConfig(corpus_dir=corpus_dir, out_dir=out2,
+                                num_partitions=2, resume=False))
+    mdef = Manifest(out2)
+    defaults = sorted(mdef.committed_ids())
+    compact(out2)
+    mdef2 = Manifest(out2)
+    assert mdef2.entries_as_of(_time.time()) == mdef2.entries()
+    for pid in defaults:
+        assert mdef2.entry_for(pid) is None
