@@ -696,6 +696,61 @@ def _doc_balanced_sample_agg(sf_dir: str):
         .select(["lang", "n_docs", "id_sum"])
 
 
+def _doc_curriculum_sample_agg(sf_dir: str):
+    """Curriculum / length-balanced sampling: quartile-bucket every doc
+    by length (EXACT distributed quantile edges), then EXACTLY
+    min(k, n) docs per bucket by deterministic md5 order -- uniform
+    coverage of the length spectrum for staged training.  Composes
+    exact_quantiles (value-counts shuffle) + grouped_topk (per-block
+    <=k candidates per bucket move)."""
+    import hashlib
+
+    from go_distributed_log_search_ray.functions.tableops import (
+        exact_quantiles, grouped_topk, small_table)
+
+    k = 30
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    th = exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75]) \
+        .column("n_chars").to_pylist()
+    th_np = np.asarray(th, dtype=np.int64)
+    labels = pa.array(["q1", "q2", "q3", "q4"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        hk = [int.from_bytes(md5(str(i).encode()).digest()[:8], "big") >> 1
+              for i in b.column("doc_id").to_pylist()]
+        nch = np.asarray(b.column("n_chars"), dtype=np.int64)
+        idx = np.searchsorted(th_np, nch, side="left")
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_chars": pa.array(nch, pa.int64()),
+            "bucket": labels.take(pa.array(idx, pa.int64())),
+            "hkey": pa.array(hk, pa.int64())})
+
+    picked = grouped_topk(ds.map_batches(keyed, batch_format="pyarrow"),
+                          ["bucket"], k,
+                          [("hkey", "ascending"), ("doc_id", "ascending")])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"bucket": b.column("bucket"),
+                      "doc_id": b.column("doc_id"),
+                      "n_chars": b.column("n_chars")})
+        out = t.group_by(["bucket"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "sum"), ("n_chars", "sum")])
+        return out.rename_columns(["bucket", "n_docs", "id_sum",
+                                   "sum_chars"])
+
+    from ray.data.aggregate import Sum
+    agg = picked.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                     Sum("id_sum", alias_name="id_sum"),
+                                     Sum("sum_chars",
+                                         alias_name="sum_chars"))
+    return small_table(agg, sort_keys=["bucket"],
+                       int64_cols=["n_docs", "id_sum", "sum_chars"]) \
+        .select(["bucket", "n_docs", "id_sum", "sum_chars"])
+
+
 def _doc_weighted_topk_sample(sf_dir: str):
     """Exact-k weighted sample without replacement (A-ES) over
     documents, weight = n_chars: 50 ids + weights, O(k x blocks) fold.
@@ -1848,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_chunk_search drives chunking + hash_embed end to end;
         # copart overlap join / cluster-canonical / global-rank are
         # the scale-path supersets of their rotated siblings)
+        "doc_curriculum_sample_agg": _doc_curriculum_sample_agg,
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "doc_epoch_order": _doc_epoch_order,
         "doc_chunks": _doc_chunks,
@@ -2060,6 +2116,32 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
                        AS chi2_scaled
             FROM cells""",
+        "doc_curriculum_sample_agg": """
+            WITH th AS (
+                SELECT quantile_disc(n_chars, 0.25) AS t1,
+                       quantile_disc(n_chars, 0.5)  AS t2,
+                       quantile_disc(n_chars, 0.75) AS t3
+                FROM documents),
+            b AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN n_chars <= th.t1 THEN 'q1'
+                            WHEN n_chars <= th.t2 THEN 'q2'
+                            WHEN n_chars <= th.t3 THEN 'q3'
+                            ELSE 'q4' END AS bucket
+                FROM documents CROSS JOIN th),
+            k AS (
+                SELECT bucket, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY bucket
+                           ORDER BY ('0x' || substr(md5(
+                                CAST(doc_id AS VARCHAR)), 1, 16))
+                                ::UBIGINT >> 1, doc_id) AS rn
+                FROM b)
+            SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM k WHERE rn <= 30
+            GROUP BY bucket ORDER BY bucket""",
         "doc_cooccurrence_topk": """
             WITH toks AS (
                 SELECT doc_id, t.tok
