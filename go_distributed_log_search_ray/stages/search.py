@@ -197,6 +197,10 @@ def tfidf_topk(ds: Dataset, terms: list[str], k: int = 10,
 
     n_docs = ds.count()
     tf = term_frequencies(ds, terms, id_col, text_col).materialize()
+    if tf.count() == 0:       # no doc contains any query term
+        id_type = ds.schema().base_schema.field(id_col).type
+        return pa.table({id_col: pa.array([], id_type),
+                         "score": pa.array([], pa.int64())})
 
     df_t = small_table(tf.groupby("term").count())
     tarr = df_t.column("term").combine_chunks()
@@ -314,6 +318,10 @@ def bm25_topk(ds: Dataset, terms: list[str], k: int = 10,
     n_docs = ds.count()
     total_toks = corpus_token_total(ds, text_col)
     tf = term_frequencies_with_dl(ds, terms, id_col, text_col).materialize()
+    if tf.count() == 0:       # no doc contains any query term
+        id_type = ds.schema().base_schema.field(id_col).type
+        return pa.table({id_col: pa.array([], id_type),
+                         "score": pa.array([], pa.int64())})
 
     df_t = small_table(tf.groupby("term").count())
     tarr = df_t.column("term").combine_chunks()

@@ -660,8 +660,13 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
 
     from ..functions.tableops import small_table
 
+    empty_out = pa.table({"bigram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
     bi = bigram_counts(ds, text_col).materialize()
     uni = global_token_counts(ds, text_col).materialize()
+    if bi.count() == 0 or uni.count() == 0:
+        return empty_out
 
     t_bi = int(bi.aggregate(Sum("n", alias_name="t"))["t"])
     t_uni = int(uni.aggregate(Sum("n", alias_name="t"))["t"])
@@ -674,9 +679,7 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
     cand = small_table(bi.map_batches(above, batch_format="pyarrow"),
                        int64_cols=["n"])
     if cand.num_rows == 0:
-        return pa.table({"bigram": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64()),
-                         "score": pa.array([], pa.int64())})
+        return empty_out
     toks = pc.split_pattern(cand.column("bigram"), " ")
     need = pa.array(sorted({t.as_py() for row in toks for t in row}))
 
@@ -781,6 +784,13 @@ def bigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
 
     uni_t = small_table(global_token_counts(ds, text_col),
                         int64_cols=["n"])
+    if uni_t.num_rows == 0:
+        import ray as _ray0
+        id_type = ds.schema().base_schema.field(id_col).type
+        return _ray0.data.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            "n_bigrams": pa.array([], pa.int64()),
+            "surprise": pa.array([], pa.int64())}))
     term_arr = uni_t.column("term").combine_chunks()
     un = np.asarray(uni_t.column("n"), dtype=np.int64)
     bi_t = small_table(bigram_counts(ds, text_col), int64_cols=["n"])
@@ -853,6 +863,10 @@ def cooccurrence_topk(ds, k: int = 20, vocab_k: int = 100,
 
     uni = small_table(global_token_counts(ds, text_col),
                       int64_cols=["n"])
+    if uni.num_rows == 0:
+        return pa.table({"t1": pa.array([], pa.string()),
+                         "t2": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     idx = pc.sort_indices(uni, sort_keys=[("n", "descending"),
                                           ("term", "ascending")])
     vocab = uni.take(idx.slice(0, vocab_k)).column("term") \

@@ -96,3 +96,42 @@ def test_dynamic_object_parser_total_on_arbitrary_json(obj):
             assert isinstance(k, str) and isinstance(v, str)
     else:
         assert out[0] is None
+
+
+@given(st.lists(st.one_of(st.none(),
+                          st.text(alphabet=" \taéxz.0", max_size=40)),
+                min_size=0, max_size=25),
+       st.integers(min_value=1, max_value=9),
+       st.integers(min_value=0, max_value=8))
+@settings(max_examples=120, deadline=None)
+def test_chunk_batch_property(texts, chunk_tokens, overlap):
+    """chunk_batch == the per-doc Python chunker for ARBITRARY texts
+    (unicode, tabs, empties, nulls) and ARBITRARY (chunk, overlap)
+    parameters; every token position is covered by >= 1 chunk."""
+    import re
+
+    import pyarrow as pa
+
+    from go_distributed_log_search_ray.stages.chunking import chunk_batch
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    stride = chunk_tokens - overlap
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = chunk_batch(t, chunk_tokens, overlap)
+    rows = sorted(zip(got.column("doc_id").to_pylist(),
+                      got.column("chunk_id").to_pylist(),
+                      got.column("n_tokens").to_pylist(),
+                      got.column("chunk_text").to_pylist()))
+
+    want = []
+    for i, d in enumerate(texts):
+        toks = [w for w in re.split(r"\s+", (d or "").lower()) if w]
+        covered = set()
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            part = toks[s:s + chunk_tokens]
+            covered.update(range(s, s + len(part)))
+            want.append((i, ci, len(part), " ".join(part)))
+        assert covered == set(range(len(toks)))   # full coverage
+    assert rows == sorted(want)

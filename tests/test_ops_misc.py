@@ -1611,3 +1611,45 @@ def test_compress_ratio_matches_definition():
     assert agg["n_docs"] == 3
     assert agg["n_repetitive"] == 1 and agg["n_noisy"] == 1
     assert agg["ratio_sum"] == sum(v for v in out if v is not None)
+
+
+def test_search_ops_empty_edges():
+    """BM25 / PMI / co-occurrence / surprise on degenerate corpora:
+    query terms absent -> empty top-k; min_count unreachable -> empty
+    candidate table; all-null corpus -> empty everywhere (no crashes,
+    stable schemas)."""
+    from go_distributed_log_search_ray.stages.search import bm25_topk
+    from go_distributed_log_search_ray.stages.textstats import (
+        bigram_surprise, cooccurrence_topk, pmi_collocations)
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["aa bb", "bb cc", "cc aa"])})
+    ds = ray.data.from_arrow(t)
+
+    top = bm25_topk(ds, ["absentterm"], k=5)
+    assert top.num_rows == 0
+    assert top.column_names == ["doc_id", "score"]
+
+    p = pmi_collocations(ds, min_count=99, k=5)
+    assert p.num_rows == 0
+    assert p.column_names == ["bigram", "n", "score"]
+
+    nulls = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array([None, None], pa.string())})
+    nds = ray.data.from_arrow(nulls)
+    assert bm25_topk(nds, ["x"], k=3).num_rows == 0
+    assert cooccurrence_topk(nds, k=3, vocab_k=5).num_rows == 0
+    assert bigram_surprise(nds).count() == 0
+
+
+def test_tfidf_topk_empty_edge():
+    """tfidf_topk with query terms absent from the corpus returns an
+    empty, correctly-typed result (same guard as bm25_topk)."""
+    from go_distributed_log_search_ray.stages.search import tfidf_topk
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["aa bb", "cc dd"])})
+    top = tfidf_topk(ray.data.from_arrow(t), ["absent"], k=3)
+    assert top.num_rows == 0
+    assert top.column_names == ["doc_id", "score"]
+    assert top.schema.field("doc_id").type == pa.int64()
