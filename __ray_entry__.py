@@ -696,6 +696,23 @@ def _doc_balanced_sample_agg(sf_dir: str):
         .select(["lang", "n_docs", "id_sum"])
 
 
+def _doc_contrastive_pairs(sf_dir: str):
+    """Contrastive training-pair generation: one deterministic random
+    negative per doc via per-bucket md5 hash-ring successor
+    (stages/sampling.contrastive_pairs -- one narrow bucket shuffle +
+    local sort, NO global sort; reproducible and cluster-size
+    independent)."""
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.sampling import (
+        contrastive_pairs)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id"])
+    out = contrastive_pairs(ds, "doc_id", seed=0, num_buckets=64)
+    return small_table(out, sort_keys=["doc_id"],
+                       int64_cols=["doc_id", "neg_id"]) \
+        .select(["doc_id", "neg_id"])
+
+
 def _doc_curriculum_sample_agg(sf_dir: str):
     """Curriculum / length-balanced sampling: quartile-bucket every doc
     by length (EXACT distributed quantile edges), then EXACTLY
@@ -1847,7 +1864,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # new in round 4 -- never driver-checked
         "doc_bm25_topk": _doc_bm25_topk,
-        "doc_freq_spectrum": _doc_freq_spectrum,
         "orders_global_rank": R.orders_global_rank,
         "orders_bloom_semi_agg": R.orders_bloom_semi_agg,
         "emb_semdedup_agg": _emb_semdedup_agg,
@@ -1887,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_mad": R.events_anomaly_mad,
         "events_dedup_window": R.events_dedup_window,
         "events_chi2_type_hour": R.events_chi2_type_hour,
+        "doc_contrastive_pairs": _doc_contrastive_pairs,
         # never/rarely driver-checked (VERDICT r3 item 1) -- keep first
         "doc_tfidf_topk": _doc_tfidf_topk,
         "doc_top_terms_by_lang": _doc_top_terms_by_lang,
@@ -1904,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # copart overlap join / cluster-canonical / global-rank are
         # the scale-path supersets of their rotated siblings)
         "doc_curriculum_sample_agg": _doc_curriculum_sample_agg,
+        "doc_freq_spectrum": _doc_freq_spectrum,
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "doc_epoch_order": _doc_epoch_order,
         "doc_chunks": _doc_chunks,
@@ -2116,6 +2134,19 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
                        AS chi2_scaled
             FROM cells""",
+        "doc_contrastive_pairs": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || ':0'), 1, 16))
+                           ::UBIGINT >> 1 AS BIGINT) AS hkey
+                FROM documents),
+            b AS (SELECT doc_id, hkey, hkey >> 57 AS bucket FROM h)
+            SELECT doc_id,
+                   coalesce(lead(doc_id) OVER w,
+                            first_value(doc_id) OVER w) AS neg_id
+            FROM b WINDOW w AS (PARTITION BY bucket
+                                ORDER BY hkey, doc_id)""",
         "doc_curriculum_sample_agg": """
             WITH th AS (
                 SELECT quantile_disc(n_chars, 0.25) AS t1,

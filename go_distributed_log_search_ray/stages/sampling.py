@@ -31,6 +31,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 _U32 = 1 << 32
@@ -227,3 +228,49 @@ def weighted_topk_sample(ds: Dataset, id_col: str, weight_col: str,
     pr = ds.map_batches(prio, batch_format="pyarrow")
     return global_topk(pr, k, [("priority", "descending"),
                                (id_col, "ascending")])
+
+
+def contrastive_pairs(ds: Dataset, id_col: str = "doc_id",
+                      seed: int = 0, num_buckets: int = 64) -> "Dataset":
+    """Training-pair generation: a deterministic random NEGATIVE per
+    document for contrastive objectives.  Each doc's negative is the
+    successor on a per-bucket md5 hash ring (wrap to the bucket's
+    first), so pairs are reproducible, cluster-size independent, and
+    need NO global sort: docs shuffle once by the TOP bits of their
+    hash key (so ring order within a bucket is a contiguous slice of
+    the global hash order), each bucket sorts locally and wraps to
+    itself.  A 1-doc bucket self-pairs; filter those downstream if the
+    objective forbids identity negatives.
+
+    SQL twin: lead(id) OVER (PARTITION BY bucket ORDER BY hkey, id)
+    with coalesce to first_value for the wrap."""
+    import hashlib
+
+    k = max(1, int(num_buckets - 1).bit_length())   # power-of-two round-up
+    shift = 63 - k                                   # top k bits of the 63-bit key
+
+    def keyed(b: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        hk = [int.from_bytes(md5(f"{i}:{seed}".encode()).digest()[:8],
+                             "big") >> 1
+              for i in b.column(id_col).to_pylist()]
+        hk = np.asarray(hk, dtype=np.int64)
+        return pa.table({id_col: pc.cast(b.column(id_col), pa.int64()),
+                         "hkey": pa.array(hk, pa.int64()),
+                         "bucket": pa.array(hk >> shift, pa.int64())})
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("neg_id", pa.int64())])
+
+    def ring(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("hkey", "ascending"),
+                                            (id_col, "ascending")])
+        ids = np.asarray(t.column(id_col).take(idx))
+        neg = np.roll(ids, -1)           # successor; last wraps to first
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "neg_id": pa.array(neg, pa.int64())})
+
+    return ds.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(ring, batch_format="pyarrow")

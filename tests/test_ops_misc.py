@@ -1653,3 +1653,43 @@ def test_tfidf_topk_empty_edge():
     assert top.num_rows == 0
     assert top.column_names == ["doc_id", "score"]
     assert top.schema.field("doc_id").type == pa.int64()
+
+
+def test_contrastive_pairs_matches_bruteforce():
+    """contrastive_pairs vs a per-bucket Python hash ring: bijection
+    (every doc appears once as anchor and once as negative), seed
+    changes the pairing, ring wrap works."""
+    from go_distributed_log_search_ray.stages.sampling import (
+        contrastive_pairs)
+    import hashlib
+
+    ids = list(range(1, 301))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    def brute(seed, k_bits=6):
+        hk = {i: int.from_bytes(
+            hashlib.md5(f"{i}:{seed}".encode()).digest()[:8],
+            "big") >> 1 for i in ids}
+        from collections import defaultdict
+        buckets = defaultdict(list)
+        for i in ids:
+            buckets[hk[i] >> (63 - k_bits)].append(i)
+        want = {}
+        for b, members in buckets.items():
+            members.sort(key=lambda i: (hk[i], i))
+            for a, n in zip(members, members[1:] + members[:1]):
+                want[a] = n
+        return want
+
+    got = contrastive_pairs(ray.data.from_arrow(t), "doc_id",
+                            seed=0, num_buckets=64).to_pandas()
+    have = dict(zip(got["doc_id"], got["neg_id"]))
+    assert have == brute(0)
+    assert sorted(have) == ids                    # every doc an anchor
+    assert sorted(have.values()) == ids           # bijection
+
+    got7 = contrastive_pairs(ray.data.from_arrow(t), "doc_id",
+                             seed=7, num_buckets=64).to_pandas()
+    have7 = dict(zip(got7["doc_id"], got7["neg_id"]))
+    assert have7 == brute(7)
+    assert have7 != have                          # seed changes pairing
