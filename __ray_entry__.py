@@ -696,6 +696,17 @@ def _doc_balanced_sample_agg(sf_dir: str):
         .select(["lang", "n_docs", "id_sum"])
 
 
+def _doc_vocab_nucleus(sf_dir: str):
+    """Tokenizer-budget census: smallest frequency-ranked vocabulary
+    covering 90% of corpus token mass
+    (stages/textstats.vocab_nucleus -- one O(distinct) count shuffle,
+    exact-integer cumsum cut)."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        vocab_nucleus)
+    ds = _read_table(sf_dir, "documents", columns=["text"])
+    return vocab_nucleus(ds, coverage_pm=900)
+
+
 def _doc_contrastive_pairs(sf_dir: str):
     """Contrastive training-pair generation: one deterministic random
     negative per doc via per-bucket md5 hash-ring successor
@@ -1922,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the scale-path supersets of their rotated siblings)
         "doc_curriculum_sample_agg": _doc_curriculum_sample_agg,
         "doc_freq_spectrum": _doc_freq_spectrum,
+        "doc_vocab_nucleus": _doc_vocab_nucleus,
         "events_promo_overlap_agg": _events_promo_overlap_agg,
         "doc_epoch_order": _doc_epoch_order,
         "doc_chunks": _doc_chunks,
@@ -2134,6 +2146,28 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
                        AS chi2_scaled
             FROM cells""",
+        "doc_vocab_nucleus": """
+            WITH toks AS (
+                SELECT t.tok
+                FROM documents,
+                     unnest(string_split_regex(coalesce(lower(text), ''),
+                                               '\\s+')) AS t(tok)
+                WHERE t.tok <> ''),
+            uni AS (SELECT tok AS term, count(*) AS n
+                    FROM toks GROUP BY 1),
+            ranked AS (
+                SELECT term, n,
+                       sum(n) OVER (ORDER BY n DESC, term ASC) AS cum
+                FROM uni),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM uni),
+            cut AS (SELECT min(cum) AS covered
+                    FROM ranked CROSS JOIN tot
+                    WHERE 1000 * cum >= 900 * tot.t)
+            SELECT (SELECT count(*) FROM ranked CROSS JOIN cut
+                    WHERE ranked.cum <= cut.covered) AS n_terms,
+                   CAST(cut.covered AS BIGINT) AS covered,
+                   tot.t AS total
+            FROM cut CROSS JOIN tot""",
         "doc_contrastive_pairs": """
             WITH h AS (
                 SELECT doc_id,

@@ -974,3 +974,30 @@ def compress_ratio_agg(ds, text_col: str = "text", level: int = 6,
     return pa.table({k: pa.array([int(agg[k])], pa.int64())
                      for k in ("n_docs", "n_repetitive", "n_noisy",
                                "ratio_sum")})
+
+
+def vocab_nucleus(ds, coverage_pm: int = 900, text_col: str = "text"):
+    """Nucleus-vocabulary census: the size of the smallest
+    frequency-ranked vocabulary covering ``coverage_pm`` per-mille of
+    the corpus token mass -- the tokenizer-budget planning number.
+    One O(distinct) count shuffle; the fold is a driver-side cumsum
+    over the (vocab-sized) count table, exact integers: the cut is the
+    first rank where ``1000 * cumsum >= coverage_pm * total``."""
+    from ..functions.tableops import small_table
+
+    uni = small_table(global_token_counts(ds, text_col),
+                      int64_cols=["n"])
+    empty = pa.table({"n_terms": pa.array([], pa.int64()),
+                      "covered": pa.array([], pa.int64()),
+                      "total": pa.array([], pa.int64())})
+    if uni.num_rows == 0:
+        return empty
+    idx = pc.sort_indices(uni, sort_keys=[("n", "descending"),
+                                          ("term", "ascending")])
+    counts = np.asarray(uni.column("n").take(idx), dtype=np.int64)
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    k = int(np.searchsorted(1000 * cum, coverage_pm * total, side="left")) + 1
+    return pa.table({"n_terms": pa.array([k], pa.int64()),
+                     "covered": pa.array([int(cum[k - 1])], pa.int64()),
+                     "total": pa.array([total], pa.int64())})

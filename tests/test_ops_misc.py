@@ -1693,3 +1693,44 @@ def test_contrastive_pairs_matches_bruteforce():
     have7 = dict(zip(got7["doc_id"], got7["neg_id"]))
     assert have7 == brute(7)
     assert have7 != have                          # seed changes pairing
+
+
+def test_vocab_nucleus_matches_bruteforce():
+    """vocab_nucleus vs a Python cumsum over the ranked vocabulary:
+    Zipf-ish corpus where a handful of head terms covers the target;
+    coverage_pm=1000 needs the whole vocabulary; empty corpus -> empty."""
+    from go_distributed_log_search_ray.stages.textstats import (
+        vocab_nucleus)
+    import re
+    from collections import Counter
+
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i}" for i in range(60)]
+    weights = np.array([1.0 / (i + 1) for i in range(60)])
+    weights /= weights.sum()
+    docs = [" ".join(rng.choice(vocab, 50, p=weights))
+            for _ in range(100)]
+    t = pa.table({"text": pa.array(docs, pa.string())})
+
+    cnt = Counter()
+    for d in docs:
+        cnt.update(w for w in re.split(r"\s+", d.lower()) if w)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+
+    for pm in (500, 900, 1000):
+        cum, k = 0, 0
+        for _, n in ranked:
+            cum += n
+            k += 1
+            if 1000 * cum >= pm * total:
+                break
+        got = vocab_nucleus(ray.data.from_arrow(t), coverage_pm=pm) \
+            .to_pylist()[0]
+        assert (got["n_terms"], got["covered"], got["total"]) \
+            == (k, cum, total)
+    assert vocab_nucleus(ray.data.from_arrow(t), 1000) \
+        .to_pylist()[0]["n_terms"] == len(ranked)
+
+    nulls = pa.table({"text": pa.array([None, None], pa.string())})
+    assert vocab_nucleus(ray.data.from_arrow(nulls)).num_rows == 0
