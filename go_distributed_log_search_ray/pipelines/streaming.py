@@ -344,7 +344,8 @@ def tail_windowed_ingest(in_dir: str, out_dir: str,
                          window_us: int = WINDOW_US,
                          max_batches: int | None = None,
                          max_idle_polls: int = 3,
-                         poll_interval_s: float = 0.2) -> dict:
+                         poll_interval_s: float = 0.2,
+                         allowed_lateness_us: int | None = None) -> dict:
     """The reference's actual streaming mode (Kafka partitions feeding
     commit-interval cuts, src/commands/index.go:107-122): consume a
     GROWING directory of ``{shard}_{seq}.parquet`` files, fanning each
@@ -356,13 +357,30 @@ def tail_windowed_ingest(in_dir: str, out_dir: str,
     between write and commit leaves only invisible files and resume
     redelivers exactly once.  A window's total = the sum over committed
     batches (windows stay open forever, like the reference's per-segment
-    id-upserts: exactness is per batch, aggregation is additive)."""
+    id-upserts: exactness is per batch, aggregation is additive).
+
+    ``allowed_lateness_us`` (beyond-reference: the reference has no
+    watermark/late-data semantics, index.go:107-122) turns on an
+    event-time WATERMARK = max event ts across all COMMITTED batches
+    minus the lateness budget.  Rows older than the watermark at their
+    poll are routed to a ``late/`` side sink inside the same batch
+    root and commit in the SAME manifest entry (``late_rows``), so the
+    split inherits the batch's exactly-once unit; window totals then
+    become final once the watermark passes them.  The watermark
+    advances only on commit (stored per entry as ``max_ts``), so
+    resume recomputes it exactly."""
     from ..sources.tail import DirectoryTailSource, committed_offsets
 
     manifest = Manifest(out_dir)
     seqs, bid = committed_offsets(manifest, "tail_window")
     src = DirectoryTailSource(in_dir, seqs)
     sinks_root = os.path.join(out_dir, "sinks")
+    # watermark state: max event ts across committed batches (resume
+    # recomputes it exactly from the manifest)
+    max_ts_committed = max(
+        (e["max_ts"] for e in manifest.entries()
+         if e.get("kind") == "tail_window" and e.get("max_ts") is not None),
+        default=None)
 
     batches = 0
     rows = 0
@@ -380,10 +398,36 @@ def tail_windowed_ingest(in_dir: str, out_dir: str,
         broot = os.path.join(sinks_root, f"b{bid:05d}")
         if os.path.isdir(broot):
             shutil.rmtree(broot)         # uncommitted leftovers: invisible
-        ds = src.read(files).map_batches(
+        batch_max_ts = _ts_footer_stats(files)[1]
+        wm = (max_ts_committed - allowed_lateness_us
+              if allowed_lateness_us is not None
+              and max_ts_committed is not None else None)
+
+        def split(b: pa.Table, late: bool) -> pa.Table:
+            e = np.asarray(b.column("ts").cast(pa.timestamp("us"))
+                           .cast(pa.int64()))
+            m = e < wm
+            return b.filter(pa.array(m if late else ~m))
+
+        tagged = src.read(files).map_batches(
             lambda b: _tag_window(b, window_us), batch_format="pyarrow")
-        ds.write_parquet(broot, partition_cols=["window_id"],
-                         row_group_size=131072)
+        n_late = 0
+        if wm is not None:
+            # side sink OUTSIDE sinks/ so window partition discovery
+            # never sees late files; same crash semantics as broot
+            late_dir = os.path.join(out_dir, "late", f"b{bid:05d}")
+            if os.path.isdir(late_dir):
+                shutil.rmtree(late_dir)
+            tagged.map_batches(lambda b: split(b, True),
+                               batch_format="pyarrow") \
+                .write_parquet(late_dir, row_group_size=131072)
+            n_late = int(pads.dataset(late_dir).count_rows()) \
+                if os.path.isdir(late_dir) else 0
+            tagged = src.read(files).map_batches(
+                lambda b: split(_tag_window(b, window_us), False),
+                batch_format="pyarrow")
+        tagged.write_parquet(broot, partition_cols=["window_id"],
+                             row_group_size=131072)
         wids = [int(d.split("=", 1)[1]) for d in
                 (sorted(os.listdir(broot)) if os.path.isdir(broot) else [])
                 if d.startswith("window_id=")]
@@ -396,19 +440,25 @@ def tail_windowed_ingest(in_dir: str, out_dir: str,
             "window_us": window_us,
             "window_rows": {str(k): int(v) for k, v in per_window.items()},
             "row_count": int(n),
+            "late_rows": int(n_late),
+            "max_ts": int(batch_max_ts),
             "sinks": {f"batch={bid}": {"rows": int(n), "bytes": 0}},
             "metrics": {},
         })
+        max_ts_committed = (batch_max_ts if max_ts_committed is None
+                            else max(max_ts_committed, batch_max_ts))
         src.ack(files)
         rows += int(n)
         bid += 1
         batches += 1
+    final_entries = [e for e in Manifest(out_dir).entries()
+                     if e.get("kind") == "tail_window"]
     return {
         "batches_this_run": batches,
         "rows_this_run": rows,
         "window_rows": window_rows(out_dir),
-        "total_rows": sum(e["row_count"] for e in Manifest(out_dir).entries()
-                          if e.get("kind") == "tail_window"),
+        "total_rows": sum(e["row_count"] for e in final_entries),
+        "late_rows": sum(e.get("late_rows", 0) for e in final_entries),
     }
 
 

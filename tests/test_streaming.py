@@ -265,3 +265,64 @@ def test_sliding_window_agg_edges():
             if s <= ts < s + 10:
                 want[s] = want.get(s, 0) + 1
     assert got == want
+
+
+def test_tail_windowed_watermark_routes_late_rows(tmp_path):
+    """allowed_lateness: rows older than (max committed ts - lateness)
+    at their poll go to the late/ side sink inside the same atomic
+    batch; window totals exclude them; the watermark survives resume;
+    the first batch (no watermark yet) never routes late."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.pipelines.streaming import (
+        tail_windowed_ingest, window_rows)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    late_us = WINDOW_US  # 1-window lateness budget
+
+    def emit(shard, seq, hours):
+        ts = pa.array([h * WINDOW_US + 5 for h in hours],
+                      pa.timestamp("us"))
+        pq.write_table(pa.table({"ts": ts,
+                                 "v": list(range(len(hours)))}),
+                       os.path.join(src, f"{shard}_{seq:04d}.parquet"))
+
+    # batch 0: no committed watermark -> nothing late, even old rows
+    emit("s0", 0, [0, 5])
+    r1 = tail_windowed_ingest(src, out, max_batches=1,
+                              allowed_lateness_us=late_us)
+    assert r1["window_rows"] == {0: 1, 5: 1}
+    assert r1["late_rows"] == 0
+
+    # batch 1: watermark = 5h+5us - 1h; hour-3 row is late, hour-5 ok
+    emit("s0", 1, [3, 5])
+    r2 = tail_windowed_ingest(src, out, max_batches=1,
+                              allowed_lateness_us=late_us)
+    assert r2["late_rows"] == 1
+    assert window_rows(out) == {0: 1, 5: 2}
+
+    # crash/resume: retire last entry; watermark recomputed from the
+    # manifest gives the SAME split on redelivery
+    m = Manifest(out)
+    m.retire(1)
+    r3 = tail_windowed_ingest(src, out, max_batches=1,
+                              allowed_lateness_us=late_us)
+    assert r3["late_rows"] == 1
+    assert window_rows(out) == {0: 1, 5: 2}
+    assert r3["total_rows"] == 3
+
+    # late bytes actually exist in the side sink, with window ids
+    import glob as g
+    late_files = g.glob(os.path.join(out, "late", "b*", "*"))
+    assert late_files
+    late = pa.concat_tables([pq.read_table(f) for f in late_files])
+    assert late.num_rows == 1
+    assert late.column("window_id").to_pylist() == [3]
+
+    # lateness OFF keeps the additive windows-stay-open behavior
+    out2 = str(tmp_path / "out2")
+    tail_windowed_ingest(src, out2, max_batches=2)
+    assert window_rows(out2) == {0: 1, 3: 1, 5: 2}
