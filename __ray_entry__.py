@@ -696,6 +696,66 @@ def _doc_balanced_sample_agg(sf_dir: str):
         .select(["lang", "n_docs", "id_sum"])
 
 
+def _orders_customer_merge_join(sf_dir: str):
+    """SHUFFLE-FREE co-clustered merge join: orders and customer each
+    written once as range-clustered parquet on custkey
+    (stages/clusterwrite.write_clustered, idempotent), then
+    merge_join_clustered pairs overlapping zone ranges -- no hash
+    exchange of either side.  Aggregate: order count + price cents per
+    market segment."""
+    import os
+
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        merge_join_clustered, write_clustered)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    orders = _read_table(sf_dir, "orders",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "custkey": b.column("o_custkey"),
+            "price_cents": pc.cast(pc.floor(pc.multiply(
+                b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())})
+
+    dir_o = f"/tmp/graft_clustered_ordcust_{tag}"
+    write_clustered(orders.map_batches(prep_o, batch_format="pyarrow"),
+                    dir_o, key="custkey", id_col="o_orderkey")
+
+    cust = _read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment"])
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        return pa.table({"custkey": b.column("c_custkey"),
+                         "c_custkey": b.column("c_custkey"),
+                         "c_mktsegment": b.column("c_mktsegment")})
+
+    dir_c = f"/tmp/graft_clustered_custseg_{tag}"
+    write_clustered(cust.map_batches(prep_c, batch_format="pyarrow"),
+                    dir_c, key="custkey", id_col="c_custkey")
+
+    joined = merge_join_clustered(dir_o, dir_c, "custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["c_mktsegment"]).aggregate(
+            [("o_orderkey", "count"), ("price_cents", "sum")])
+        return g.rename_columns(["c_mktsegment", "n_orders",
+                                 "price_cents"])
+
+    from ray.data.aggregate import Sum
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment") \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("price_cents", alias_name="price_cents"))
+    return small_table(agg, sort_keys=["c_mktsegment"],
+                       int64_cols=["n_orders", "price_cents"]) \
+        .select(["c_mktsegment", "n_orders", "price_cents"])
+
+
 def _doc_vocab_nucleus(sf_dir: str):
     """Tokenizer-budget census: smallest frequency-ranked vocabulary
     covering 90% of corpus token mass
@@ -1915,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_window": R.events_dedup_window,
         "events_chi2_type_hour": R.events_chi2_type_hour,
         "doc_contrastive_pairs": _doc_contrastive_pairs,
+        "orders_customer_merge_join": _orders_customer_merge_join,
         # never/rarely driver-checked (VERDICT r3 item 1) -- keep first
         "doc_tfidf_topk": _doc_tfidf_topk,
         "doc_top_terms_by_lang": _doc_top_terms_by_lang,
@@ -2146,6 +2207,13 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
                        AS chi2_scaled
             FROM cells""",
+        "orders_customer_merge_join": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents
+            FROM orders o JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1""",
         "doc_vocab_nucleus": """
             WITH toks AS (
                 SELECT t.tok

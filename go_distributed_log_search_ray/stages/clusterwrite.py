@@ -116,3 +116,73 @@ def read_clustered(out_dir: str, lo=None, hi=None,
         return ray.data.read_parquet(man[0]["path"], columns=columns) \
             .limit(0)
     return ray.data.read_parquet(files, columns=columns)
+
+
+def merge_join_clustered(dir_a: str, dir_b: str, key: str,
+                         columns_a=None, columns_b=None) -> Dataset:
+    """SHUFFLE-FREE equi-join of two range-clustered tables: when both
+    sides were written by ``write_clustered`` on the join key, each
+    A file's key range selects the overlapping B files from B's zone
+    manifest, and one task joins that pair -- no hash exchange of
+    either side, the classic co-clustered merge-join plan.
+
+    Correctness under boundary overlap: every A row lives in exactly
+    one A file and every B row in exactly one B file, and a task reads
+    ALL B files overlapping its A file's range, so each (a, b) pair is
+    produced exactly once even when a hot key straddles partition
+    boundaries (B-side filtered to the A range before the join keeps
+    the task's memory bounded by the range, not the file).
+
+    Scale shape: the task list is the A manifest (metadata only);
+    read amplification is bounded by B files per A range (1-2 for
+    similar partition counts).  Skewed hot keys cost re-reads of the
+    hot B file, never a shuffle."""
+    import ray.data
+
+    with open(os.path.join(dir_a, "manifest.json"), encoding="utf-8") as f:
+        man_a = json.load(f)
+    with open(os.path.join(dir_b, "manifest.json"), encoding="utf-8") as f:
+        man_b = json.load(f)
+    man_b = sorted(man_b, key=lambda r: r["min_key"])
+
+    def task(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            a = pq.read_table(row["path"], columns=columns_a)
+            lo, hi = row["min_key"], row["max_key"]
+            b_files = [r["path"] for r in man_b
+                       if r["max_key"] >= lo and r["min_key"] <= hi]
+            if not b_files or a.num_rows == 0:
+                continue
+            b = pa.concat_tables(
+                [pq.read_table(p, columns=columns_b) for p in b_files])
+            b = b.filter(pc.and_(pc.greater_equal(b.column(key), lo),
+                                 pc.less_equal(b.column(key), hi)))
+            if b.num_rows == 0:
+                continue
+            out.append(a.join(b, keys=[key], join_type="inner"))
+        if not out:
+            return None
+        return pa.concat_tables(out, promote_options="default")
+
+    tasks = ray.data.from_arrow(
+        pa.table({"path": pa.array([r["path"] for r in man_a]),
+                  "min_key": pa.array([r["min_key"] for r in man_a],
+                                      pa.int64()),
+                  "max_key": pa.array([r["max_key"] for r in man_a],
+                                      pa.int64())}))
+
+    empty = _empty_like(dir_a, key, columns_a, dir_b, columns_b)
+    return tasks.map_batches(lambda b: task(b) or empty,
+                             batch_size=1, batch_format="pyarrow")
+
+
+def _empty_like(dir_a, key, columns_a, dir_b, columns_b) -> pa.Table:
+    """Zero-row table with the joined schema (for empty task outputs)."""
+    with open(os.path.join(dir_a, "manifest.json"), encoding="utf-8") as f:
+        pa_path = json.load(f)[0]["path"]
+    with open(os.path.join(dir_b, "manifest.json"), encoding="utf-8") as f:
+        pb_path = json.load(f)[0]["path"]
+    a = pq.read_table(pa_path, columns=columns_a).slice(0, 0)
+    b = pq.read_table(pb_path, columns=columns_b).slice(0, 0)
+    return a.join(b, keys=[key], join_type="inner")

@@ -1462,3 +1462,48 @@ def test_append_band_snapshot_makes_survivors_visible(tmp_path):
         ray.data.from_arrow(t2), d).take_all()}
     assert sum(v2[i] for i in range(200, 205)) >= 4  # near-copies caught
     assert not any(v2[i] for i in range(205, 210))   # fresh pass
+
+
+def test_merge_join_clustered_shuffle_free_exact(tmp_path):
+    """Co-clustered merge join: two tables written clustered on the
+    join key pair up file-by-file with no hash exchange, and the
+    result equals pyarrow's reference join exactly -- including when
+    a hot key straddles A-file partition boundaries (the id tiebreak
+    splits one key across files; every B row with that key must meet
+    EVERY A row with it, exactly once)."""
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        merge_join_clustered, write_clustered)
+
+    rng = np.random.default_rng(7)
+    n_a = 20_000
+    # hot key 555 owns ~30% of A -> guaranteed to straddle boundaries
+    ka = np.where(rng.random(n_a) < 0.3, 555,
+                  rng.integers(0, 5_000, n_a)).astype(np.int64)
+    a = pa.table({"k": pa.array(ka),
+                  "aid": pa.array(np.arange(n_a), pa.int64())})
+    kb = rng.integers(0, 5_000, 3_000).astype(np.int64)
+    kb[:5] = 555                                  # hot key on B too
+    b = pa.table({"k": pa.array(kb),
+                  "bid": pa.array(np.arange(3_000), pa.int64()),
+                  "seg": pa.array((kb % 3).astype(np.int64))})
+
+    da = str(tmp_path / "a")
+    db = str(tmp_path / "b")
+    write_clustered(ray.data.from_arrow(a).repartition(6), da,
+                    key="k", id_col="aid", num_partitions=16)
+    write_clustered(ray.data.from_arrow(b).repartition(4), db,
+                    key="k", id_col="bid", num_partitions=8)
+
+    import json
+    man_a = json.load(open(f"{da}/manifest.json"))
+    hot = [r for r in man_a if r["min_key"] <= 555 <= r["max_key"]]
+    assert len(hot) >= 2                          # straddle actually happens
+
+    got = merge_join_clustered(da, db, "k").to_pandas()
+    want = a.join(b, keys=["k"], join_type="inner").to_pandas()
+    key3 = ["k", "aid", "bid"]
+    got_s = got.sort_values(key3).reset_index(drop=True)
+    want_s = want.sort_values(key3).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    for c in key3 + ["seg"]:
+        assert got_s[c].tolist() == want_s[c].tolist()
