@@ -756,6 +756,49 @@ def _orders_customer_merge_join(sf_dir: str):
         .select(["c_mktsegment", "n_orders", "price_cents"])
 
 
+def _lineitem_pagerank(sf_dir: str):
+    """Integer-exact distributed PageRank (stages/graph.py) over the
+    symmetric order<->part bipartite graph from lineitem: node ids
+    2*orderkey / 2*partkey+1, 3 sweeps, damping 17/20, scale 1e6.
+    Each sweep = one co-partitioned hash join (edges x ranks) + one
+    pre-aggregated contribution shuffle; top-20 nodes by rank."""
+    from go_distributed_log_search_ray.functions.tableops import (
+        global_topk)
+    from go_distributed_log_search_ray.stages.graph import (
+        pagerank_integer)
+    from ray.data.aggregate import Count
+
+    li = _read_table(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_partkey"])
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        s = pc.multiply(b.column("l_orderkey").cast(pa.int64()),
+                        pa.scalar(2, pa.int64()))
+        d = pc.add(pc.multiply(b.column("l_partkey").cast(pa.int64()),
+                               pa.scalar(2, pa.int64())),
+                   pa.scalar(1, pa.int64()))
+        return pa.table({"src": s, "dst": d})
+
+    e0 = li.map_batches(mk_edges, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="n")) \
+        .select_columns(["src", "dst"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("dst").cast(pa.int64()),
+                         "dst": b.column("src").cast(pa.int64())})
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src").cast(pa.int64()),
+                         "dst": b.column("dst").cast(pa.int64())})
+
+    edges = e0.map_batches(fwd, batch_format="pyarrow") \
+        .union(e0.map_batches(rev, batch_format="pyarrow"))
+    ranks = pagerank_integer(edges, iterations=3)
+    return global_topk(ranks, 20, [("r", "descending"),
+                                   ("node", "ascending")]) \
+        .select(["node", "r"])
+
+
 def _doc_vocab_nucleus(sf_dir: str):
     """Tokenizer-budget census: smallest frequency-ranked vocabulary
     covering 90% of corpus token mass
@@ -1975,7 +2018,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_window": R.events_dedup_window,
         "events_chi2_type_hour": R.events_chi2_type_hour,
         "doc_contrastive_pairs": _doc_contrastive_pairs,
-        "orders_customer_merge_join": _orders_customer_merge_join,
         # never/rarely driver-checked (VERDICT r3 item 1) -- keep first
         "doc_tfidf_topk": _doc_tfidf_topk,
         "doc_top_terms_by_lang": _doc_top_terms_by_lang,
@@ -1986,6 +2028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_agg": _media_audio_agg,
         "media_ulaw_agg": _media_ulaw_agg,
         "media_video_agg": _media_video_agg,
+        "orders_customer_merge_join": _orders_customer_merge_join,
+        "lineitem_pagerank": _lineitem_pagerank,
         # rotated just past the window: operators subsumed by an
         # in-window sibling (doc_pmi_bigrams drives bigram_counts;
         # the join family has five driver-green rows + pytest;
@@ -2207,6 +2251,39 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
                        AS chi2_scaled
             FROM cells""",
+        "lineitem_pagerank": """
+            WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS s,
+                                        l_partkey * 2 + 1 AS d
+                        FROM lineitem),
+            edges AS (SELECT s, d FROM e0
+                      UNION ALL SELECT d AS s, s AS d FROM e0),
+            deg AS (SELECT s, CAST(count(*) AS BIGINT) AS od
+                    FROM edges GROUP BY s),
+            nodes AS (SELECT DISTINCT s AS node FROM edges),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            r1 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(
+                       (r.r * 17) // (20 * g.od)), 0) AS BIGINT) AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.d = n.node
+                   LEFT JOIN deg g ON g.s = e.s
+                   LEFT JOIN r0 r ON r.node = e.s
+                   GROUP BY n.node),
+            r2 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(
+                       (r.r * 17) // (20 * g.od)), 0) AS BIGINT) AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.d = n.node
+                   LEFT JOIN deg g ON g.s = e.s
+                   LEFT JOIN r1 r ON r.node = e.s
+                   GROUP BY n.node),
+            r3 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(
+                       (r.r * 17) // (20 * g.od)), 0) AS BIGINT) AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.d = n.node
+                   LEFT JOIN deg g ON g.s = e.s
+                   LEFT JOIN r2 r ON r.node = e.s
+                   GROUP BY n.node)
+            SELECT node, r FROM r3
+            ORDER BY r DESC, node LIMIT 20""",
         "orders_customer_merge_join": """
             SELECT c.c_mktsegment, count(*) AS n_orders,
                    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))

@@ -1507,3 +1507,59 @@ def test_merge_join_clustered_shuffle_free_exact(tmp_path):
     assert len(got_s) == len(want_s)
     for c in key3 + ["seg"]:
         assert got_s[c].tolist() == want_s[c].tolist()
+
+
+def test_pagerank_integer_matches_reference_and_resumes(tmp_path):
+    """Integer PageRank equals a single-process numpy replica on a
+    graph with dangling nodes and multi-in-degree hubs; checkpointed
+    runs resume from the last finished iteration (later iterations'
+    checkpoints absent -> recomputed; present -> reused bit-for-bit)."""
+    from go_distributed_log_search_ray.stages.graph import (
+        pagerank_integer)
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 400, 3_000
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    # node 399 is dangling: strip its out-edges, keep some in-edges
+    keep = src != 399
+    src, dst = src[keep], dst[keep]
+    # dedupe edges (the operator takes edges as-given)
+    e = np.unique(np.stack([src, dst], axis=1), axis=0)
+    src, dst = e[:, 0], e[:, 1]
+
+    def ref(iters):
+        scale, dn, dd = 1_000_000, 17, 20
+        base = (scale * (dd - dn)) // dd
+        nodes = np.unique(np.concatenate([src, dst]))
+        od = {u: 0 for u in nodes}
+        for u in src:
+            od[u] += 1
+        r = {u: scale for u in nodes}
+        for _ in range(iters):
+            nxt = {u: base for u in nodes}
+            for u, v in zip(src, dst):
+                nxt[v] += (r[u] * dn) // (dd * od[u])
+            r = nxt
+        return r
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst)})).repartition(5)
+    got = {r["node"]: r["r"]
+           for r in pagerank_integer(edges, iterations=3).take_all()}
+    want = ref(3)
+    assert got == want
+    assert 399 in got                    # dangling node still ranked
+
+    # checkpointed run: identical result, and a second 4-iteration run
+    # reuses iterations 1-3 from disk (touch a sentinel to prove reuse)
+    ck = str(tmp_path / "pr")
+    got_ck = {r["node"]: r["r"] for r in pagerank_integer(
+        edges, iterations=3, checkpoint_dir=ck).take_all()}
+    assert got_ck == want
+    import os
+    assert os.path.exists(f"{ck}/iter_003/_SUCCESS")
+    # poison iter_002 data but keep _SUCCESS: resume must NOT rerun it
+    got_4 = {r["node"]: r["r"] for r in pagerank_integer(
+        edges, iterations=4, checkpoint_dir=ck).take_all()}
+    assert got_4 == ref(4)
