@@ -799,6 +799,66 @@ def _lineitem_pagerank(sf_dir: str):
         .select(["node", "r"])
 
 
+def _events_zorder_box_agg(sf_dir: str):
+    """Z-order (Morton) clustered layout + 2-D zone-map pruned box
+    query: events written once range-clustered on the interleaved
+    (hour, user_id) key with per-file min/max stats on BOTH dims
+    (stages/clusterwrite.zorder_key / stats_cols); the box query opens
+    only overlapping files and applies the exact residual filter."""
+    import os
+
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        read_clustered_box, write_clustered, zorder_key)
+    from ray.data.aggregate import Sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ev = _read_table(sf_dir, "events",
+                     columns=["event_id", "ts", "user_id", "value"])
+    US_PER_H = 3_600_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                         pa.scalar(US_PER_H, pa.int64()))
+        t = pa.table({
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "hour": hour,
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "value_cents": pc.cast(pc.floor(pc.multiply(
+                b.column("value"), pa.scalar(100.0))), pa.int64())})
+        return t.append_column(
+            "__z", zorder_key(t.column("hour"), t.column("user_id")))
+
+    dir_z = f"/tmp/graft_zorder_events_{tag}"
+    write_clustered(ev.map_batches(prep, batch_format="pyarrow"),
+                    dir_z, key="__z", id_col="event_id",
+                    stats_cols=["hour", "user_id"])
+
+    H_LO, H_HI, U_LO, U_HI = 473568, 473688, 3, 11   # Jan 10-15 2024
+    ds = read_clustered_box(
+        dir_z, {"hour": (H_LO, H_HI), "user_id": (U_LO, U_HI)},
+        columns=["hour", "user_id", "value_cents"])
+
+    def residual(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b.column("hour"), H_LO),
+                    pc.less(b.column("hour"), H_HI)),
+            pc.and_(pc.greater_equal(b.column("user_id"), U_LO),
+                    pc.less(b.column("user_id"), U_HI)))
+        t = b.filter(m)
+        s = pc.sum(t.column("value_cents")).as_py() or 0
+        return pa.table({"n_events": pa.array([t.num_rows], pa.int64()),
+                         "value_cents": pa.array([s], pa.int64())})
+
+    agg = ds.map_batches(residual, batch_format="pyarrow") \
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value_cents", alias_name="value_cents"))
+    import pandas as pd
+    return pd.DataFrame([{"n_events": int(agg["n_events"]),
+                          "value_cents": int(agg["value_cents"])}])
+
+
 def _doc_vocab_nucleus(sf_dir: str):
     """Tokenizer-budget census: smallest frequency-ranked vocabulary
     covering 90% of corpus token mass
@@ -2030,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_agg": _media_video_agg,
         "orders_customer_merge_join": _orders_customer_merge_join,
         "lineitem_pagerank": _lineitem_pagerank,
+        "events_zorder_box_agg": _events_zorder_box_agg,
         # rotated just past the window: operators subsumed by an
         # in-window sibling (doc_pmi_bigrams drives bigram_counts;
         # the join family has five driver-green rows + pytest;
@@ -2251,6 +2312,14 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
                        AS chi2_scaled
             FROM cells""",
+        "events_zorder_box_agg": """
+            SELECT count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events
+            WHERE epoch_us(ts) // 3600000000 >= 473568
+              AND epoch_us(ts) // 3600000000 < 473688
+              AND user_id >= 3 AND user_id < 11""",
         "lineitem_pagerank": """
             WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS s,
                                         l_partkey * 2 + 1 AS d

@@ -31,16 +31,49 @@ from .partitions import num_partitions as _default_partitions
 from .sortrank import _lex_searchsorted, _np, sample_boundaries
 
 
+def zorder_key(x: pa.Array | pa.ChunkedArray,
+               y: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Interleave the low 31 bits of two non-negative int columns into
+    one int64 Morton (Z-order) key: range-clustering on this key keeps
+    BOTH dimensions' per-file zone maps tight, so a 2-D box query
+    prunes files on either dimension (the Delta/Iceberg Z-ORDER BY
+    layout trick).  Raises on values outside [0, 2^31)."""
+    xs = _np(x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x)
+    ys = _np(y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y)
+    for v in (xs, ys):
+        if len(v) and (v.min() < 0 or v.max() >= (1 << 31)):
+            raise ValueError("zorder_key inputs must lie in [0, 2^31)")
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    z = spread(xs) | (spread(ys) << np.uint64(1))
+    return pa.array(z.astype(np.int64))
+
+
 def write_clustered(ds: Dataset, out_dir: str, key: str, id_col: str,
                     num_partitions: int | None = None,
-                    est_bytes: int | None = None) -> str:
+                    est_bytes: int | None = None,
+                    stats_cols: list[str] | None = None) -> str:
     """Write ``ds`` as range-clustered parquet under ``out_dir``;
     returns the dir.  Idempotent via ``_SUCCESS`` (a completed write is
-    never redone; a torn write is redone from scratch)."""
+    never redone; a torn write is redone from scratch).
+
+    ``stats_cols``: extra int columns whose per-file [min, max] are
+    recorded in the manifest -- multi-dimension zone maps.  With a
+    ``zorder_key`` cluster key these stay tight on EVERY interleaved
+    dimension, enabling ``read_clustered_box`` pruning."""
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    stats_cols = list(stats_cols or [])
     p = num_partitions or _default_partitions(est_bytes)
     bkeys, bids = sample_boundaries(ds, key, id_col, p)
 
@@ -52,7 +85,8 @@ def write_clustered(ds: Dataset, out_dir: str, key: str, id_col: str,
     man_schema = pa.schema([("part", pa.int64()), ("path", pa.string()),
                             ("min_key", pa.int64()),
                             ("max_key", pa.int64()),
-                            ("n_rows", pa.int64())])
+                            ("n_rows", pa.int64()),
+                            ("stats", pa.string())])
 
     def write_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -64,18 +98,24 @@ def write_clustered(ds: Dataset, out_dir: str, key: str, id_col: str,
         path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
         pq.write_table(t, path)
         k = t.column(key)
+        stats = {c: [pc.min(t.column(c)).as_py(),
+                     pc.max(t.column(c)).as_py()] for c in stats_cols}
         return pa.table({"part": pa.array([pid], pa.int64()),
                          "path": pa.array([path], pa.string()),
                          "min_key": pa.array([pc.min(k).as_py()],
                                              pa.int64()),
                          "max_key": pa.array([pc.max(k).as_py()],
                                              pa.int64()),
-                         "n_rows": pa.array([t.num_rows], pa.int64())},
+                         "n_rows": pa.array([t.num_rows], pa.int64()),
+                         "stats": pa.array([json.dumps(stats)],
+                                           pa.string())},
                         schema=man_schema)
 
     manifest = ds.map_batches(assign, batch_format="pyarrow") \
         .groupby("__part").map_groups(write_part, batch_format="pyarrow") \
         .take_all()
+    manifest = [dict(r, stats=json.loads(r.get("stats") or "{}"))
+                for r in manifest]
     with open(os.path.join(out_dir, "manifest.json"), "w",
               encoding="utf-8") as f:
         json.dump(sorted(manifest, key=lambda r: r["part"]), f)
@@ -186,3 +226,47 @@ def _empty_like(dir_a, key, columns_a, dir_b, columns_b) -> pa.Table:
     a = pq.read_table(pa_path, columns=columns_a).slice(0, 0)
     b = pq.read_table(pb_path, columns=columns_b).slice(0, 0)
     return a.join(b, keys=[key], join_type="inner")
+
+
+def pruned_files_box(out_dir: str,
+                     box: dict[str, tuple]) -> tuple[list[str], int]:
+    """Files whose recorded stats can intersect EVERY ``col: (lo, hi)``
+    half-open range in ``box`` (multi-dimension zone-map prune).
+    Returns (paths, total_file_count) so callers can assert/report the
+    prune ratio."""
+    with open(os.path.join(out_dir, "manifest.json"),
+              encoding="utf-8") as f:
+        man = json.load(f)
+    out = []
+    for r in man:
+        st = r.get("stats") or {}
+        keep = True
+        for col, (lo, hi) in box.items():
+            mn, mx = st[col]
+            if (lo is not None and mx < lo) or \
+               (hi is not None and mn >= hi):
+                keep = False
+                break
+        if keep:
+            out.append(r["path"])
+    return out, len(man)
+
+
+def read_clustered_box(out_dir: str, box: dict[str, tuple],
+                       columns=None) -> Dataset:
+    """Dataset over ONLY the files overlapping a multi-dimension box;
+    rows still need the residual per-row filter (zone maps are coarse).
+    With a ``zorder_key`` layout, pruning bites on every interleaved
+    dimension instead of just the leading sort column."""
+    import ray.data
+
+    files, total = pruned_files_box(out_dir, box)
+    if not files:
+        with open(os.path.join(out_dir, "manifest.json"),
+                  encoding="utf-8") as f:
+            man = json.load(f)
+        if not man:
+            raise FileNotFoundError(f"empty clustered dir {out_dir}")
+        return ray.data.read_parquet(man[0]["path"], columns=columns) \
+            .limit(0)
+    return ray.data.read_parquet(files, columns=columns)

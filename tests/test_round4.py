@@ -1563,3 +1563,63 @@ def test_pagerank_integer_matches_reference_and_resumes(tmp_path):
     got_4 = {r["node"]: r["r"] for r in pagerank_integer(
         edges, iterations=4, checkpoint_dir=ck).take_all()}
     assert got_4 == ref(4)
+
+
+def test_zorder_box_prunes_both_dims(tmp_path):
+    """Morton-key clustering keeps 2-D zone maps tight: a narrow box on
+    (x, y) opens only a small fraction of files, prunes on BOTH
+    dimensions (a linear-on-x layout would only prune on x), and the
+    residual-filtered rows equal a brute-force scan."""
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        pruned_files_box, read_clustered_box, write_clustered,
+        zorder_key)
+
+    rng = np.random.default_rng(7)
+    n = 40_000
+    x = rng.integers(0, 1024, n).astype(np.int64)
+    y = rng.integers(0, 1024, n).astype(np.int64)
+    t = pa.table({"x": pa.array(x), "y": pa.array(y),
+                  "id": pa.array(np.arange(n), pa.int64())})
+    t = t.append_column("__z", zorder_key(t.column("x"), t.column("y")))
+
+    # Morton key interleaves bits: check against a scalar reference
+    def morton_ref(a, b):
+        out = 0
+        for i in range(31):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+    zs = t.column("__z").to_pylist()
+    for i in [0, 17, 999, n - 1]:
+        assert zs[i] == morton_ref(int(x[i]), int(y[i]))
+    with pytest.raises(ValueError):
+        zorder_key(pa.array([-1], pa.int64()), pa.array([0], pa.int64()))
+
+    out = str(tmp_path / "z")
+    write_clustered(ray.data.from_arrow(t).repartition(6), out,
+                    key="__z", id_col="id", num_partitions=64,
+                    stats_cols=["x", "y"])
+
+    box = {"x": (100, 160), "y": (800, 880)}
+    files, total = pruned_files_box(out, box)
+    assert total >= 32
+    assert 0 < len(files) <= total / 4      # real 2-D pruning
+
+    # pruning bites on y alone too (linear-on-x layouts cannot)
+    files_y, _ = pruned_files_box(out, {"y": (800, 880)})
+    assert len(files_y) < total
+
+    got = read_clustered_box(out, box, columns=["x", "y", "id"]) \
+        .to_pandas()
+    got = got[(got["x"] >= 100) & (got["x"] < 160) &
+              (got["y"] >= 800) & (got["y"] < 880)]
+    want = (x >= 100) & (x < 160) & (y >= 800) & (y < 880)
+    assert sorted(got["id"].tolist()) == sorted(
+        np.arange(n)[want].tolist())
+
+    # empty box: zero files, empty dataset with the right schema
+    files0, _ = pruned_files_box(out, {"x": (5000, 6000)})
+    assert files0 == []
+    empty = read_clustered_box(out, {"x": (5000, 6000)},
+                               columns=["x", "id"])
+    assert empty.count() == 0
