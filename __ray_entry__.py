@@ -859,6 +859,90 @@ def _events_zorder_box_agg(sf_dir: str):
                           "value_cents": int(agg["value_cents"])}])
 
 
+def _orders_merge_cdc_agg(sf_dir: str):
+    """Lakehouse-style MERGE INTO: orders clustered on its primary key
+    (stages/clusterwrite.write_clustered), then a deterministic CDC
+    delta (price updates for orderkey%7==0, deletes for %13==0,
+    brand-new inserts for %97==0) is merged copy-on-write
+    (merge_clustered: only touched files rewritten, atomic manifest
+    swap, idempotent re-apply).  Aggregate over the MERGED table:
+    row count + exact price cents per custkey%10 bucket."""
+    import os
+
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        merge_clustered, read_clustered, write_clustered)
+    from ray.data.aggregate import Count, Sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    orders = _read_table(sf_dir, "orders",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+    # insert-key offset from the SOURCE table (stable across re-runs
+    # even after the clustered base has been merged)
+    m = int(orders.max("o_orderkey"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column("o_orderkey").cast(pa.int64()),
+            "c": b.column("o_custkey").cast(pa.int64()),
+            "cents": pc.cast(pc.floor(pc.multiply(
+                b.column("o_totalprice"), pa.scalar(100.0))),
+                pa.int64())})
+
+    base_dir = f"/tmp/graft_mergecdc_v1_{tag}"
+    write_clustered(orders.map_batches(prep, batch_format="pyarrow"),
+                    base_dir, key="k", id_col="k")
+
+    def make_delta(b: pa.Table) -> pa.Table:
+        t = prep(b)
+        k = t.column("k")
+        mod7 = pc.subtract(k, pc.multiply(pc.divide(k, 7), 7))
+        mod13 = pc.subtract(k, pc.multiply(pc.divide(k, 13), 13))
+        mod97 = pc.subtract(k, pc.multiply(pc.divide(k, 97), 97))
+        is_upd = pc.and_(pc.equal(mod7, 0), pc.not_equal(mod13, 0))
+        is_del = pc.and_(pc.equal(mod13, 0), pc.not_equal(mod7, 0))
+        is_ins = pc.equal(mod97, 0)
+        upd = t.filter(is_upd)
+        upd = pa.table({"k": upd.column("k"), "c": upd.column("c"),
+                        "cents": pc.add(upd.column("cents"),
+                                        pa.scalar(1000, pa.int64())),
+                        "op": pa.array(["upsert"] * upd.num_rows)})
+        dele = t.filter(is_del)
+        dele = pa.table({"k": dele.column("k"), "c": dele.column("c"),
+                         "cents": pa.array([0] * dele.num_rows,
+                                           pa.int64()),
+                         "op": pa.array(["delete"] * dele.num_rows)})
+        ins = t.filter(is_ins)
+        ins = pa.table({"k": pc.add(ins.column("k"),
+                                    pa.scalar(m + 1, pa.int64())),
+                        "c": ins.column("c"),
+                        "cents": pa.array([12345] * ins.num_rows,
+                                          pa.int64()),
+                        "op": pa.array(["upsert"] * ins.num_rows)})
+        return pa.concat_tables([upd, dele, ins])
+
+    delta = orders.map_batches(make_delta, batch_format="pyarrow")
+    merge_clustered(base_dir, delta, key="k", id_col="k", op_col="op")
+
+    merged = read_clustered(base_dir)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        c = b.column("c")
+        return pa.table({
+            "cgrp": pc.subtract(c, pc.multiply(pc.divide(c, 10), 10)),
+            "cents": b.column("cents")})
+
+    agg = merged.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("cgrp") \
+        .aggregate(Count(alias_name="n_rows"),
+                   Sum("cents", alias_name="sum_cents"))
+    return small_table(agg, sort_keys=["cgrp"],
+                       int64_cols=["cgrp", "n_rows", "sum_cents"]) \
+        .select(["cgrp", "n_rows", "sum_cents"])
+
+
 def _doc_vocab_nucleus(sf_dir: str):
     """Tokenizer-budget census: smallest frequency-ranked vocabulary
     covering 90% of corpus token mass
@@ -2091,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_merge_join": _orders_customer_merge_join,
         "lineitem_pagerank": _lineitem_pagerank,
         "events_zorder_box_agg": _events_zorder_box_agg,
+        "orders_merge_cdc_agg": _orders_merge_cdc_agg,
         # rotated just past the window: operators subsumed by an
         # in-window sibling (doc_pmi_bigrams drives bigram_counts;
         # the join family has five driver-green rows + pytest;
@@ -2320,6 +2405,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(ts) // 3600000000 >= 473568
               AND epoch_us(ts) // 3600000000 < 473688
               AND user_id >= 3 AND user_id < 11""",
+        "orders_merge_cdc_agg": """
+            WITH base AS (
+                SELECT o_orderkey AS k, o_custkey AS c,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+            mx AS (SELECT max(k) AS m FROM base),
+            upd AS (SELECT k, c, cents + 1000 AS cents FROM base
+                    WHERE k % 7 = 0 AND k % 13 <> 0),
+            del AS (SELECT k FROM base
+                    WHERE k % 13 = 0 AND k % 7 <> 0),
+            ins AS (SELECT k + m + 1 AS k, c,
+                           CAST(12345 AS BIGINT) AS cents
+                    FROM base, mx WHERE k % 97 = 0),
+            merged AS (
+                SELECT k, c, cents FROM base
+                WHERE k NOT IN (SELECT k FROM del)
+                  AND k NOT IN (SELECT k FROM upd)
+                UNION ALL SELECT k, c, cents FROM upd
+                UNION ALL SELECT k, c, cents FROM ins)
+            SELECT c % 10 AS cgrp, count(*) AS n_rows,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM merged GROUP BY 1 ORDER BY 1""",
         "lineitem_pagerank": """
             WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS s,
                                         l_partkey * 2 + 1 AS d

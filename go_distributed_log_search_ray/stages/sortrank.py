@@ -79,13 +79,15 @@ def sample_boundaries(ds: Dataset, key: str, id_col: str, p: int,
     correctness, so the sample needs no determinism across block
     layouts."""
 
+    cols = [key] if key == id_col else [key, id_col]
+
     def sample(b: pa.Table) -> pa.Table:
         n = b.num_rows
         if n == 0:
-            return b.select([key, id_col])
+            return b.select(cols)
         step = max(1, n // sample_per_block)
         idx = np.arange(0, n, step)[:sample_per_block]
-        return b.select([key, id_col]).take(pa.array(idx))
+        return b.select(cols).take(pa.array(idx))
 
     batches = list(ds.map_batches(sample, batch_format="pyarrow")
                      .iter_batches(batch_format="pyarrow"))

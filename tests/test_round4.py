@@ -2,6 +2,8 @@
 fixes (ADVICE r3), Arrow-only pair generation, unbiased IVF sampling,
 bounded actor caches, and the reference merge->search flow."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -1623,3 +1625,111 @@ def test_zorder_box_prunes_both_dims(tmp_path):
     empty = read_clustered_box(out, {"x": (5000, 6000)},
                                columns=["x", "id"])
     assert empty.count() == 0
+
+
+def test_merge_clustered_cow_semantics(tmp_path, monkeypatch):
+    """Copy-on-write CDC merge: upsert/delete land exactly, untouched
+    files are carried over by path (never rewritten), a torn run (crash
+    before the manifest swap) leaves the original table readable and a
+    rerun converges, re-applying the same delta is idempotent, and a
+    hot key straddling two files gets its delete fanned out to both."""
+    import json
+
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        merge_clustered, read_clustered, write_clustered)
+
+    n = 10_000
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": pa.array(ids), "id": pa.array(ids),
+                  "v": pa.array(ids * 10)})
+    out = str(tmp_path / "base")
+    write_clustered(ray.data.from_arrow(t).repartition(4), out,
+                    key="k", id_col="id", num_partitions=8)
+    man0 = {r["part"]: r["path"]
+            for r in json.load(open(f"{out}/manifest.json"))}
+
+    # delta: update ids 10..19 (v=-1), delete ids 20..29, insert new
+    delta = pa.table({
+        "k": pa.array(list(range(10, 30)) + [n + 5], pa.int64()),
+        "id": pa.array(list(range(10, 30)) + [n + 5], pa.int64()),
+        "v": pa.array([-1] * 10 + [0] * 10 + [777], pa.int64()),
+        "op": pa.array(["upsert"] * 10 + ["delete"] * 10 + ["upsert"])})
+
+    # torn run: crash before the atomic swap -> base still intact
+    real_replace = os.replace
+    def boom(src, dst):
+        raise OSError("simulated crash before manifest swap")
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises((OSError, Exception)):
+        merge_clustered(out, ray.data.from_arrow(delta), key="k",
+                        id_col="id", op_col="op")
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert read_clustered(out).count() == n          # unchanged
+    # a crash can leave manifest.json.tmp behind; it must be inert
+    # (the live manifest never points at it, the next merge overwrites)
+
+    res = merge_clustered(out, ray.data.from_arrow(delta), key="k",
+                          id_col="id", op_col="op")
+    assert not os.path.exists(f"{out}/manifest.json.tmp")
+    assert res["rewritten"] >= 1
+    assert res["rewritten"] + res["carried"] == 8
+    got = read_clustered(out).to_pandas().sort_values("id")
+    want_v = dict(zip(ids, ids * 10))
+    for i in range(10, 20):
+        want_v[i] = -1
+    for i in range(20, 30):
+        del want_v[i]
+    want_v[n + 5] = 777
+    assert dict(zip(got["id"], got["v"])) == want_v
+    # untouched partitions: same file paths, never rewritten
+    man1 = {r["part"]: r["path"]
+            for r in json.load(open(f"{out}/manifest.json"))}
+    untouched = [p for p in man0 if man0[p] == man1.get(p)]
+    assert len(untouched) == res["carried"]
+    # rewritten files use a new generation suffix; old ones removed
+    changed = [p for p in man0 if man0[p] != man1.get(p)]
+    for p in changed:
+        assert "-g001" in man1[p] and not os.path.exists(man0[p])
+
+    # idempotent re-apply: same delta, same final content
+    merge_clustered(out, ray.data.from_arrow(delta), key="k",
+                    id_col="id", op_col="op")
+    got2 = read_clustered(out).to_pandas()
+    assert dict(zip(got2["id"], got2["v"])) == want_v
+
+    # duplicate id in one delta: ambiguous, must raise
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "id": pa.array([1, 1], pa.int64()),
+                    "v": pa.array([5, 6], pa.int64())})
+    with pytest.raises(Exception, match="duplicate"):
+        merge_clustered(out, ray.data.from_arrow(dup), key="k",
+                        id_col="id")
+
+
+def test_merge_clustered_boundary_straddle(tmp_path):
+    """A hot key split across two files by the id tiebreak: deleting
+    that key's ids must reach BOTH files."""
+    import json
+
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        merge_clustered, read_clustered, write_clustered)
+
+    # 2000 rows all with key 5 -> boundaries split by id
+    ids = np.arange(2000, dtype=np.int64)
+    t = pa.table({"k": pa.array(np.full(2000, 5, np.int64)),
+                  "id": pa.array(ids), "v": pa.array(ids)})
+    out = str(tmp_path / "hot")
+    write_clustered(ray.data.from_arrow(t).repartition(4), out,
+                    key="k", id_col="id", num_partitions=4)
+    man = json.load(open(f"{out}/manifest.json"))
+    assert len(man) >= 2                      # key 5 straddles files
+    # delete ids spread across the id range (hence across files)
+    del_ids = [0, 500, 1000, 1500, 1999]
+    delta = pa.table({"k": pa.array([5] * 5, pa.int64()),
+                      "id": pa.array(del_ids, pa.int64()),
+                      "v": pa.array([0] * 5, pa.int64()),
+                      "op": pa.array(["delete"] * 5)})
+    merge_clustered(out, ray.data.from_arrow(delta), key="k",
+                    id_col="id", op_col="op")
+    got = sorted(read_clustered(out).to_pandas()["id"].tolist())
+    assert got == sorted(set(ids.tolist()) - set(del_ids))
