@@ -1920,6 +1920,25 @@ def _emb_semdedup_agg(sf_dir: str):
         .select(["centroid_id", "n_vecs", "n_removed", "kept_id_sum"])
 
 
+def _emb_gram_agg(sf_dir: str):
+    """Exact-integer distributed Gram matrix over the embedding table
+    (stages/pca.gram_table): per-batch d x d int64 matmul partials,
+    driver fold in arbitrary-precision ints -- the covariance
+    all-reduce behind distributed PCA, bit-reproducible across block
+    layouts and cluster sizes.  Returns the upper triangle restricted
+    to i, j < 8 (36 rows) to keep the compare small."""
+    from go_distributed_log_search_ray.stages.pca import gram_table
+
+    ds = _read_table(sf_dir, "embeddings", columns=["embedding"])
+    t = gram_table(ds, "embedding", scale=1_000_000)
+    keep = pc.and_(pc.less(t.column("i"), 8), pc.less(t.column("j"), 8))
+    t = t.filter(keep)
+    import pandas as pd
+    return pd.DataFrame({"i": t.column("i").to_pylist(),
+                         "j": t.column("j").to_pylist(),
+                         "g": t.column("g").to_pylist()})
+
+
 def _emb_centroid_assign(sf_dir: str):
     """K-means assignment step over the embeddings table: centroids =
     the 8 lowest-vec_id embeddings, dot products integer-quantized so
@@ -2167,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms_by_lang": _doc_top_terms_by_lang,
         "doc_prep_agg": _doc_prep_agg,
         "emb_centroid_assign": _emb_centroid_assign,
+        "emb_gram_agg": _emb_gram_agg,
         "media_jpeg_agg": _media_jpeg_agg,
         "media_png_agg": _media_png_agg,
         "media_audio_agg": _media_audio_agg,
@@ -2240,6 +2260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tail_windowed_counts": _events_tail_windowed_counts,
         "events_hour_type_pivot": R.events_hour_type_pivot,
         "events_sessions": R.events_sessions,
+        "events_funnel": R.events_funnel,
         # joins (the round-4 partition-default change runs through these)
         "order_lineitem_join": R.order_lineitem_join,
         "order_lineitem_skew_join": R.order_lineitem_skew_join,
@@ -3169,6 +3190,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                    count(*) AS event_count
             FROM events GROUP BY 1""",
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t
+                        FROM events WHERE event_type = 'view'
+                        GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                        AND epoch_us(e.ts) > s1.t
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                        AND epoch_us(e.ts) > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ORDER BY 1""",
         "events_sessions": """
             WITH d AS (
               SELECT user_id, ts,
@@ -3744,6 +3782,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN removed THEN 0 ELSE vec_id END)
                         AS BIGINT) AS kept_id_sum
             FROM rm GROUP BY cid""",
+        "emb_gram_agg": """
+            WITH flat AS (
+                SELECT vec_id, i - 1 AS i,
+                       CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS q
+                FROM embeddings, range(1, 9) AS t(i))
+            SELECT a.i AS i, b.i AS j,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS g
+            FROM flat a JOIN flat b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "emb_centroid_assign": """
             WITH q AS (
                 SELECT vec_id,

@@ -512,6 +512,76 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
                      "n_events": t.column("n_events").cast(pa.int64())})
 
 
+def events_funnel(sf_dir: str,
+                  steps: tuple = ("view", "click", "purchase")) -> pa.Table:
+    """Ordered-sequence funnel: per step s, how many users have a
+    strictly-time-increasing chain step1 < step2 < ... < s in their
+    event stream.  Greedy earliest-match per step is EXACT for chain
+    existence (taking the earliest possible occurrence at each step
+    never forecloses a later chain), which is also what a min()-cascade
+    SQL oracle computes -- so the answer is integer-exact.
+
+    Same scale shape as ``events_sessions``: one COARSE user-bucket
+    shuffle, then per bucket one Arrow sort + one numpy
+    ``minimum.reduceat`` pass PER STEP (all C kernels, no per-user
+    Python); each bucket emits len(steps) partial counts, the final
+    aggregate moves O(buckets x steps) rows."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = _session_buckets()
+    INF = np.int64(np.iinfo(np.int64).max)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ubucket", pc.cast(pc.bit_wise_and(b.column("user_id"),
+                                               pa.scalar(nb - 1)), pa.int32()))
+
+    out_schema = pa.schema([("step", pa.int64()),
+                            ("n_users", pa.int64())])
+
+    def funnel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending")])
+        t = t.take(idx)
+        uid = np.asarray(t.column("user_id"))
+        ts = np.asarray(t.column("ts").cast(pa.timestamp("us"))
+                        .cast(pa.int64()))
+        code = np.asarray(pc.fill_null(pc.index_in(
+            t.column("event_type").combine_chunks(),
+            value_set=pa.array(list(steps))), -1), dtype=np.int64)
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        bounds = np.nonzero(new_user)[0]
+        seg_len = np.diff(np.append(bounds, n))
+        prev = np.full(len(bounds), -INF)       # per-user watermark
+        counts = []
+        for s in range(len(steps)):
+            mask = (code == s) & (ts > np.repeat(prev, seg_len))
+            masked = np.where(mask, ts, INF)
+            earliest = np.minimum.reduceat(masked, bounds)
+            counts.append(int((earliest < INF).sum()))
+            prev = earliest                     # INF blocks later steps
+        return pa.table({"step": pa.array(
+            np.arange(1, len(steps) + 1, dtype=np.int64)),
+            "n_users": pa.array(np.array(counts, np.int64))},
+            schema=out_schema)
+
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("ubucket").map_groups(funnel, batch_format="pyarrow") \
+            .groupby("step").aggregate(Sum("n_users",
+                                           alias_name="n_users"))
+    t = _sorted_table(out, ["step"])
+    return pa.table({
+        "step": t.column("step").cast(pa.int64()),
+        "event_type": pa.array([steps[int(s) - 1]
+                                for s in t.column("step").to_pylist()]),
+        "n_users": t.column("n_users").cast(pa.int64())})
+
+
 # -- existence joins (semi / anti) -----------------------------------------
 
 def customers_without_orders(sf_dir: str) -> pa.Table:

@@ -1733,3 +1733,98 @@ def test_merge_clustered_boundary_straddle(tmp_path):
                     id_col="id", op_col="op")
     got = sorted(read_clustered(out).to_pandas()["id"].tolist())
     assert got == sorted(set(ids.tolist()) - set(del_ids))
+
+
+def test_events_funnel_matches_bruteforce(tmp_path):
+    """Funnel greedy-earliest equals brute-force chain existence per
+    user, including wrong-order events, same-timestamp ties (strict),
+    and users missing a middle step."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.pipelines.relational import (
+        events_funnel)
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    uid = rng.integers(0, 300, n).astype(np.int64)
+    ts = rng.integers(0, 500, n).astype(np.int64) * 1_000_000
+    types = np.array(["view", "click", "purchase", "error"])
+    typ = types[rng.integers(0, 4, n)]
+    t = pa.table({"event_id": pa.array(np.arange(n), pa.int64()),
+                  "ts": pa.array(ts).cast(pa.timestamp("us")),
+                  "user_id": pa.array(uid),
+                  "event_type": pa.array(typ.tolist()),
+                  "value": pa.array(np.zeros(n)),
+                  "props": pa.array(["{}"] * n)})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = events_funnel(str(tmp_path))
+    got_counts = dict(zip(got.column("event_type").to_pylist(),
+                          got.column("n_users").to_pylist()))
+
+    # brute force: exists chain with strictly increasing ts
+    steps = ["view", "click", "purchase"]
+    want = {s: 0 for s in steps}
+    for u in np.unique(uid):
+        m = uid == u
+        ets, etyp = ts[m], typ[m]
+        order = np.argsort(ets, kind="stable")
+        ets, etyp = ets[order], etyp[order]
+        prev = -1
+        for si, s in enumerate(steps):
+            cand = ets[(etyp == s) & (ets > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand.min()
+            want[s] += 1
+    assert got_counts == want
+    # sanity: funnel is monotone non-increasing
+    vals = [got_counts[s] for s in steps]
+    assert vals[0] >= vals[1] >= vals[2] > 0
+
+
+def test_pca_project_matches_local_numpy():
+    """Distributed Gram-route PCA equals a single-process numpy PCA on
+    the same quantized data: identical exact Gram, matching top-k
+    subspace (per-component |cosine| ~ 1), and projection variance
+    ordered descending."""
+    from go_distributed_log_search_ray.stages.pca import (
+        gram_accumulate, pca_components, pca_project)
+
+    rng = np.random.default_rng(3)
+    n, d, k = 2000, 16, 4
+    # anisotropic data so components are well separated
+    base = rng.standard_normal((n, d)) * np.linspace(5, 0.1, d)
+    rot, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    x = (base @ rot).astype(np.float32) * 0.1
+    t = pa.table({"embedding": pa.array(
+        [row.tolist() for row in x], pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    acc = gram_accumulate(ds, "embedding", scale=1_000_000)
+    q = np.floor(x.astype(np.float64) * 1_000_000).astype(np.int64)
+    assert acc["n"] == n
+    assert np.array_equal(acc["gram"].astype(np.int64), q.T @ q)
+    assert np.array_equal(acc["sum"].astype(np.int64), q.sum(axis=0))
+
+    mean, comp = pca_components(acc, k)
+    # local reference on the same quantized matrix
+    qf = q.astype(np.float64) / 1e6
+    cov = np.cov(qf, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    ref = v[:, np.argsort(w)[::-1][:k]]
+    for c in range(k):
+        cos = abs(float(comp[:, c] @ ref[:, c]))
+        assert cos > 0.999, (c, cos)
+
+    proj = pca_project(ds, "embedding", k).to_pandas()
+    p = np.array(proj["pca"].tolist())
+    assert p.shape == (n, k)
+    var = p.var(axis=0)
+    assert all(var[i] >= var[i + 1] * 0.999 for i in range(k - 1))
+    # projection really is (x - mean) @ comp
+    want = (qf - qf.mean(axis=0)) @ ref
+    # compare variances (sign/direction-free)
+    assert np.allclose(np.sort(var), np.sort(want.var(axis=0)),
+                       rtol=1e-3)
