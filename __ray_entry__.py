@@ -210,6 +210,55 @@ def _doc_repetition_features(sf_dir: str):
                               "top_bigram_count", "n_bigrams"])
 
 
+def _doc_leakage_split_agg(sf_dir: str):
+    """Leakage-safe train/val/test split: duplicate clusters (the
+    same md5-bucket key-sharing components as doc_dup_clusters) can
+    never straddle splits because the split hashes the CLUSTER
+    representative (stages/sampling.leakage_safe_split).  The DuckDB oracle recomputes
+    components with a recursive CTE and applies the identical md5
+    thresholds."""
+    import hashlib
+
+    from go_distributed_log_search_ray.stages.sampling import (
+        leakage_safe_split)
+    from ray.data.aggregate import Count, Sum
+
+    def keys(b: pa.Table) -> pa.Table:
+        txt = b.column("text").combine_chunks().cast(pa.binary())
+        k1, k2 = [], []
+        for v in txt.to_pylist():
+            if v is None:
+                k1.append(None)
+                k2.append(None)
+            else:
+                h = hashlib.md5(v).hexdigest()
+                k1.append("a:" + h[0:3])
+                k2.append("b:" + h[3:6])
+        ids = pc.utf8_lpad(pc.cast(b.column("doc_id"), pa.string()),
+                           width=12, padding="0")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "doc_id_s": ids,
+                         "k1": pa.array(k1, pa.string()),
+                         "k2": pa.array(k2, pa.string())})
+
+    docs = _read_table(sf_dir, "documents",
+                       columns=["doc_id", "text"]) \
+        .map_batches(keys, batch_format="pyarrow").materialize()
+
+    split_ds = leakage_safe_split(
+        docs, None, "doc_id_s",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7,
+        key_cols=["k1", "k2"])
+    agg = split_ds.groupby("split").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("doc_id", alias_name="sum_ids"))
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    return small_table(agg, sort_keys=["split"],
+                       int64_cols=["n_docs", "sum_ids"]) \
+        .select(["split", "n_docs", "sum_ids"])
+
+
 def _doc_dup_clusters(sf_dir: str):
     """Duplicate-cluster labeling via DISTRIBUTED connected components
     (min-label propagation over Ray Data groupbys, stages/components.py).
@@ -2211,6 +2260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_embed": _doc_hash_embed,
         "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_dup_clusters": _doc_dup_clusters,
+        "doc_leakage_split_agg": _doc_leakage_split_agg,
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
@@ -2261,6 +2311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_type_pivot": R.events_hour_type_pivot,
         "events_sessions": R.events_sessions,
         "events_funnel": R.events_funnel,
+        "events_retention": R.events_retention,
         # joins (the round-4 partition-default change runs through these)
         "order_lineitem_join": R.order_lineitem_join,
         "order_lineitem_skew_join": R.order_lineitem_skew_join,
@@ -3190,6 +3241,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                    count(*) AS event_count
             FROM events GROUP BY 1""",
+        "events_retention": """
+            WITH w AS (
+                SELECT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events),
+            cohort AS (SELECT user_id, min(week) AS c FROM w
+                       GROUP BY 1),
+            active AS (SELECT DISTINCT w.user_id, cohort.c,
+                              w.week - cohort.c AS off
+                       FROM w JOIN cohort ON w.user_id = cohort.user_id)
+            SELECT c AS cohort_week, off AS week_offset,
+                   count(*) AS n_users
+            FROM active GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_funnel": """
             WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t
                         FROM events WHERE event_type = 'view'
@@ -3395,6 +3459,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, doc_id AS canonical_doc_id,
                    CAST(n_chars AS BIGINT) AS canonical_n_chars
             FROM rk WHERE r = 1""",
+        "doc_leakage_split_agg": r"""
+            WITH RECURSIVE n AS (
+              SELECT doc_id,
+                     lpad(CAST(doc_id AS VARCHAR), 12, '0') AS ids,
+                     'a:' || substr(md5(text), 1, 3) AS k1,
+                     'b:' || substr(md5(text), 4, 3) AS k2
+              FROM documents),
+            e0 AS (
+              SELECT min(ids) OVER (PARTITION BY k1) AS src, ids AS dst
+              FROM n WHERE k1 IS NOT NULL
+              UNION
+              SELECT min(ids) OVER (PARTITION BY k2), ids
+              FROM n WHERE k2 IS NOT NULL),
+            eu AS (SELECT src, dst FROM e0
+                   UNION SELECT dst, src FROM e0),
+            reach(a, b) AS (
+              SELECT ids, ids FROM n
+              UNION
+              SELECT r.a, eu.dst FROM reach r JOIN eu ON r.b = eu.src),
+            lab AS (SELECT a AS ids, min(b) AS rep
+                    FROM reach GROUP BY a),
+            s AS (
+              SELECT n.doc_id,
+                     CASE WHEN h < 3435973837 THEN 'train'
+                          WHEN h < 3865470566 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM n JOIN (
+                SELECT ids,
+                       ('0x' || substr(md5('7:' || rep), 1, 8))
+                           ::UBIGINT AS h
+                FROM lab) t ON n.ids = t.ids)
+            SELECT split, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM s GROUP BY 1 ORDER BY 1""",
         "doc_dup_clusters": r"""
             WITH RECURSIVE n AS (
               SELECT doc_id,

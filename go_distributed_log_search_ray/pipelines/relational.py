@@ -582,6 +582,68 @@ def events_funnel(sf_dir: str,
         "n_users": t.column("n_users").cast(pa.int64())})
 
 
+def events_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention: users grouped by their FIRST active week
+    (cohort), counted per (cohort, week-offset) they were active in --
+    the classic growth-analytics triangle.  One coarse user-bucket
+    shuffle puts each user's whole history in one task; per bucket one
+    Arrow sort + numpy reduceat finds the cohort week, then distinct
+    (user, week) pairs collapse to per-(cohort, offset) partial counts
+    before the O(cohorts x offsets) final aggregate -- nothing
+    per-user ever reaches the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = _session_buckets()
+    US_PER_WEEK = np.int64(7 * 24 * 3600) * 1_000_000
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ubucket", pc.cast(pc.bit_wise_and(b.column("user_id"),
+                                               pa.scalar(nb - 1)), pa.int32()))
+
+    out_schema = pa.schema([("cohort_week", pa.int64()),
+                            ("week_offset", pa.int64()),
+                            ("n_users", pa.int64())])
+
+    def retention(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending")])
+        t = t.take(idx)
+        uid = np.asarray(t.column("user_id"))
+        week = np.asarray(t.column("ts").cast(pa.timestamp("us"))
+                          .cast(pa.int64())) // US_PER_WEEK
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        bounds = np.nonzero(new_user)[0]
+        seg_len = np.diff(np.append(bounds, n))
+        cohort_row = np.repeat(week[bounds], seg_len)  # first week
+        offset = week - cohort_row                     # sorted ts: >=0
+        # distinct (user, cohort, offset) then count per (cohort, off)
+        key = np.stack([cohort_row, offset,
+                        np.repeat(np.arange(len(bounds)), seg_len)], 1)
+        uk = np.unique(key, axis=0)
+        pair, cnt = np.unique(uk[:, :2], axis=0, return_counts=True)
+        return pa.table({"cohort_week": pa.array(pair[:, 0]),
+                         "week_offset": pa.array(pair[:, 1]),
+                         "n_users": pa.array(cnt.astype(np.int64))},
+                        schema=out_schema)
+
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("ubucket") \
+            .map_groups(retention, batch_format="pyarrow") \
+            .groupby(["cohort_week", "week_offset"]) \
+            .aggregate(Sum("n_users", alias_name="n_users"))
+    t = _sorted_table(out, ["cohort_week", "week_offset"])
+    return pa.table({
+        "cohort_week": t.column("cohort_week").cast(pa.int64()),
+        "week_offset": t.column("week_offset").cast(pa.int64()),
+        "n_users": t.column("n_users").cast(pa.int64())})
+
+
 # -- existence joins (semi / anti) -----------------------------------------
 
 def customers_without_orders(sf_dir: str) -> pa.Table:

@@ -274,3 +274,111 @@ def contrastive_pairs(ds: Dataset, id_col: str = "doc_id",
 
     return ds.map_batches(keyed, batch_format="pyarrow") \
         .groupby("bucket").map_groups(ring, batch_format="pyarrow")
+
+
+def leakage_safe_split(docs: Dataset, pairs: Dataset | None, id_col: str,
+                       weights: dict[str, float], seed: int = 0,
+                       out_col: str = "split",
+                       src: str = "id_a", dst: str = "id_b",
+                       key_cols: list[str] | None = None) -> Dataset:
+    """Train/val/test split where near-duplicate documents can NEVER
+    straddle splits: the split decision hashes the document's duplicate-
+    CLUSTER representative, not the document id, so every member of a
+    cluster lands in the same split (the leakage guard a pretraining
+    corpus needs -- a test doc's near-twin in train is contamination).
+
+    ``pairs``: verified duplicate pairs from the dedup family
+    (minhash / simhash / embedding verify stages).  Clusters are their
+    connected components (stages/components.connected_components_edges,
+    min-label propagation); docs not in any pair are singleton clusters
+    whose representative IS the doc id, so their assignment is
+    identical to plain ``hash_split`` -- discovering that a doc is
+    unpaired never moves it.
+
+    Alternatively pass ``key_cols`` (with ``pairs=None``) to cluster
+    "docs sharing a key value" directly via the faster key-groupby
+    components sweep (one shuffle per key column per round vs the
+    edge list's two).
+
+    Scale shape: the broadcast id->split map holds only docs whose
+    representative is NOT themselves (duplicate members -- normally a
+    small corpus fraction); representatives and singletons hash their
+    own id, which is exactly the fallback path, so they need no
+    entry.  Each batch resolves membership with one ``pc.index_in``;
+    nothing is O(corpus) on the driver.
+    """
+    import ray
+
+    from .components import (connected_components,
+                             connected_components_edges)
+
+    if key_cols is not None:
+        # "docs share a key value" clustering: one groupby sweep per
+        # key column (fast-converging min-label propagation)
+        comp = connected_components(
+            docs.select_columns([id_col] + key_cols), id_col, key_cols)
+        comp_id = id_col
+    else:
+        nodes = pairs.map_batches(
+            lambda b: pa.table({"id": pa.concat_arrays([
+                b.column(src).combine_chunks().cast(pa.string()),
+                b.column(dst).combine_chunks().cast(pa.string())])}),
+            batch_format="pyarrow")
+        comp = connected_components_edges(
+            nodes, pairs.map_batches(
+                lambda b: pa.table({
+                    "src": b.column(src).combine_chunks()
+                        .cast(pa.string()),
+                    "dst": b.column(dst).combine_chunks()
+                        .cast(pa.string())}),
+                batch_format="pyarrow"),
+            id_col="id")
+        comp_id = "id"
+
+    # only docs whose representative is NOT themselves need a map
+    # entry: a representative (or singleton) hashes its own id, which
+    # is exactly the fallback path -- so the broadcast is O(duplicate
+    # members), not O(docs) even for key_cols clustering
+    comp = comp.map_batches(
+        lambda b: b.filter(pc.not_equal(
+            pc.cast(b.column(comp_id), pa.string()),
+            b.column("component"))),
+        batch_format="pyarrow")
+
+    bounds = split_thresholds(weights)
+    names = [n for n, _ in bounds]
+    uppers = np.array([u for _, u in bounds], dtype=np.uint64)
+    lut = pa.array(names + [None], pa.string())
+
+    def label_of(reps: pa.Array) -> pa.Array:
+        idx = np.searchsorted(uppers, hash_buckets(reps, seed),
+                              side="right")
+        return lut.take(pa.array(idx))
+
+    # paired-doc map: id -> split(component representative)
+    rows = comp.take_all()
+    paired_ids = pa.array([r[comp_id] for r in rows], pa.string())
+    reps = pa.array([r["component"] for r in rows], pa.string())
+    paired_split = label_of(reps)
+    ref = ray.put((paired_ids, paired_split))
+
+    class Tag:
+        def __init__(self, r) -> None:
+            self.ids, self.splits = ray.get(r) if isinstance(
+                r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b.append_column(out_col, pa.nulls(0, pa.string()))
+            ids = b.column(id_col).combine_chunks().cast(pa.string())
+            own = label_of(ids)                  # singleton path
+            if len(self.ids) == 0:
+                return b.append_column(out_col, own)
+            pos = pc.index_in(ids, value_set=self.ids)
+            hit = pc.is_valid(pos)
+            via_cluster = self.splits.take(pc.fill_null(pos, 0))
+            return b.append_column(
+                out_col, pc.if_else(hit, via_cluster, own))
+
+    return docs.map_batches(Tag, fn_constructor_args=(ref,),
+                            concurrency=(1, 8), batch_format="pyarrow")

@@ -1828,3 +1828,88 @@ def test_pca_project_matches_local_numpy():
     # compare variances (sign/direction-free)
     assert np.allclose(np.sort(var), np.sort(want.var(axis=0)),
                        rtol=1e-3)
+
+
+def test_events_retention_matches_bruteforce(tmp_path):
+    """Cohort retention equals a brute-force per-user computation on a
+    multi-week synthetic corpus (gaps, multi-event weeks, users whose
+    first event is late)."""
+    import pyarrow.parquet as pq
+    from go_distributed_log_search_ray.pipelines.relational import (
+        events_retention)
+
+    rng = np.random.default_rng(23)
+    n = 8000
+    uid = rng.integers(0, 400, n).astype(np.int64)
+    week = rng.integers(0, 12, n).astype(np.int64)
+    US_PER_WEEK = 7 * 24 * 3600 * 1_000_000
+    ts = week * US_PER_WEEK + rng.integers(0, US_PER_WEEK, n)
+    t = pa.table({"event_id": pa.array(np.arange(n), pa.int64()),
+                  "ts": pa.array(ts).cast(pa.timestamp("us")),
+                  "user_id": pa.array(uid),
+                  "event_type": pa.array(["view"] * n),
+                  "value": pa.array(np.zeros(n)),
+                  "props": pa.array(["{}"] * n)})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = events_retention(str(tmp_path))
+    gmap = {(c, o): u for c, o, u in zip(
+        got.column("cohort_week").to_pylist(),
+        got.column("week_offset").to_pylist(),
+        got.column("n_users").to_pylist())}
+
+    want: dict = {}
+    for u in np.unique(uid):
+        wk = np.unique(week[uid == u])
+        c = int(wk.min())
+        for w in wk:
+            key = (c, int(w) - c)
+            want[key] = want.get(key, 0) + 1
+    assert gmap == want
+    # offset-0 row per cohort equals cohort size
+    for c in {k[0] for k in want}:
+        assert gmap[(c, 0)] == len(
+            {int(u) for u in np.unique(uid)
+             if int(np.min(week[uid == u])) == c})
+
+
+def test_leakage_safe_split_clusters_never_straddle():
+    """Near-dup clusters land wholly in one split; unpaired docs get
+    exactly their plain hash_split assignment; multi-hop chains stay
+    together; works with an empty pair set."""
+    from go_distributed_log_search_ray.stages.sampling import (
+        hash_split, leakage_safe_split)
+
+    n = 1000
+    ids = np.arange(n, dtype=np.int64)
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    # clusters: (i, i+500) for i<100; chain 200-201-202
+    pairs = pa.table({
+        "id_a": pa.array(list(range(100)) + [200, 201], pa.int64()),
+        "id_b": pa.array([i + 500 for i in range(100)] + [201, 202],
+                         pa.int64())})
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, ray.data.from_arrow(pairs),
+                             "doc_id", w, seed=3).to_pandas()
+    smap = dict(zip(out["doc_id"], out["split"]))
+    for i in range(100):
+        assert smap[i] == smap[i + 500], i
+    assert smap[200] == smap[201] == smap[202]
+
+    plain = hash_split(docs, "doc_id", w, seed=3).to_pandas()
+    pmap = dict(zip(plain["doc_id"], plain["split"]))
+    clustered = set(range(100)) | set(range(500, 600)) | {200, 201, 202}
+    for i in ids:
+        if int(i) not in clustered:
+            assert smap[int(i)] == pmap[int(i)], i
+    # all three splits populated, roughly proportional
+    from collections import Counter
+    c = Counter(smap.values())
+    assert c["train"] > 700 and c["val"] > 40 and c["test"] > 40
+
+    # empty pair set == plain hash_split everywhere
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    out0 = leakage_safe_split(docs, ray.data.from_arrow(empty),
+                              "doc_id", w, seed=3).to_pandas()
+    assert dict(zip(out0["doc_id"], out0["split"])) == pmap
