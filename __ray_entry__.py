@@ -210,6 +210,27 @@ def _doc_repetition_features(sf_dir: str):
                               "top_bigram_count", "n_bigrams"])
 
 
+def _doc_jaccard_pairs(sf_dir: str):
+    """EXACT-threshold set-similarity self-join (AllPairs prefix
+    filter, stages/setjoin.jaccard_self_join): every pair with
+    distinct-token Jaccard >= 0.9, exact integer inter/union -- the
+    exact counterpart to the MinHash/SimHash probabilistic candidate
+    generators, pair-for-pair SQL-checkable.  Hot tokens demoted out
+    of prefixes via a bounded top-64 df broadcast."""
+    from go_distributed_log_search_ray.stages.setjoin import (
+        jaccard_self_join)
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    t = jaccard_self_join(ds, "doc_id", "text",
+                          threshold_permille=900, demote_common=64)
+    import pandas as pd
+    return pd.DataFrame({
+        "id_a": t.column("id_a").to_pylist(),
+        "id_b": t.column("id_b").to_pylist(),
+        "n_inter": t.column("inter").to_pylist(),
+        "n_union": t.column("union").to_pylist()})
+
+
 def _doc_leakage_split_agg(sf_dir: str):
     """Leakage-safe train/val/test split: duplicate clusters (the
     same md5-bucket key-sharing components as doc_dup_clusters) can
@@ -2261,6 +2282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_balanced_sample_agg": _doc_balanced_sample_agg,
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_leakage_split_agg": _doc_leakage_split_agg,
+        "doc_jaccard_pairs": _doc_jaccard_pairs,
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
@@ -3459,6 +3481,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, doc_id AS canonical_doc_id,
                    CAST(n_chars AS BIGINT) AS canonical_n_chars
             FROM rk WHERE r = 1""",
+        "doc_jaccard_pairs": r"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, t.tok
+              FROM documents,
+                   unnest(regexp_extract_all(coalesce(text, ''),
+                                             '\S+')) AS t(tok)),
+            sz AS (SELECT doc_id, count(*) AS k FROM dt GROUP BY 1),
+            pr AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib,
+                     count(*) AS inter
+              FROM dt a JOIN dt b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b,
+                   inter AS n_inter,
+                   sa.k + sb.k - inter AS n_union
+            FROM pr JOIN sz sa ON sa.doc_id = ia
+                    JOIN sz sb ON sb.doc_id = ib
+            WHERE inter * 1000 >= 900 * (sa.k + sb.k - inter)
+            ORDER BY 1, 2""",
         "doc_leakage_split_agg": r"""
             WITH RECURSIVE n AS (
               SELECT doc_id,

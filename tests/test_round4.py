@@ -1913,3 +1913,92 @@ def test_leakage_safe_split_clusters_never_straddle():
     out0 = leakage_safe_split(docs, ray.data.from_arrow(empty),
                               "doc_id", w, seed=3).to_pandas()
     assert dict(zip(out0["doc_id"], out0["split"])) == pmap
+
+
+def test_jaccard_self_join_matches_bruteforce():
+    """Prefix-filtered exact Jaccard join equals brute-force over all
+    pairs computed on REAL tokens (validating the hash path), at two
+    thresholds, with null/empty docs and permuted-token twins."""
+    from go_distributed_log_search_ray.stages.setjoin import (
+        jaccard_self_join)
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(300)])
+    texts, n = [], 120
+    for i in range(n):
+        k = rng.integers(5, 40)
+        toks = rng.choice(vocab, size=k, replace=False)
+        texts.append(" ".join(toks))
+    # planted twins: permutations (J=1) and 80%-overlap variants
+    base = texts[3].split()
+    texts.append(" ".join(reversed(base)))                    # J = 1
+    keep = max(1, int(len(base) * 0.9))
+    texts.append(" ".join(base[:keep] + ["zzz1", "zzz2"]))    # high J
+    texts.append(None)                                        # null
+    texts.append("   ")                                       # empty
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    def brute(thr_pm):
+        sets = [set(x.split()) if x else set() for x in
+                [s if s is not None else "" for s in texts]]
+        out = set()
+        for a in range(len(sets)):
+            for b in range(a + 1, len(sets)):
+                if not sets[a] or not sets[b]:
+                    continue
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * 1000 >= thr_pm * union:
+                    out.add((a, b, inter, union))
+        return out
+
+    for thr in (700, 400):
+        got = jaccard_self_join(ds, "doc_id", "text",
+                                threshold_permille=thr)
+        gset = set(zip(got.column("id_a").to_pylist(),
+                       got.column("id_b").to_pylist(),
+                       got.column("inter").to_pylist(),
+                       got.column("union").to_pylist()))
+        assert gset == brute(thr), thr
+    # the permuted twin is found with J exactly 1
+    got7 = jaccard_self_join(ds, "doc_id", "text", 700)
+    rows = {(a, b): (i, u) for a, b, i, u in zip(
+        got7.column("id_a").to_pylist(), got7.column("id_b").to_pylist(),
+        got7.column("inter").to_pylist(), got7.column("union").to_pylist())}
+    assert rows[(3, n)][0] == rows[(3, n)][1]     # inter == union
+
+
+def test_jaccard_self_join_demote_common_same_result():
+    """Demoting hot tokens changes candidate volume, never the result:
+    a corpus where every doc shares 5 stop tokens returns identical
+    pairs with and without demotion."""
+    from go_distributed_log_search_ray.stages.setjoin import (
+        jaccard_self_join)
+
+    rng = np.random.default_rng(9)
+    stop = "the a of and to"
+    texts = []
+    for i in range(80):
+        k = rng.integers(8, 20)
+        toks = [f"u{i}_{j}" for j in range(k)]
+        texts.append(stop + " " + " ".join(toks))
+    # twins sharing most tokens
+    texts.append(texts[10] + " extraz")
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    def rows(tbl):
+        return sorted(zip(tbl.column("id_a").to_pylist(),
+                          tbl.column("id_b").to_pylist(),
+                          tbl.column("inter").to_pylist(),
+                          tbl.column("union").to_pylist()))
+
+    base = rows(jaccard_self_join(ds, threshold_permille=600))
+    demoted = rows(jaccard_self_join(ds, threshold_permille=600,
+                                     demote_common=8))
+    assert base == demoted
+    assert any(a == 10 and b == 80 for a, b, _, _ in base)
