@@ -123,7 +123,10 @@ def run_queries() -> dict:
              "knn_bruteforce", "doc_minhash_keep",
              "pages_extract", "pages_sink_agg",
              "order_lineitem_join", "doc_langid", "doc_simhash_pairs",
-             "knn_ivf"]
+             "knn_ivf",
+             "events_funnel", "events_retention", "emb_gram_agg",
+             "doc_jaccard_pairs", "orders_merge_cdc_agg",
+             "events_zorder_box_agg"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()
