@@ -210,6 +210,30 @@ def _doc_repetition_features(sf_dir: str):
                               "top_bigram_count", "n_bigrams"])
 
 
+def _doc_temperature_mixture_agg(sf_dir: str):
+    """Temperature-smoothed corpus mixing (alpha=0.5, temperature 2):
+    resample documents toward sqrt-weighted language proportions so
+    low-resource languages are upweighted
+    (stages/sampling.temperature_mixture_sample).  Thresholds are
+    exact integers (isqrt weights, arbitrary-precision arithmetic),
+    so every keep decision is SQL-reproducible."""
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.sampling import (
+        temperature_mixture_sample)
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    kept = temperature_mixture_sample(ds, "doc_id", "lang",
+                                      target_rows=200, alpha=0.5,
+                                      seed=11)
+    agg = kept.groupby("lang").aggregate(
+        Count(alias_name="n_kept"), Sum("doc_id", alias_name="sum_ids"))
+    return small_table(agg, sort_keys=["lang"],
+                       int64_cols=["n_kept", "sum_ids"]) \
+        .select(["lang", "n_kept", "sum_ids"])
+
+
 def _doc_jaccard_pairs(sf_dir: str):
     """EXACT-threshold set-similarity self-join (AllPairs prefix
     filter, stages/setjoin.jaccard_self_join): every pair with
@@ -2283,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_leakage_split_agg": _doc_leakage_split_agg,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
+        "doc_temperature_mixture_agg": _doc_temperature_mixture_agg,
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
@@ -3481,6 +3506,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, doc_id AS canonical_doc_id,
                    CAST(n_chars AS BIGINT) AS canonical_n_chars
             FROM rk WHERE r = 1""",
+        "doc_temperature_mixture_agg": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents
+                       WHERE lang IS NOT NULL GROUP BY 1),
+            w0 AS (SELECT lang, n,
+                          CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000))
+                               AS BIGINT) AS isq0 FROM c),
+            w AS (SELECT lang, n,
+                    isq0 - (CASE WHEN isq0 * isq0 > n * 1000000
+                                 THEN 1 ELSE 0 END)
+                         + (CASE WHEN (isq0+1) * (isq0+1) <= n * 1000000
+                                 THEN 1 ELSE 0 END) AS isq
+                  FROM w0),
+            s AS (SELECT sum(isq) AS sw FROM w),
+            thr AS (SELECT lang, n, LEAST(CAST(4294967296 AS HUGEINT),
+                       (CAST(200 AS HUGEINT) * isq * 4294967296)
+                           // (sw * n)) AS t
+                    FROM w, s),
+            kept AS (SELECT d.doc_id, d.lang
+                     FROM documents d JOIN thr ON d.lang = thr.lang
+                     WHERE ('0x' || substr(md5('11:' ||
+                           CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                           < thr.t)
+            SELECT lang, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM kept GROUP BY 1 ORDER BY 1""",
         "doc_jaccard_pairs": r"""
             WITH dt AS (
               SELECT DISTINCT doc_id, t.tok

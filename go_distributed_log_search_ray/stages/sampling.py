@@ -382,3 +382,70 @@ def leakage_safe_split(docs: Dataset, pairs: Dataset | None, id_col: str,
 
     return docs.map_batches(Tag, fn_constructor_args=(ref,),
                             concurrency=(1, 8), batch_format="pyarrow")
+
+
+def temperature_thresholds(counts: dict, target_rows: int,
+                           alpha: float = 0.5) -> dict:
+    """EXACT integer keep-thresholds for temperature-based corpus
+    mixing: group g is sampled with probability ~ target * w_g / n_g
+    where w_g ~ n_g^alpha (normalized) -- the alpha-sampling /
+    temperature trick that upweights low-resource groups (public
+    knowledge: multilingual-pretraining exponent-smoothed mixing,
+    e.g. alpha=0.5 <=> temperature 2).
+
+    alpha is restricted to {0, 0.5, 1} so every weight is an exact
+    integer (1, isqrt(n * 10^6), n) and the whole threshold
+    computation is arbitrary-precision -- bit-identical on any worker
+    AND expressible in SQL (isqrt via floor(sqrt())+correction), so
+    the sampled set is oracle-checkable.  Returns
+    ``{group: threshold}`` with keep = md5-bucket(id) < threshold."""
+    import math
+
+    if alpha == 0.5:
+        w = {g: math.isqrt(int(n) * 1_000_000)
+             for g, n in counts.items()}
+    elif alpha == 0:
+        w = {g: 1 for g in counts}
+    elif alpha == 1:
+        w = {g: int(n) for g, n in counts.items()}
+    else:
+        raise ValueError("alpha must be 0, 0.5 or 1 (exact-integer "
+                         "weights); other exponents need float pow "
+                         "and lose oracle exactness")
+    S = sum(w.values())
+    return {g: min(_U32, (int(target_rows) * w[g] * _U32)
+                   // (S * int(counts[g])))
+            for g in counts}
+
+
+def temperature_mixture_sample(ds: Dataset, id_col: str,
+                               group_col: str, target_rows: int,
+                               alpha: float = 0.5,
+                               seed: int = 0) -> Dataset:
+    """Resample a corpus toward temperature-smoothed group proportions:
+    one tiny groupby for the group counts, then the usual shuffle-free
+    per-row hash decision against the group's exact integer threshold
+    (broadcast via one ``index_in`` per batch).  Deterministic,
+    repartition-stable, and exact-oracle-checkable."""
+    from ray.data.aggregate import Count
+
+    rows = ds.groupby(group_col).aggregate(
+        Count(alias_name="n")).take_all()
+    counts = {r[group_col]: int(r["n"]) for r in rows
+              if r[group_col] is not None}
+    thr_map = temperature_thresholds(counts, target_rows, alpha)
+    keys = pa.array(list(thr_map))
+    thr = np.array(list(thr_map.values()) + [0], dtype=np.uint64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        idx = pc.fill_null(pc.index_in(b.column(group_col),
+                                       value_set=keys), len(keys))
+        row_thr = thr[np.asarray(idx.combine_chunks()
+                                 if isinstance(idx, pa.ChunkedArray)
+                                 else idx)]
+        return b.filter(pa.array(
+            hash_buckets(b.column(id_col), seed) < row_thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

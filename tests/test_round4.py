@@ -2002,3 +2002,56 @@ def test_jaccard_self_join_demote_common_same_result():
                                      demote_common=8))
     assert base == demoted
     assert any(a == 10 and b == 80 for a, b, _, _ in base)
+
+
+def test_temperature_mixture_upweights_rare_groups():
+    """alpha=0.5 mixing keeps a HIGHER fraction of the rare group than
+    of the common one; alpha=1 keeps equal fractions; alpha=0 equal
+    absolute counts (in expectation); thresholds equal a
+    single-process integer reference; invalid alpha raises."""
+    import math
+
+    from go_distributed_log_search_ray.stages.sampling import (
+        hash_buckets, temperature_mixture_sample,
+        temperature_thresholds)
+
+    n_big, n_small = 5000, 200
+    ids = np.arange(n_big + n_small, dtype=np.int64)
+    grp = np.array(["big"] * n_big + ["small"] * n_small)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "lang": pa.array(grp.tolist())})
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    thr = temperature_thresholds({"big": n_big, "small": n_small},
+                                 target_rows=500, alpha=0.5)
+    # reference: w = isqrt(n * 1e6); thr = target*w*2^32 // (S*n)
+    wb = math.isqrt(n_big * 10**6)
+    ws = math.isqrt(n_small * 10**6)
+    S = wb + ws
+    assert thr["big"] == (500 * wb * (1 << 32)) // (S * n_big)
+    assert thr["small"] == min(1 << 32,
+                               (500 * ws * (1 << 32)) // (S * n_small))
+    # rare group keeps a strictly higher FRACTION
+    assert thr["small"] > thr["big"]
+
+    kept = temperature_mixture_sample(ds, "doc_id", "lang", 500,
+                                      alpha=0.5, seed=2).to_pandas()
+    # exact per-row replica
+    buckets = hash_buckets(pa.array(ids), seed=2)
+    want = {int(i) for i, g in zip(ids, grp)
+            if buckets[i] < thr[g]}
+    assert set(kept["doc_id"]) == want
+    frac_small = (kept["lang"] == "small").sum() / n_small
+    frac_big = (kept["lang"] == "big").sum() / n_big
+    assert frac_small > frac_big * 2
+
+    # alpha=1: equal fractions (thresholds identical)
+    t1 = temperature_thresholds({"big": n_big, "small": n_small},
+                                500, alpha=1)
+    assert t1["big"] == t1["small"]
+    # alpha=0: equal expected COUNTS -> small group threshold 25x big
+    t0 = temperature_thresholds({"big": n_big, "small": n_small},
+                                100, alpha=0)
+    assert abs(t0["small"] / max(t0["big"], 1) - n_big / n_small) < 0.1
+    with pytest.raises(ValueError):
+        temperature_thresholds({"a": 1}, 1, alpha=0.7)
