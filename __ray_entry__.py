@@ -1797,6 +1797,38 @@ def _media_jpeg_agg(sf_dir: str):
         .select(["width", "height", "n_images", "tot_r", "tot_g", "tot_b"])
 
 
+def _media_gif_agg(sf_dir: str):
+    """REAL GIF decode: GIF87a header/palette parse + full LZW
+    decompression (variable code width, CLEAR resets, KwKwK) ->
+    per-channel pixel sums per image size (stages/multimodal.ImageDecode
+    dispatch, functions/gif.py).  Lossless, so the goldens are the
+    generator's SOURCE palette-mapped sums -- zero shared math with the
+    decoder.  Corrupt payloads null out (P11), excluded identically on
+    both sides."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from go_distributed_log_search_ray.stages.multimodal import ImageDecode
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    media_dir = os.path.join(_corpus(sf_dir), "media")
+    ds = ray.data.read_parquet(
+        media_dir, columns=["media_id", "kind", "payload"],
+        filter=pc.field("kind") == "gif")
+    dec = ds.map_batches(ImageDecode, batch_size=64, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    ok = dec.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("width"))),
+        batch_format="pyarrow")
+    agg = ok.groupby(["width", "height"]).aggregate(
+        Count(alias_name="n_images"),
+        Sum("sum_r", alias_name="tot_r"),
+        Sum("sum_g", alias_name="tot_g"),
+        Sum("sum_b", alias_name="tot_b"))
+    return small_table(agg, sort_keys=["width", "height"],
+                       int64_cols=["n_images", "tot_r", "tot_g", "tot_b"]) \
+        .select(["width", "height", "n_images", "tot_r", "tot_g", "tot_b"])
+
+
 def _media_png_agg(sf_dir: str):
     """REAL PNG decode: chunk parse with CRC verification, zlib
     inflate, all five scanline reconstruction filters -> per-channel
@@ -2286,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_agg": _media_audio_agg,
         "media_ulaw_agg": _media_ulaw_agg,
         "media_video_agg": _media_video_agg,
+        "media_gif_agg": _media_gif_agg,
         "orders_customer_merge_join": _orders_customer_merge_join,
         "lineitem_pagerank": _lineitem_pagerank,
         "events_zorder_box_agg": _events_zorder_box_agg,
@@ -4047,6 +4080,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sum_b) AS BIGINT) AS tot_b
             FROM read_parquet('{media}')
             WHERE kind = 'jpeg' AND width IS NOT NULL
+            GROUP BY width, height""",
+        "media_gif_agg": f"""
+            SELECT width, height, count(*) AS n_images,
+                   CAST(sum(sum_r) AS BIGINT) AS tot_r,
+                   CAST(sum(sum_g) AS BIGINT) AS tot_g,
+                   CAST(sum(sum_b) AS BIGINT) AS tot_b
+            FROM read_parquet('{media}')
+            WHERE kind = 'gif' AND width IS NOT NULL
             GROUP BY width, height""",
         "media_png_agg": f"""
             SELECT width, height, count(*) AS n_images,

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v9"
+GEN_VERSION = "v10"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -457,6 +457,43 @@ def _write_media(d: str, n_docs: int) -> None:
             s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
             put(5 * n + r, "png", payload, width=w, height=h,
                 sum_r=int(s[0]), sum_g=int(s[1]), sum_b=int(s[2]))
+
+    # GIF (kind="gif"): lossless palette format with REAL LZW -- the
+    # engine decoder (functions/gif.py) shares no code with this
+    # encoder (corpus/gifenc.py), and goldens are the SOURCE
+    # palette-mapped pixel sums.  Corrupt cuts are retried until the
+    # decoder provably rejects them (jpeg-style).
+    from .gifenc import encode_gif
+    from ..functions.gif import decode_gif
+    grng = np.random.default_rng(SEED + 8)
+    n_gif = max(50, n_docs // 40)
+    for g in range(n_gif):
+        bits = int(grng.integers(2, 9))
+        pal = grng.integers(0, 256, size=(1 << bits, 3), dtype=np.int64) \
+            .astype(np.uint8)
+        w = int(grng.integers(4, 64))
+        h = int(grng.integers(4, 48))
+        if g % 3 == 0:                        # low-entropy: deep LZW dict
+            idx = (np.arange(h * w).reshape(h, w) // 5
+                   % (1 << bits)).astype(np.uint8)
+        else:
+            idx = grng.integers(0, 1 << bits, size=(h, w),
+                                dtype=np.int64).astype(np.uint8)
+        payload = encode_gif(idx, pal)
+        if g % 25 == 9:                       # deterministic ~4% (P11)
+            for _attempt in range(50):
+                cut = int(grng.integers(3, max(4, len(payload) - 2)))
+                if decode_gif(payload[:cut]) is None:
+                    payload = payload[:cut]
+                    break
+            else:
+                payload = payload[:8]
+            put(6 * n + g, "gif", payload)
+        else:
+            srgb = pal[idx.reshape(-1)].astype(np.int64).sum(axis=0)
+            put(6 * n + g, "gif", payload, width=w, height=h,
+                sum_r=int(srgb[0]), sum_g=int(srgb[1]),
+                sum_b=int(srgb[2]))
 
     t = pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),

@@ -412,9 +412,13 @@ class ImageDecode:
 
         for p in batch.column("payload").to_pylist():
             if p is not None and (p[:2] == b"\xff\xd8"
-                                  or p[:8] == b"\x89PNG\r\n\x1a\n"):
+                                  or p[:8] == b"\x89PNG\r\n\x1a\n"
+                                  or p[:6] in (b"GIF87a", b"GIF89a")):
                 if p[:2] == b"\xff\xd8":
                     r = decode_jpeg(p)
+                elif p[:6] in (b"GIF87a", b"GIF89a"):
+                    from ..functions.gif import decode_gif
+                    r = decode_gif(p)
                 else:
                     from ..functions.png import decode_png
                     r = decode_png(p)

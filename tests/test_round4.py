@@ -2055,3 +2055,57 @@ def test_temperature_mixture_upweights_rare_groups():
     assert abs(t0["small"] / max(t0["big"], 1) - n_big / n_small) < 0.1
     with pytest.raises(ValueError):
         temperature_thresholds({"a": 1}, 1, alpha=0.7)
+
+
+def test_gif_codec_roundtrip_and_rejection():
+    """GIF87a encoder/decoder pair: exact round trip across palette
+    sizes and pixel patterns (incl. LZW dict-reset streams), truncation
+    and garbage rejection, GIF89a extension-block skipping, interlace
+    flagged malformed."""
+    from go_distributed_log_search_ray.corpus.gifenc import encode_gif
+    from go_distributed_log_search_ray.functions.gif import decode_gif
+
+    rng = np.random.default_rng(4)
+    for bits in (2, 3, 5, 8):
+        p = 1 << bits
+        pal = rng.integers(0, 256, (p, 3)).astype(np.uint8)
+        for mode in range(3):
+            w, h = int(rng.integers(1, 70)), int(rng.integers(1, 50))
+            if mode == 0:
+                idx = rng.integers(0, p, (h, w)).astype(np.uint8)
+            elif mode == 1:
+                idx = (np.arange(h * w).reshape(h, w) // 5 % p) \
+                    .astype(np.uint8)
+            else:
+                idx = np.zeros((h, w), np.uint8)
+            data = encode_gif(idx, pal)
+            r = decode_gif(data)
+            assert r is not None and (r[0], r[1], r[2]) == (w, h, 3)
+            assert np.array_equal(r[3], pal[idx.reshape(-1)])
+
+    # dict-reset stream (entries hit 4096 -> CLEAR mid-stream)
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    idx = (np.tile(np.arange(512), 300) % 7 % 4).astype(np.uint8) \
+        .reshape(300, 512)
+    data = encode_gif(idx, pal)
+    r = decode_gif(data)
+    assert r is not None and np.array_equal(r[3], pal[idx.reshape(-1)])
+
+    # truncations and garbage reject cleanly
+    for cut in [0, 3, 12, 13, 40, len(data) // 2, len(data) - 1]:
+        assert decode_gif(data[:cut]) is None, cut
+    assert decode_gif(b"NOTAGIF" + data) is None
+
+    # GIF89a extension blocks are skipped; interlace flag rejects
+    ext = (b"\x21\xf9\x04\x00\x00\x00\x00\x00")  # graphic control ext
+    with_ext = data[:13 + 12] + ext + data[13 + 12:]
+    # (13-byte header + 4*3 palette) then splice the extension in
+    r2 = decode_gif(with_ext.replace(b"GIF87a", b"GIF89a", 1))
+    assert r2 is not None and np.array_equal(r2[3], pal[idx.reshape(-1)])
+    # flip the interlace bit in the image descriptor packed byte
+    desc_at = 13 + 12                            # descriptor follows GCT
+    assert with_ext[desc_at] == 0x21
+    plain = bytearray(data)
+    assert plain[desc_at] == 0x2C
+    plain[desc_at + 9] |= 0x40
+    assert decode_gif(bytes(plain)) is None
