@@ -210,6 +210,40 @@ def _doc_repetition_features(sf_dir: str):
                               "top_bigram_count", "n_bigrams"])
 
 
+def _doc_vocab_overlap_est(sf_dir: str):
+    """Cross-corpus vocabulary overlap via HLL set algebra
+    (stages/sketches.hll_global / hll_overlap_estimate): sketch the
+    distinct token set of the en docs and of the de docs once each,
+    then union/intersect the SKETCHES driver-side -- the
+    snapshot-comparison primitive (how much does crawl N+1 add?) with
+    O(2^p) state per corpus instead of an exact distinct-token join.
+    Deterministic hashing makes the estimate reproducible; rows-only
+    check (approximate by design), accuracy bounded in pytest."""
+    import pandas as pd
+
+    from go_distributed_log_search_ray.stages.sketches import (
+        hll_global, hll_overlap_estimate)
+
+    def toks(lang):
+        def terms(b: pa.Table, lg=lang) -> pa.Table:
+            b = b.filter(pc.equal(pc.fill_null(b.column("lang"), ""),
+                                  lg))
+            flat = pc.list_flatten(pc.split_pattern_regex(
+                pc.coalesce(b.column("text"), pa.scalar("")),
+                pattern=r"\s+"))
+            flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+            return pa.table({"term": flat.unique()})  # per-batch dedup
+        return _read_table(sf_dir, "documents",
+                           columns=["text", "lang"]) \
+            .map_batches(terms, batch_format="pyarrow")
+
+    est = hll_overlap_estimate(hll_global(toks("en"), "term"),
+                               hll_global(toks("de"), "term"))
+    return pd.DataFrame([{k: int(round(v)) if k != "jaccard"
+                          else round(float(v), 4)
+                          for k, v in est.items()}])
+
+
 def _doc_temperature_mixture_agg(sf_dir: str):
     """Temperature-smoothed corpus mixing (alpha=0.5, temperature 2):
     resample documents toward sqrt-weighted language proportions so
@@ -2341,6 +2375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_leakage_split_agg": _doc_leakage_split_agg,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "doc_temperature_mixture_agg": _doc_temperature_mixture_agg,
+        "doc_vocab_overlap_est": _doc_vocab_overlap_est,
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,

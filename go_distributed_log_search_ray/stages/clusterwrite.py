@@ -239,7 +239,10 @@ def merge_clustered(out_dir: str, delta: Dataset, key: str,
     Semantics: each delta row UPSERTS by ``id_col`` (every base row
     with that id is removed, the delta row inserted) unless ``op_col``
     says ``"delete"`` (removed, nothing inserted).  Duplicate ids
-    within one delta are ambiguous and raise.  The id->file lookup
+    within one delta are ambiguous and raise.  The delta must carry
+    every base column (after a ``backfill_column_clustered`` the base
+    schema is wider -- widen the delta the same way or the upsert
+    raises rather than silently nulling backfilled values).  The id->file lookup
     uses the delta row's ``key``, so the cluster key of a given id
     must be immutable across upserts -- automatic when the table is
     clustered on the id itself (the primary-key layout this engine's
@@ -429,3 +432,82 @@ def read_clustered_box(out_dir: str, box: dict[str, tuple],
         return ray.data.read_parquet(man[0]["path"], columns=columns) \
             .limit(0)
     return ray.data.read_parquet(files, columns=columns)
+
+
+def backfill_column_clustered(out_dir: str, col: str, fn,
+                              columns: list[str] | None = None) -> dict:
+    """Copy-on-write column BACKFILL: add a derived column to every
+    file of a clustered table without touching rows, keys, or stats.
+    ``fn(table) -> pa.Array`` computes the new column from each file's
+    existing columns (``columns`` prunes what is read into ``fn``'s
+    view; the full file is still rewritten alongside the new column).
+
+    Idempotent per FILE: files already carrying ``col`` are skipped,
+    so a crashed backfill resumes where it stopped (the schema itself
+    is the progress marker) -- and the manifest swap per file is an
+    atomic rename, so readers never see a torn file.
+
+    Scale shape: one task per file, no shuffle, no driver data; the
+    only driver traffic is the O(files) path list."""
+    import ray.data
+
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path, encoding="utf-8") as f:
+        man = json.load(f)
+
+    def per_file(b: pa.Table) -> pa.Table:
+        done, skipped = [], []
+        for path in b.column("path").to_pylist():
+            pf = pq.ParquetFile(path)
+            if col in pf.schema_arrow.names:
+                skipped.append(path)
+                continue
+            t = pq.read_table(path)
+            view = t.select(columns) if columns else t
+            arr = fn(view)
+            t = t.append_column(col, arr)
+            tmp = path + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)       # atomic per-file swap
+            done.append(path)
+        return pa.table({"path": pa.array(done + skipped),
+                         "skipped": pa.array([False] * len(done)
+                                             + [True] * len(skipped))})
+
+    rows = ray.data.from_arrow(pa.table(
+        {"path": pa.array([r["path"] for r in man])})) \
+        .map_batches(per_file, batch_size=1, batch_format="pyarrow") \
+        .take_all()
+    n_done = sum(1 for r in rows if not r["skipped"])
+    return {"rewritten": n_done,
+            "skipped": sum(1 for r in rows if r["skipped"])}
+
+
+def vacuum_clustered(out_dir: str) -> dict:
+    """Garbage-collect orphan files a torn merge left behind: any
+    ``part-*.parquet`` under the directory that the CURRENT manifest
+    does not reference (e.g. new-generation files written before a
+    crash that happened ahead of the manifest swap), plus stale
+    ``manifest.json.tmp``.  Never touches referenced files, so it is
+    safe to run at any time; returns what it removed."""
+    import glob as _glob
+
+    with open(os.path.join(out_dir, "manifest.json"),
+              encoding="utf-8") as f:
+        live = {r["path"] for r in json.load(f)}
+    removed = []
+    for p in _glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        if p not in live:
+            try:
+                os.unlink(p)
+                removed.append(p)
+            except OSError:
+                pass
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    if os.path.exists(tmp):
+        try:
+            os.unlink(tmp)
+            removed.append(tmp)
+        except OSError:
+            pass
+    return {"removed": len(removed), "paths": sorted(removed)}

@@ -377,3 +377,56 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 256) -> pa.Table:
     vt = cands.type
     return pa.table({"v": pa.array([v for v, _ in out], vt),
                      "cnt": pa.array([c for _, c in out], pa.int64())})
+
+
+# -- HLL set algebra: sketch once, compare many ------------------------------
+
+def hll_global(ds: Dataset, value_col: str, p: int = 12) -> bytes:
+    """One register blob for the whole dataset's distinct values: each
+    block folds to 2^p bytes, the driver max-merges O(blocks) blobs.
+    Mergeable and reusable -- sketch each corpus snapshot ONCE, then
+    union/intersect any pair of snapshots driver-side for free."""
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.append_column("__g", pa.array(
+            np.zeros(b.num_rows, np.int8)))
+        t = hll_partial_batch(b, "__g", value_col, p)
+        return t.select(["hll_regs"])
+
+    rows = ds.select_columns([value_col]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    acc = np.zeros(m, np.uint8)
+    for r in rows:
+        blob = r["hll_regs"]
+        if blob:
+            np.maximum(acc, np.frombuffer(blob, np.uint8), out=acc)
+    return acc.tobytes()
+
+
+def hll_union(a: bytes, b: bytes) -> bytes:
+    """Register-wise max: the sketch of the UNION of the two sets --
+    exact at the sketch level (no extra error beyond each input's)."""
+    ra = np.frombuffer(a, np.uint8)
+    rb = np.frombuffer(b, np.uint8)
+    if len(ra) != len(rb):
+        raise ValueError("HLL precision mismatch")
+    return np.maximum(ra, rb).tobytes()
+
+
+def hll_overlap_estimate(a: bytes, b: bytes, p: int = 12) -> dict:
+    """Inclusion-exclusion overlap estimate between two sketched sets:
+    ``inter ~ |A| + |B| - |A u B|``.  Union error is standard HLL
+    (~1.04/sqrt(2^p) relative); the intersection inherits ABSOLUTE
+    error from the union of the inputs, so it is reliable when the
+    overlap is not tiny relative to the larger set (documented
+    limitation of sketch intersection; exact alternatives are the
+    engine's hash-partitioned joins).  Returns floats plus the Jaccard
+    estimate."""
+    n_a = hll_estimate(a, p)
+    n_b = hll_estimate(b, p)
+    n_u = hll_estimate(hll_union(a, b), p)
+    inter = max(0.0, n_a + n_b - n_u)
+    return {"n_a": n_a, "n_b": n_b, "n_union": n_u,
+            "n_inter": inter,
+            "jaccard": inter / n_u if n_u > 0 else 0.0}

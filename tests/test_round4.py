@@ -2109,3 +2109,105 @@ def test_gif_codec_roundtrip_and_rejection():
     assert plain[desc_at] == 0x2C
     plain[desc_at + 9] |= 0x40
     assert decode_gif(bytes(plain)) is None
+
+
+def test_hll_set_algebra_overlap_accuracy():
+    """Corpus-overlap estimation: two ID sets with known intersection;
+    union/intersection estimates land within 4 sigma of truth, the
+    union sketch equals sketching the concatenation (mergeability),
+    and precision mismatch raises."""
+    from go_distributed_log_search_ray.stages.sketches import (
+        hll_global, hll_overlap_estimate, hll_union)
+
+    p = 12
+    sigma = 1.04 / np.sqrt(1 << p)
+    n_a, n_b, n_shared = 40_000, 30_000, 12_000
+    a_ids = np.arange(n_a, dtype=np.int64)
+    b_ids = np.concatenate([np.arange(n_shared, dtype=np.int64),
+                            np.arange(10**6, 10**6 + n_b - n_shared,
+                                      dtype=np.int64)])
+    dsa = ray.data.from_arrow(pa.table({"v": pa.array(a_ids)})) \
+        .repartition(5)
+    dsb = ray.data.from_arrow(pa.table({"v": pa.array(b_ids)})) \
+        .repartition(3)
+    sa, sb = hll_global(dsa, "v", p), hll_global(dsb, "v", p)
+    est = hll_overlap_estimate(sa, sb, p)
+    true_union = n_a + n_b - n_shared
+    assert abs(est["n_a"] - n_a) < 4 * sigma * n_a
+    assert abs(est["n_b"] - n_b) < 4 * sigma * n_b
+    assert abs(est["n_union"] - true_union) < 4 * sigma * true_union
+    # intersection: absolute error bounded by union-scale noise
+    assert abs(est["n_inter"] - n_shared) < 12 * sigma * true_union
+
+    # mergeability: union sketch == sketch of concatenated dataset
+    both = ray.data.from_arrow(pa.table({"v": pa.array(
+        np.concatenate([a_ids, b_ids]))}))
+    assert hll_union(sa, sb) == hll_global(both, "v", p)
+
+    with pytest.raises(ValueError):
+        hll_union(sa, hll_global(dsb, "v", 10))
+
+
+def test_backfill_and_vacuum_clustered(tmp_path):
+    """CoW column backfill: derived column lands in every file, reruns
+    skip already-backfilled files (schema as progress marker), reads
+    see old OR new schema never a torn file; vacuum removes only
+    orphan generations."""
+    import json
+
+    import pyarrow.compute as _pc
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        backfill_column_clustered, merge_clustered, read_clustered,
+        vacuum_clustered, write_clustered)
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": pa.array(ids), "id": pa.array(ids),
+                  "v": pa.array(ids * 2)})
+    out = str(tmp_path / "bf")
+    write_clustered(ray.data.from_arrow(t).repartition(4), out,
+                    key="k", id_col="id", num_partitions=8)
+
+    r1 = backfill_column_clustered(
+        out, "v_sq", lambda tb: _pc.multiply(tb.column("v"),
+                                             tb.column("v")),
+        columns=["v"])
+    assert r1["rewritten"] >= 1 and r1["skipped"] == 0
+    got = read_clustered(out).to_pandas()
+    assert (got["v_sq"] == got["v"] * got["v"]).all()
+    assert len(got) == n
+
+    # rerun: all files skipped, content unchanged
+    r2 = backfill_column_clustered(
+        out, "v_sq", lambda tb: _pc.multiply(tb.column("v"),
+                                             tb.column("v")),
+        columns=["v"])
+    assert r2["rewritten"] == 0
+    assert r2["skipped"] == r1["rewritten"]
+
+    # orphan generation file (torn merge leftover) + stale tmp
+    orphan = os.path.join(out, "part-00001-g099.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(t.slice(0, 5), orphan)
+    open(os.path.join(out, "manifest.json.tmp"), "w").write("junk")
+    live_before = {r["path"]
+                   for r in json.load(open(f"{out}/manifest.json"))}
+    res = vacuum_clustered(out)
+    assert res["removed"] == 2 and not os.path.exists(orphan)
+    live_after = {r["path"]
+                  for r in json.load(open(f"{out}/manifest.json"))}
+    assert live_before == live_after
+    for p in live_after:
+        assert os.path.exists(p)
+    assert read_clustered(out).count() == n
+
+    # backfill composes with merge: merged files keep the new column
+    delta = pa.table({"k": pa.array([1], pa.int64()),
+                      "id": pa.array([1], pa.int64()),
+                      "v": pa.array([-5], pa.int64()),
+                      "v_sq": pa.array([25], pa.int64())})
+    merge_clustered(out, ray.data.from_arrow(delta), key="k",
+                    id_col="id")
+    row = read_clustered(out, 1, 2).to_pandas()
+    row = row[row["id"] == 1].iloc[0]
+    assert row["v"] == -5 and row["v_sq"] == 25
