@@ -2196,6 +2196,29 @@ def _knn_ivf(sf_dir: str):
     return t.select(["vec_id", "rank"])
 
 
+def _knn_pq(sf_dir: str):
+    """Product-quantization ANN (approximate by design): rows-only
+    driver check; recall@100 and exact encode-vs-reference equality
+    asserted in pytest.  Embeddings compress to m=8 bytes per vector
+    (32x vs float32); the scan sums 8 LUT lookups per vector --
+    the memory-bound regime a 100 TB embedding corpus needs
+    (stages/similarity.pq_train/pq_encode/knn_pq, Jegou et al. 2011)."""
+    import pyarrow.parquet as pq
+
+    from go_distributed_log_search_ray.stages.similarity import (
+        knn_pq, pq_encode, pq_train)
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+          .filter(pc.equal(pc.field("vec_id"), 0)) \
+          .column("embedding").to_pylist()[0]
+    ds = _read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=8, k=64, sample_size=400, seed=5)
+    codes = pq_encode(ds, books)
+    t = knn_pq(codes, books, np.asarray(q, dtype=np.float64), k=10)
+    return t.select(["vec_id", "rank"])
+
+
 def _pages_redact_agg(sf_dir: str):
     """Per-lang PII (IPv4) redaction stats over raw html: one streaming
     RE2 pass, partial per-batch aggregation, O(langs) shuffle.  DuckDB's
@@ -2400,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _knn_bruteforce,
         "knn_multi": _knn_multi,
         "knn_ivf": _knn_ivf,
+        "knn_pq": _knn_pq,
         # flagship web-page pipeline (corpus synthesized per BASELINE input_hint)
         "pages_extract": _pages_extract,
         "pages_grok": _pages_grok,

@@ -431,3 +431,153 @@ def chunk_semantic_search(ds, query_text: str, k: int = 20,
                                    (id_col, "ascending"),
                                    ("chunk_id", "ascending")]) \
         .select([id_col, "chunk_id", "score"])
+
+
+# -- product quantization (PQ): 16-32x compressed ANN ------------------------
+
+def pq_train(ds: Dataset, m: int = 8, k: int = 256,
+             sample_size: int = 4096, iters: int = 10,
+             seed: int = 5, id_col: str = "vec_id") -> np.ndarray:
+    """Train PQ codebooks: split the d-dim space into ``m`` subspaces
+    and k-means each on an unbiased corpus sample (public-knowledge
+    method: Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search").  Returns (m, k, d//m) float64 codebooks.
+
+    Only the O(sample) draw reaches the driver; the Lloyd iterations
+    run on the (sample, d//m) slices -- microscopic next to the
+    corpus.  Codes later compress each vector to ``m`` bytes (d=64
+    float32 -> 8 bytes = 32x)."""
+    sample = _unbiased_sample(ds, id_col, sample_size, seed)
+    sample = np.asarray(sample, dtype=np.float64)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        kk = min(k, len(x))
+        cent = x[rng.choice(len(x), size=kk, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(kk):
+                pts = x[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(0)
+        if kk < k:                      # degenerate tiny sample: pad
+            cent = np.concatenate(
+                [cent, np.repeat(cent[-1:], k - kk, axis=0)])
+        books[j] = cent
+    return books
+
+
+class PQEncoder:
+    """Actor-pool stage: embedding -> m-byte PQ code (binary column).
+    Codebooks resolved from the broadcast ref once per actor; per
+    batch one (rows, k) distance matrix per subspace -- all numpy."""
+
+    def __init__(self, books_ref, col: str = "embedding") -> None:
+        b = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) \
+            else books_ref
+        self.books = np.asarray(b)
+        self.col = col
+        # ||c||^2 per (subspace, centroid), reused every batch
+        self.c2 = (self.books ** 2).sum(-1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _emb_matrix(batch, self.col).astype(np.float64)
+        m, k, sub = self.books.shape
+        codes = np.empty((len(x), m), np.uint8)
+        for j in range(m):
+            xj = x[:, j * sub:(j + 1) * sub]
+            # argmin ||x - c||^2 = argmin ||c||^2 - 2 x.c
+            d2 = self.c2[j][None, :] - 2.0 * (xj @ self.books[j].T)
+            codes[:, j] = d2.argmin(1)
+        off = pa.array((np.arange(len(x) + 1) * m).astype(np.int32))
+        arr = pa.Array.from_buffers(
+            pa.binary(), len(x),
+            [None, off.buffers()[1], pa.py_buffer(codes.tobytes())])
+        return batch.drop_columns([self.col]).append_column(
+            "pq_code", arr)
+
+
+def pq_encode(ds: Dataset, books: np.ndarray,
+              col: str = "embedding") -> Dataset:
+    ref = ray.put(np.asarray(books))
+    return ds.map_batches(PQEncoder, fn_constructor_args=(ref, col),
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
+class PQSearch:
+    """ADC (asymmetric distance) scan: per query one (m, k) LUT of
+    exact subspace distances to the RAW query; per batch the score of
+    a vector is the sum of m table lookups -- no decompression."""
+
+    def __init__(self, ref, topk: int, id_col: str = "vec_id") -> None:
+        books, queries = ray.get(ref) if isinstance(
+            ref, ray.ObjectRef) else ref
+        self.books = np.asarray(books)
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        m, k, sub = self.books.shape
+        self.luts = np.empty((len(q), m, k))
+        for qi in range(len(q)):
+            for j in range(m):
+                diff = q[qi, j * sub:(j + 1) * sub][None, :] \
+                    - self.books[j]
+                self.luts[qi, j] = (diff ** 2).sum(-1)
+        self.topk = topk
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.books.shape[0]
+        col = batch.column("pq_code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = np.frombuffer(b"".join(col.to_pylist()), np.uint8) \
+            .reshape(-1, m)
+        ids = np.asarray(batch.column(self.id_col))
+        out_id, out_q, out_d = [], [], []
+        cols_idx = np.arange(m)
+        for qi in range(len(self.luts)):
+            d = self.luts[qi][cols_idx, codes].sum(1)
+            k = min(self.topk, len(d))
+            idx = np.argpartition(d, k - 1)[:k]
+            out_id.append(ids[idx])
+            out_q.append(np.full(k, qi, np.int64))
+            out_d.append(d[idx])
+        return pa.table({self.id_col: pa.array(np.concatenate(out_id)),
+                         "query_id": pa.array(np.concatenate(out_q)),
+                         "dist": pa.array(np.concatenate(out_d))})
+
+
+def knn_pq(ds_codes: Dataset, books: np.ndarray, queries: np.ndarray,
+           k: int = 10, id_col: str = "vec_id") -> pa.Table:
+    """Approximate top-k over PQ codes: per-block candidate top-k,
+    exact O(k x blocks) driver fold (the knn_bruteforce shape, but the
+    scan touches m bytes per vector instead of 4d)."""
+    import pyarrow.compute as pc
+
+    ref = ray.put((np.asarray(books), np.asarray(queries)))
+    cands = ds_codes.map_batches(
+        PQSearch, fn_constructor_args=(ref, k, id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+    from ..functions.tableops import small_table
+    t = small_table(cands)
+    order = pc.sort_indices(t, sort_keys=[("query_id", "ascending"),
+                                          ("dist", "ascending"),
+                                          (id_col, "ascending")])
+    t = t.take(order)
+    out = {"query_id": [], id_col: [], "dist": [], "rank": []}
+    counts: dict[int, int] = {}
+    for r in t.to_pylist():
+        q = r["query_id"]
+        c = counts.get(q, 0)
+        if c < k:
+            counts[q] = c + 1
+            out["query_id"].append(q)
+            out[id_col].append(r[id_col])
+            out["dist"].append(r["dist"])
+            out["rank"].append(c + 1)
+    return pa.table({k2: pa.array(v) for k2, v in out.items()})

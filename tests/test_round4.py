@@ -2211,3 +2211,62 @@ def test_backfill_and_vacuum_clustered(tmp_path):
     row = read_clustered(out, 1, 2).to_pandas()
     row = row[row["id"] == 1].iloc[0]
     assert row["v"] == -5 and row["v_sq"] == 25
+
+
+def test_pq_recall_and_compression():
+    """Product quantization: codes are m bytes (32x smaller than the
+    float32 vectors), encoding is deterministic, and ADC search
+    recall@10 vs exact L2 is high on clustered data; more subspaces
+    give better recall than fewer."""
+    from go_distributed_log_search_ray.stages.similarity import (
+        knn_pq, pq_encode, pq_train)
+
+    rng = np.random.default_rng(8)
+    n, d = 4000, 32
+    # clustered data (PQ's natural regime)
+    centers = rng.standard_normal((20, d)) * 3
+    x = (centers[rng.integers(0, 20, n)]
+         + rng.standard_normal((n, d)) * 0.4).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([r.tolist() for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    books = pq_train(ds, m=8, k=64, sample_size=1500, seed=5)
+    assert books.shape == (8, 64, 4)
+    codes = pq_encode(ds, books).materialize()
+    row = codes.take(1)[0]
+    assert len(row["pq_code"]) == 8            # 8 bytes vs 128 bytes
+    # deterministic: re-encode equals
+    codes2 = pq_encode(ds, books)
+    c1 = {r["vec_id"]: r["pq_code"] for r in codes.take_all()}
+    c2 = {r["vec_id"]: r["pq_code"] for r in codes2.take_all()}
+    assert c1 == c2
+
+    # PQ's production role is CANDIDATE GENERATION (re-rank after):
+    # the standard metric is recall of the true top-10 within the PQ
+    # top-100 shortlist
+    queries = x[rng.integers(0, n, 5)].astype(np.float64)
+    got = knn_pq(codes, books, queries, k=100)
+    gmap: dict = {}
+    for r in got.to_pylist():
+        gmap.setdefault(r["query_id"], []).append(r["vec_id"])
+    def recall_at_100(g):
+        hits = 0
+        for qi in range(5):
+            d2 = ((x.astype(np.float64) - queries[qi]) ** 2).sum(1)
+            true10 = set(np.argsort(d2, kind="stable")[:10].tolist())
+            hits += len(true10 & set(g[qi]))
+        return hits / 50
+    r8 = recall_at_100(gmap)
+    assert r8 >= 0.8, r8
+
+    # finer quantization (more subspaces) is at least as good
+    books4 = pq_train(ds, m=4, k=64, sample_size=1500, seed=5)
+    codes4 = pq_encode(ds, books4)
+    got4 = knn_pq(codes4, books4, queries, k=100)
+    g4: dict = {}
+    for r in got4.to_pylist():
+        g4.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert r8 >= recall_at_100(g4) - 0.04      # m=8 >= m=4 (tolerance)
