@@ -210,6 +210,70 @@ def _doc_repetition_features(sf_dir: str):
                               "top_bigram_count", "n_bigrams"])
 
 
+def _pages_boilerplate_agg(sf_dir: str):
+    """Host-scoped boilerplate removal (site-template stripping,
+    stages/boilerplate.strip_boilerplate): html lines appearing on
+    >=50% of a HOST's pages (doctype/head/body template lines the
+    generator stamps on every page of a site) are removed; per-host
+    totals of lines / removed / surviving characters.  Pages reduced
+    to zero non-empty lines drop from the aggregate on both sides
+    (the SQL LEFT JOIN shape)."""
+    import ray.data
+
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.boilerplate import (
+        strip_boilerplate)
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                               columns=["url", "host", "html"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b.column("url"),
+            "source": b.column("host").combine_chunks()
+            .cast(pa.string()),
+            "text": b.column("html").combine_chunks()
+            .cast(pa.string())})
+
+    out = strip_boilerplate(ds.map_batches(prep,
+                                           batch_format="pyarrow"),
+                            id_col="url", min_frac_permille=500)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("source")),
+                             pc.greater(b.column("n_lines"), 0)))
+        n_kept = pc.subtract(b.column("n_lines"),
+                             b.column("n_removed"))
+        sep = pc.if_else(pc.greater(n_kept, 0),
+                         pc.subtract(n_kept, 1),
+                         pa.scalar(0, pa.int64()))
+        kept_chars = pc.subtract(
+            pc.cast(pc.utf8_length(b.column("text")), pa.int64()), sep)
+        return pa.table({"source": b.column("source"),
+                         "n_lines": b.column("n_lines"),
+                         "n_removed": b.column("n_removed"),
+                         "kept_chars": kept_chars})
+
+    agg = out.map_batches(finish, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Count(alias_name="n_pages"),
+            Sum("n_lines", alias_name="tot_lines"),
+            Sum("n_removed", alias_name="tot_removed"),
+            Sum("kept_chars", alias_name="kept_chars"))
+
+    def to_host(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["host"] + b.schema.names[1:])
+
+    agg = agg.map_batches(to_host, batch_format="pyarrow")
+    return small_table(agg, sort_keys=["host"],
+                       int64_cols=["n_pages", "tot_lines",
+                                   "tot_removed", "kept_chars"]) \
+        .select(["host", "n_pages", "tot_lines", "tot_removed",
+                 "kept_chars"])
+
+
 def _doc_vocab_overlap_est(sf_dir: str):
     """Cross-corpus vocabulary overlap via HLL set algebra
     (stages/sketches.hll_global / hll_overlap_estimate): sketch the
@@ -2398,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_leakage_split_agg": _doc_leakage_split_agg,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "doc_temperature_mixture_agg": _doc_temperature_mixture_agg,
+        "pages_boilerplate_agg": _pages_boilerplate_agg,
         "doc_vocab_overlap_est": _doc_vocab_overlap_est,
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
@@ -3598,6 +3663,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, doc_id AS canonical_doc_id,
                    CAST(n_chars AS BIGINT) AS canonical_n_chars
             FROM rk WHERE r = 1""",
+        "pages_boilerplate_agg": f"""
+            WITH lines AS (
+              SELECT url, host, l AS line
+              FROM read_parquet('{pages}'),
+                   unnest(string_split(decode(html),
+                                       chr(10))) AS t(l)
+              WHERE l <> ''),
+            dl AS (SELECT DISTINCT url, host, line FROM lines),
+            lc AS (SELECT host, line, count(*) AS n_with
+                   FROM dl WHERE host IS NOT NULL GROUP BY 1, 2),
+            dc AS (SELECT host, count(*) AS total
+                   FROM read_parquet('{pages}')
+                   WHERE host IS NOT NULL GROUP BY 1),
+            bp AS (SELECT lc.host, lc.line
+                   FROM lc JOIN dc ON lc.host = dc.host
+                   WHERE lc.n_with * 1000 >= 500 * dc.total),
+            kept AS (
+              SELECT l.url, l.host,
+                     count(*) AS n_lines,
+                     sum(CASE WHEN bp.line IS NOT NULL
+                              THEN 1 ELSE 0 END) AS n_removed,
+                     sum(CASE WHEN bp.line IS NULL
+                              THEN length(l.line) ELSE 0 END)
+                         AS kept_chars
+              FROM lines l LEFT JOIN bp
+                ON l.host = bp.host AND l.line = bp.line
+              WHERE l.host IS NOT NULL
+              GROUP BY 1, 2)
+            SELECT host, count(*) AS n_pages,
+                   CAST(sum(n_lines) AS BIGINT) AS tot_lines,
+                   CAST(sum(n_removed) AS BIGINT) AS tot_removed,
+                   CAST(sum(kept_chars) AS BIGINT) AS kept_chars
+            FROM kept GROUP BY 1 ORDER BY 1""",
         "doc_temperature_mixture_agg": """
             WITH c AS (SELECT lang, count(*) AS n FROM documents
                        WHERE lang IS NOT NULL GROUP BY 1),

@@ -2270,3 +2270,63 @@ def test_pq_recall_and_compression():
     for r in got4.to_pylist():
         g4.setdefault(r["query_id"], []).append(r["vec_id"])
     assert r8 >= recall_at_100(g4) - 0.04      # m=8 >= m=4 (tolerance)
+
+
+def test_strip_boilerplate_matches_bruteforce():
+    """Per-source boilerplate stripping equals a brute-force reference:
+    footer lines repeated on >=50% of a source's docs are removed,
+    globally-common-but-source-rare lines survive, order preserved,
+    null sources untouched."""
+    from go_distributed_log_search_ray.stages.boilerplate import (
+        strip_boilerplate)
+
+    rng = np.random.default_rng(6)
+    docs, srcs = [], []
+    for s in ["a.com", "b.com"]:
+        footer = f"(c) {s} all rights reserved"
+        nav = f"home | about | contact -- {s}"
+        for i in range(20):
+            body = [f"unique {s} {i} line {j}" for j in range(3)]
+            lines = [nav] + body + ([footer] if i % 2 == 0 or
+                                    s == "a.com" else [])
+            # one line shared across BOTH sources but rare within each
+            if i == 3:
+                lines.append("rare shared line")
+            docs.append("\n".join(lines))
+            srcs.append(s)
+    docs.append("no source doc\nwith lines")
+    srcs.append(None)
+    ids = np.arange(len(docs), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "source": pa.array(srcs, pa.string()),
+                  "text": pa.array(docs, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    out = strip_boilerplate(ds, min_frac_permille=500).take_all()
+    got = {r["doc_id"]: r for r in out}
+
+    # brute force
+    from collections import Counter, defaultdict
+    per_src = defaultdict(list)
+    for i, (s, d) in enumerate(zip(srcs, docs)):
+        per_src[s].append(i)
+    bad = {}
+    for s, idxs in per_src.items():
+        if s is None:
+            continue
+        c = Counter()
+        for i in idxs:
+            c.update(set(x for x in docs[i].split("\n") if x))
+        bad[s] = {ln for ln, n in c.items()
+                  if n * 1000 >= 500 * len(idxs)}
+    for i, (s, d) in enumerate(zip(srcs, docs)):
+        lines = [x for x in d.split("\n") if x]
+        keep = [x for x in lines if x not in bad.get(s, ())]
+        r = got[int(i)]
+        assert r["text"] == "\n".join(keep), i
+        assert r["n_lines"] == len(lines)
+        assert r["n_removed"] == len(lines) - len(keep)
+    # nav removed everywhere; rare shared line survives; null src whole
+    assert all("home | about" not in got[i]["text"] for i in range(40))
+    assert "rare shared line" in got[3]["text"]
+    assert got[40]["text"] == "no source doc\nwith lines"
