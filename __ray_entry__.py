@@ -1135,6 +1135,41 @@ def _orders_merge_cdc_agg(sf_dir: str):
         .select(["cgrp", "n_rows", "sum_cents"])
 
 
+def _lineitem_triangles(sf_dir: str):
+    """Exact distributed triangle count (stages/graph.triangle_count,
+    degree-oriented wedge counting, O(m^1.5) work) over the part
+    co-purchase graph: parts are linked when some order contains both.
+    The DuckDB oracle builds the same edge set with a self-join and
+    counts closures with a canonical triple join."""
+    import pandas as pd
+
+    from go_distributed_log_search_ray.stages.graph import (
+        triangle_count)
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    li = _read_table(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_partkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b.column("l_orderkey").cast(pa.int64()),
+                      "p": b.column("l_partkey").cast(pa.int64())})
+        return t.group_by(["k", "p"]).aggregate([])
+
+    d = li.map_batches(prep, batch_format="pyarrow")
+    d_r = d.map_batches(lambda b: b.rename_columns(["k", "p_r"]),
+                        batch_format="pyarrow")
+    pairs = hash_join(d, d_r, on="k")
+
+    def edge(b: pa.Table) -> pa.Table:
+        keep = pc.less(b.column("p"), b.column("p_r"))
+        t = b.filter(keep)
+        return pa.table({"src": t.column("p"),
+                         "dst": t.column("p_r")})
+
+    n = triangle_count(pairs.map_batches(edge, batch_format="pyarrow"))
+    return pd.DataFrame([{"n_triangles": int(n)}])
+
+
 def _doc_vocab_nucleus(sf_dir: str):
     """Tokenizer-budget census: smallest frequency-ranked vocabulary
     covering 90% of corpus token mass
@@ -2442,6 +2477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_gif_agg": _media_gif_agg,
         "orders_customer_merge_join": _orders_customer_merge_join,
         "lineitem_pagerank": _lineitem_pagerank,
+        "lineitem_triangles": _lineitem_triangles,
         "events_zorder_box_agg": _events_zorder_box_agg,
         "orders_merge_cdc_agg": _orders_merge_cdc_agg,
         # rotated just past the window: operators subsumed by an
@@ -2703,6 +2739,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c % 10 AS cgrp, count(*) AS n_rows,
                    CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM merged GROUP BY 1 ORDER BY 1""",
+        "lineitem_triangles": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS k,
+                                       l_partkey AS p FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM d a JOIN d b ON a.k = b.k AND a.p < b.p)
+            SELECT count(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
         "lineitem_pagerank": """
             WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS s,
                                         l_partkey * 2 + 1 AS d

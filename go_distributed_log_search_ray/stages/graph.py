@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -152,3 +153,126 @@ def pagerank_integer(edges: Dataset, src: str = "src", dst: str = "dst",
         else:
             ranks = ranks.materialize()
     return ranks
+
+
+def triangle_count(edges: Dataset, src: str = "src", dst: str = "dst",
+                   num_partitions: int | None = None) -> int:
+    """Exact triangle count via degree-oriented wedge counting -- the
+    standard bounded-work distributed algorithm (public knowledge:
+    node-iterator++ / Suri & Vassilvitskii 2011 "Counting Triangles
+    and the Curse of the Last Reducer").
+
+    Plan: distinct undirected edges (one groupby), degrees (one
+    count shuffle, broadcast as a sorted lookup -- O(nodes) driver
+    state, the documented trade at this scale; swap for a
+    co-partitioned degree join on a >memory node set), orient each
+    edge from its lower-(degree, id) endpoint so every node's FORWARD
+    adjacency is O(sqrt(m)) amortized, emit each forward wedge
+    (b, c) once from its apex, and co-partition wedges with the edge
+    set by (b, c) hash so one membership pass per partition counts
+    closures.  Total work O(m^1.5), no all-pairs stage, hub nodes
+    defused by the orientation."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .partitions import num_partitions as _default_partitions
+
+    p = num_partitions or _default_partitions(None)
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column(src), pa.int64())
+        d = pc.cast(b.column(dst), pa.int64())
+        u = pc.min_element_wise(a, d)
+        v = pc.max_element_wise(a, d)
+        t = pa.table({"u": u, "v": v}).filter(pc.less(u, v))
+        # per-batch distinct collapse before the global distinct
+        return t.group_by(["u", "v"]).aggregate([])
+
+    e = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby(["u", "v"]).aggregate(Count(alias_name="__c")) \
+        .select_columns(["u", "v"]).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.concat_arrays([
+            b.column("u").combine_chunks(),
+            b.column("v").combine_chunks()])})
+
+    deg_rows = e.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("n").aggregate(Count(alias_name="deg")).take_all()
+    nodes = np.array([r["n"] for r in deg_rows], np.int64)
+    degs = np.array([r["deg"] for r in deg_rows], np.int64)
+    order = np.argsort(nodes)
+    nodes, degs = nodes[order], degs[order]
+    deg_ref = ray.put((nodes, degs))
+
+    def orient(b: pa.Table, _r=deg_ref) -> pa.Table:
+        nd, dg = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+        u = np.asarray(b.column("u"))
+        v = np.asarray(b.column("v"))
+        du = dg[np.searchsorted(nd, u)]
+        dv = dg[np.searchsorted(nd, v)]
+        # forward = lower (degree, id) endpoint first
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(fwd, u, v)
+        t = np.where(fwd, v, u)
+        return pa.table({"s": pa.array(s), "t": pa.array(t)})
+
+    oe = e.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedge_rows(t: pa.Table) -> pa.Table:
+        """apex group -> all forward-neighbor pairs (b < c by the
+        orientation order is not guaranteed; canonicalize by id)."""
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        nb = np.unique(np.asarray(t.column("t")))
+        if len(nb) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(nb), 1)
+        return pa.table({"a": pa.array(np.minimum(nb[i], nb[j])),
+                         "b": pa.array(np.maximum(nb[i], nb[j])),
+                         "w": pa.array(np.ones(len(i), np.int64))})
+
+    wedges = oe.groupby("s").map_groups(wedge_rows,
+                                        batch_format="pyarrow")
+
+    def tag(side):
+        def f(b: pa.Table) -> pa.Table:
+            a = np.asarray(b.column("u" if side == 0 else "a"))
+            c = np.asarray(b.column("v" if side == 0 else "b"))
+            w = np.ones(len(a), np.int64) if side == 0 else \
+                np.asarray(b.column("w"))
+            part = ((a * np.int64(0x9E3779B1) + c)
+                    % np.int64(p)).astype(np.int32)
+            return pa.table({"a": pa.array(a), "b": pa.array(c),
+                             "w": pa.array(w),
+                             "side": pa.array(
+                                 np.full(len(a), side, np.int8)),
+                             "__part": pa.array(np.abs(part))})
+        return f
+
+    both = e.map_batches(tag(0), batch_format="pyarrow") \
+        .union(wedges.map_batches(tag(1), batch_format="pyarrow"))
+
+    def close(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        side = np.asarray(t.column("side"), np.int8)
+        a = np.asarray(t.column("a"))
+        b = np.asarray(t.column("b"))
+        w = np.asarray(t.column("w"))
+        ek = a[side == 0] * np.int64(1 << 32) + b[side == 0]
+        ek = np.sort(ek)
+        wk = a[side == 1] * np.int64(1 << 32) + b[side == 1]
+        pos = np.searchsorted(ek, wk)
+        pos = np.clip(pos, 0, max(0, len(ek) - 1))
+        hit = len(ek) > 0 and (ek[pos] == wk)
+        n = int(w[side == 1][hit].sum()) if len(ek) else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    rows = both.groupby("__part").map_groups(
+        close, batch_format="pyarrow").take_all()
+    return int(sum(r["n"] for r in rows))

@@ -2330,3 +2330,43 @@ def test_strip_boilerplate_matches_bruteforce():
     assert all("home | about" not in got[i]["text"] for i in range(40))
     assert "rare shared line" in got[3]["text"]
     assert got[40]["text"] == "no source doc\nwith lines"
+
+
+def test_triangle_count_matches_bruteforce():
+    """Degree-oriented triangle counting equals brute force on random
+    graphs (with duplicate/reversed/self-loop edges in the input), a
+    known clique count, and a triangle-free bipartite graph."""
+    import itertools
+
+    from go_distributed_log_search_ray.stages.graph import (
+        triangle_count)
+
+    rng = np.random.default_rng(12)
+    n, m = 60, 400
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    # add noise: duplicates, reversed copies, self loops
+    src = np.concatenate([src, dst[:50], np.arange(5)])
+    dst = np.concatenate([dst, src[:50], np.arange(5)])
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst)})).repartition(4)
+
+    es = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    brute = sum(1 for a, b, c in itertools.combinations(range(n), 3)
+                if (a, b) in es and (b, c) in es and (a, c) in es)
+    got = triangle_count(ds)
+    assert got == brute and brute > 0
+
+    # K5 has exactly 10 triangles
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    dsk = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in k5], pa.int64()),
+        "dst": pa.array([b for _, b in k5], pa.int64())}))
+    assert triangle_count(dsk) == 10
+
+    # bipartite graph: zero triangles
+    bs = rng.integers(0, 20, 100).astype(np.int64)
+    bd = rng.integers(100, 120, 100).astype(np.int64)
+    dsb = ray.data.from_arrow(pa.table({"src": pa.array(bs),
+                                        "dst": pa.array(bd)}))
+    assert triangle_count(dsb) == 0
