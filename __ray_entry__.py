@@ -2318,6 +2318,30 @@ def _knn_pq(sf_dir: str):
     return t.select(["vec_id", "rank"])
 
 
+def _knn_ivfpq(sf_dir: str):
+    """Composed IVF-PQ probe (approximate by design, rows-only):
+    coarse cells prune I/O, PQ codes shrink the scan to m bytes per
+    vector (stages/similarity.build_ivfpq_index/knn_ivfpq_probe);
+    recall and compression pinned in pytest."""
+    import os
+    import pyarrow.parquet as pq
+
+    from go_distributed_log_search_ray.stages.similarity import (
+        build_ivfpq_index, knn_ivfpq_probe)
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+          .filter(pc.equal(pc.field("vec_id"), 0)) \
+          .column("embedding").to_pylist()[0]
+    ds = _read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = build_ivfpq_index(ds, f"/tmp/graft_ivfpq/{tag}", ncells=8,
+                            m=8, ksub=64, sample_size=400)
+    t = knn_ivfpq_probe(idx, np.asarray(q, dtype=np.float64), k=10,
+                        nprobe=3)
+    return t.select(["vec_id", "rank"])
+
+
 def _pages_redact_agg(sf_dir: str):
     """Per-lang PII (IPv4) redaction stats over raw html: one streaming
     RE2 pass, partial per-batch aggregation, O(langs) shuffle.  DuckDB's
@@ -2525,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi": _knn_multi,
         "knn_ivf": _knn_ivf,
         "knn_pq": _knn_pq,
+        "knn_ivfpq": _knn_ivfpq,
         # flagship web-page pipeline (corpus synthesized per BASELINE input_hint)
         "pages_extract": _pages_extract,
         "pages_grok": _pages_grok,

@@ -581,3 +581,71 @@ def knn_pq(ds_codes: Dataset, books: np.ndarray, queries: np.ndarray,
             out["dist"].append(r["dist"])
             out["rank"].append(c + 1)
     return pa.table({k2: pa.array(v) for k2, v in out.items()})
+
+
+# -- IVF-PQ: coarse cells + compressed codes (the FAISS IVFPQ shape) --------
+
+def build_ivfpq_index(ds: Dataset, index_dir: str, ncells: int = 16,
+                      m: int = 8, ksub: int = 64,
+                      sample_size: int = 2048, seed: int = 3,
+                      force: bool = False,
+                      id_col: str = "vec_id") -> str:
+    """ONE-TIME IVF-PQ build: coarse centroids partition the corpus
+    into cells (I/O pruning at probe time), PQ codebooks trained on
+    the SAME sample compress each vector to ``m`` bytes stored inside
+    its cell's parquet -- the classic composed layout (FAISS IVFPQ;
+    Jegou et al. 2011): a probe reads nprobe/ncells of the data and
+    scans bytes, not floats.  Residual encoding is deliberately NOT
+    used (codes quantize the raw vector) so the same codebooks serve
+    every cell and the encode stage needs no per-cell state."""
+    import os
+    import shutil
+
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return index_dir
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    sample = _unbiased_sample(ds, id_col, sample_size, seed)
+    cent = train_centroids(sample.astype(np.float64), ncells, seed=seed)
+    books = pq_train(ds, m=m, k=ksub, sample_size=sample_size,
+                     seed=seed, id_col=id_col)
+    cref = ray.put(cent)
+    bref = ray.put(books)
+
+    class AssignEncode:
+        def __init__(self, c, b) -> None:
+            self.cells = CellAssigner(c)
+            self.enc = PQEncoder(b)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return self.enc(self.cells(batch))
+
+    coded = ds.map_batches(AssignEncode, fn_constructor_args=(cref, bref),
+                           batch_format="pyarrow", concurrency=(1, 8))
+    coded.write_parquet(index_dir, partition_cols=["ivf_cell"],
+                        row_group_size=131072)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    np.save(os.path.join(index_dir, "pq_books.npy"), books)
+    with open(marker, "w") as f:
+        f.write(f"ncells={len(cent)} m={m} ksub={ksub}\n")
+    return index_dir
+
+
+def knn_ivfpq_probe(index_dir: str, queries: np.ndarray, k: int = 10,
+                    nprobe: int = 4, id_col: str = "vec_id") -> pa.Table:
+    """Probe an IVF-PQ index: read ONLY the nprobe nearest cells'
+    code files (m bytes/vector), ADC-scan them, exact fold."""
+    import glob
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "pq_books.npy"))
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    probed = sorted({int(c) for row in probe for c in row})
+    files = [f for c in probed
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"ivf_cell={c}", "*.parquet")))]
+    pruned = ray.data.read_parquet(files, columns=[id_col, "pq_code"])
+    return knn_pq(pruned, books, queries, k=k, id_col=id_col)
