@@ -233,19 +233,23 @@ def jaccard_self_join(ds: Dataset, id_col: str = "doc_id",
                          "union": pa.array(ru, pa.int64())},
                         schema=out_schema)
 
-    got = ds.select_columns([id_col, text_col]) \
+    found = ds.select_columns([id_col, text_col]) \
         .map_batches(EmitPrefix, fn_constructor_args=(rank_ref,),
                      concurrency=(1, 8), batch_format="pyarrow") \
         .groupby("ppart") \
-        .map_groups(pairs_in_partition, batch_format="pyarrow") \
-        .take_all()
-    if not got:
-        return out_schema.empty_table()
-    tbl = pa.Table.from_pylist(got, schema=out_schema)
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
     # same pair can emerge in different partitions (different shared
-    # prefix tokens): one distinct pass over the O(result) set
-    df = tbl.to_pandas().drop_duplicates(["id_a", "id_b"])
-    return pa.Table.from_pandas(df.sort_values(["id_a", "id_b"])
-                                .reset_index(drop=True),
-                                schema=out_schema,
-                                preserve_index=False)
+    # prefix tokens): the distinct pass is DISTRIBUTED (duplicate rows
+    # carry identical inter/union, so min == the value) -- the driver
+    # only ever sees the final O(result) table
+    from ray.data.aggregate import Min
+
+    distinct = found.groupby(["id_a", "id_b"]).aggregate(
+        Min("inter", alias_name="inter"),
+        Min("union", alias_name="union"))
+    from ..functions.tableops import small_table
+    t = small_table(distinct, sort_keys=["id_a", "id_b"],
+                    int64_cols=["id_a", "id_b", "inter", "union"])
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    return t.select(["id_a", "id_b", "inter", "union"])
