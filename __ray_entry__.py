@@ -274,6 +274,63 @@ def _pages_boilerplate_agg(sf_dir: str):
                  "kept_chars"])
 
 
+def _doc_gopher_rules_agg(sf_dir: str):
+    """Composite Gopher-style quality GATE (Rae et al. 2021 table A1
+    shape) with integer-exact rules over the engine's existing feature
+    kernels: token-count bounds, mean-word-length band, digit-ratio
+    cap, top-bigram repetition cap.  Per-lang doc counts, pass counts,
+    and per-rule failure counts -- the filter-decision aggregate a
+    corpus-prep run reports."""
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.textstats import (
+        quality_features_batch, repetition_features_batch,
+        token_count_batch)
+    from ray.data.aggregate import Sum
+
+    ds = _read_table(sf_dir, "documents",
+                     columns=["doc_id", "lang", "text"])
+
+    def rules(b: pa.Table) -> pa.Table:
+        b = quality_features_batch(token_count_batch(b), "text")
+        b = repetition_features_batch(b, "text")
+        nt = np.asarray(b.column("n_tokens"), dtype=np.int64)
+        nc = np.asarray(b.column("n_chars_calc"), dtype=np.int64)
+        nsp = np.asarray(b.column("n_space"), dtype=np.int64)
+        ndg = np.asarray(b.column("n_digit"), dtype=np.int64)
+        tb = np.asarray(b.column("top_bigram_count"), dtype=np.int64)
+        nb = np.asarray(b.column("n_bigrams"), dtype=np.int64)
+        letters = nc - nsp
+        r1 = (nt >= 30) & (nt <= 100_000)
+        r2 = (3 * nt <= letters) & (letters <= 12 * nt) & (nt > 0)
+        r3 = 10 * ndg <= nc
+        r4 = (nb == 0) | (5 * tb <= nb)
+        ok = r1 & r2 & r3 & r4
+        return pa.table({
+            "lang": b.column("lang").combine_chunks()
+            .cast(pa.string()),
+            "n_docs": pa.array(np.ones(len(nt), np.int64)),
+            "n_pass": pa.array(ok.astype(np.int64)),
+            "f_len": pa.array((~r1).astype(np.int64)),
+            "f_wordlen": pa.array((~r2).astype(np.int64)),
+            "f_digit": pa.array((~r3).astype(np.int64)),
+            "f_rep": pa.array((~r4).astype(np.int64))})
+
+    agg = ds.map_batches(rules, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_pass", alias_name="n_pass"),
+            Sum("f_len", alias_name="f_len"),
+            Sum("f_wordlen", alias_name="f_wordlen"),
+            Sum("f_digit", alias_name="f_digit"),
+            Sum("f_rep", alias_name="f_rep"))
+    return small_table(agg, sort_keys=["lang"],
+                       int64_cols=["n_docs", "n_pass", "f_len",
+                                   "f_wordlen", "f_digit", "f_rep"]) \
+        .select(["lang", "n_docs", "n_pass", "f_len", "f_wordlen",
+                 "f_digit", "f_rep"])
+
+
 def _doc_vocab_overlap_est(sf_dir: str):
     """Cross-corpus vocabulary overlap via HLL set algebra
     (stages/sketches.hll_global / hll_overlap_estimate): sketch the
@@ -2523,6 +2580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "doc_temperature_mixture_agg": _doc_temperature_mixture_agg,
         "pages_boilerplate_agg": _pages_boilerplate_agg,
+        "doc_gopher_rules_agg": _doc_gopher_rules_agg,
         "doc_vocab_overlap_est": _doc_vocab_overlap_est,
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
@@ -3765,6 +3823,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_removed) AS BIGINT) AS tot_removed,
                    CAST(sum(kept_chars) AS BIGINT) AS kept_chars
             FROM kept GROUP BY 1 ORDER BY 1""",
+        "doc_gopher_rules_agg": r"""
+            WITH feat AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text, ' ' || chr(9) || chr(10)
+                                    || chr(12) || chr(13) || chr(11))
+                               = '' OR text IS NULL THEN 0
+                          ELSE len(regexp_split_to_array(
+                                 trim(text, ' ' || chr(9) || chr(10)
+                                      || chr(12) || chr(13)
+                                      || chr(11)),
+                                 '[\t\n\f\r ]+'))
+                     END AS nt,
+                     length(coalesce(text, '')) AS nc,
+                     length(coalesce(text, ''))
+                       - length(replace(coalesce(text, ''),
+                                        ' ', '')) AS nsp,
+                     length(coalesce(text, ''))
+                       - length(regexp_replace(coalesce(text, ''),
+                                               '[0-9]', '', 'g'))
+                       AS ndg
+              FROM documents),
+            toks AS (SELECT doc_id,
+                            regexp_extract_all(coalesce(text, ''),
+                                               '\S+') AS ts
+                     FROM documents),
+            bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+                   FROM toks,
+                        unnest(generate_series(1, len(ts)-1))
+                            AS g(i)),
+            bc AS (SELECT doc_id, bg, count(*) AS c
+                   FROM bi GROUP BY doc_id, bg),
+            bagg AS (SELECT doc_id, max(c) AS tb, sum(c) AS nb
+                     FROM bc GROUP BY doc_id),
+            rules AS (
+              SELECT f.lang,
+                     (f.nt >= 30 AND f.nt <= 100000) AS r1,
+                     (3 * f.nt <= f.nc - f.nsp
+                      AND f.nc - f.nsp <= 12 * f.nt
+                      AND f.nt > 0) AS r2,
+                     (10 * f.ndg <= f.nc) AS r3,
+                     (coalesce(b.nb, 0) = 0
+                      OR 5 * coalesce(b.tb, 0)
+                         <= coalesce(b.nb, 0)) AS r4
+              FROM feat f LEFT JOIN bagg b ON f.doc_id = b.doc_id)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f_len,
+                   CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f_wordlen,
+                   CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f_digit,
+                   CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS f_rep
+            FROM rules GROUP BY 1 ORDER BY 1""",
         "doc_temperature_mixture_agg": """
             WITH c AS (SELECT lang, count(*) AS n FROM documents
                        WHERE lang IS NOT NULL GROUP BY 1),
