@@ -1227,6 +1227,72 @@ def _lineitem_triangles(sf_dir: str):
     return pd.DataFrame([{"n_triangles": int(n)}])
 
 
+def _lineitem_kcore(sf_dir: str):
+    """k-core of the part co-purchase graph (stages/graph.kcore,
+    iterative peeling): nodes surviving with in-core degree >= 75 at
+    sf0.01 (1,938 of 2,000 after 5 cascading peel rounds).  The
+    oracle unrolls 8 peel rounds in SQL; the Ray side asserts it
+    converged within that budget so the two can never silently
+    diverge on a deeper graph."""
+    import pandas as pd
+
+    from go_distributed_log_search_ray.stages.graph import kcore
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    li = _read_table(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_partkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b.column("l_orderkey").cast(pa.int64()),
+                      "p": b.column("l_partkey").cast(pa.int64())})
+        return t.group_by(["k", "p"]).aggregate([])
+
+    d = li.map_batches(prep, batch_format="pyarrow")
+    d_r = d.map_batches(lambda b: b.rename_columns(["k", "p_r"]),
+                        batch_format="pyarrow")
+    pairs = hash_join(d, d_r, on="k")
+
+    def edge(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("p"), b.column("p_r")))
+        return pa.table({"src": t.column("p"),
+                         "dst": t.column("p_r")})
+
+    t, rounds = kcore(pairs.map_batches(edge, batch_format="pyarrow"),
+                      k=75, max_rounds=10)
+    assert rounds <= 8, f"kcore took {rounds} rounds; oracle unrolls 8"
+    return pd.DataFrame({"node": t.column("node").to_pylist(),
+                         "deg": t.column("deg").to_pylist()})
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """8-peel-round unrolled k-core in plain SQL (idempotent past the
+    fixpoint, so it equals the fixpoint whenever peeling converges
+    within the budget -- which the Ray side asserts)."""
+    parts = ["""WITH d AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        FROM lineitem),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT least(a.p, b.p) AS u,
+                        greatest(a.p, b.p) AS v
+        FROM d a JOIN d b ON a.k = b.k AND a.p < b.p)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
+        SELECT u AS n FROM e{r - 1}
+        UNION ALL SELECT v FROM e{r - 1}) GROUP BY 1),
+    a{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (SELECT u, v FROM e{r - 1}
+             WHERE u IN (SELECT n FROM a{r})
+               AND v IN (SELECT n FROM a{r}))""")
+    parts.append(f"""
+    SELECT n AS node, CAST(deg AS BIGINT) AS deg FROM (
+        SELECT n, count(*) AS deg FROM (
+            SELECT u AS n FROM e{rounds}
+            UNION ALL SELECT v FROM e{rounds}) GROUP BY 1)
+    ORDER BY 1""")
+    return "".join(parts)
+
+
 def _doc_vocab_nucleus(sf_dir: str):
     """Tokenizer-budget census: smallest frequency-ranked vocabulary
     covering 90% of corpus token mass
@@ -2559,6 +2625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_merge_join": _orders_customer_merge_join,
         "lineitem_pagerank": _lineitem_pagerank,
         "lineitem_triangles": _lineitem_triangles,
+        "lineitem_kcore": _lineitem_kcore,
         "events_zorder_box_agg": _events_zorder_box_agg,
         "orders_merge_cdc_agg": _orders_merge_cdc_agg,
         # rotated just past the window: operators subsumed by an
@@ -2822,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c % 10 AS cgrp, count(*) AS n_rows,
                    CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM merged GROUP BY 1 ORDER BY 1""",
+        "lineitem_kcore": _kcore_unrolled_sql(75, 8),
         "lineitem_triangles": """
             WITH d AS (SELECT DISTINCT l_orderkey AS k,
                                        l_partkey AS p FROM lineitem),

@@ -276,3 +276,69 @@ def triangle_count(edges: Dataset, src: str = "src", dst: str = "dst",
     rows = both.groupby("__part").map_groups(
         close, batch_format="pyarrow").take_all()
     return int(sum(r["n"] for r in rows))
+
+
+def kcore(edges: Dataset, k: int, src: str = "src", dst: str = "dst",
+          max_rounds: int = 32) -> tuple[pa.Table, int]:
+    """k-core: the maximal subgraph where every node keeps degree
+    >= k, by iterative peeling (public-knowledge algorithm; Seidman
+    1983).  Returns ``(table(node, deg), rounds_used)`` where deg is
+    the node's degree INSIDE the core.
+
+    Per round: one degree count shuffle over the surviving edge set,
+    then a broadcast alive-set filter pass (O(nodes) driver state --
+    same documented trade as ``triangle_count``; swap for a
+    co-partitioned semi-join on a >memory node set).  Rounds are
+    data-dependent; raises if ``max_rounds`` is hit so a caller (or
+    an unrolled SQL oracle with the same round budget) can never
+    silently diverge."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column(src), pa.int64())
+        d = pc.cast(b.column(dst), pa.int64())
+        u = pc.min_element_wise(a, d)
+        v = pc.max_element_wise(a, d)
+        t = pa.table({"u": u, "v": v}).filter(pc.less(u, v))
+        return t.group_by(["u", "v"]).aggregate([])
+
+    e = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby(["u", "v"]).aggregate(Count(alias_name="__c")) \
+        .select_columns(["u", "v"]).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.concat_arrays([
+            b.column("u").combine_chunks(),
+            b.column("v").combine_chunks()])})
+
+    for rounds in range(1, max_rounds + 1):
+        deg_rows = e.map_batches(endpoints, batch_format="pyarrow") \
+            .groupby("n").aggregate(Count(alias_name="deg")).take_all()
+        nodes = np.array([r["n"] for r in deg_rows], np.int64)
+        degs = np.array([r["deg"] for r in deg_rows], np.int64)
+        if len(nodes) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())}), rounds
+        alive_mask = degs >= k
+        if alive_mask.all():
+            order = np.argsort(nodes)
+            return pa.table({"node": pa.array(nodes[order]),
+                             "deg": pa.array(degs[order])}), rounds
+        alive = np.sort(nodes[alive_mask])
+        aref = ray.put(alive)
+
+        def keep(b: pa.Table, _r=aref) -> pa.Table:
+            al = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+            u = np.asarray(b.column("u"))
+            v = np.asarray(b.column("v"))
+
+            def member(x):
+                if len(al) == 0:
+                    return np.zeros(len(x), bool)
+                p = np.clip(np.searchsorted(al, x), 0, len(al) - 1)
+                return al[p] == x
+            return b.filter(pa.array(member(u) & member(v)))
+
+        e = e.map_batches(keep, batch_format="pyarrow").materialize()
+    raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")

@@ -2418,3 +2418,57 @@ def test_ivfpq_index_probe_recall(tmp_path):
         true10 = set(np.argsort(d2, kind="stable")[:10].tolist())
         hits += len(true10 & g[qi])
     assert hits / 40 >= 0.7, hits / 40
+
+
+def test_kcore_matches_bruteforce():
+    """Iterative peeling equals a brute-force k-core on random graphs
+    (k=3), a clique (its own k-core), and returns empty when k exceeds
+    max degree; cascading removals exercise multi-round peeling."""
+    from go_distributed_log_search_ray.stages.graph import kcore
+
+    rng = np.random.default_rng(21)
+    n, m = 80, 300
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    # a pendant chain to force cascading removals: 200-201-...-205
+    chain = np.arange(200, 206, dtype=np.int64)
+    src = np.concatenate([src, chain[:-1]])
+    dst = np.concatenate([dst, chain[1:]])
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst)})).repartition(4)
+
+    def brute(k):
+        es = {(min(a, b), max(a, b)) for a, b in zip(src, dst)
+              if a != b}
+        alive = {x for e in es for x in e}
+        while True:
+            deg = {}
+            for a, b in es:
+                if a in alive and b in alive:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+            drop = {x for x in alive if deg.get(x, 0) < k}
+            if not drop:
+                return {x: deg.get(x, 0) for x in alive if x in deg}
+            alive -= drop
+
+    for k in (2, 3, 4):
+        want = brute(k)
+        got_t, rounds = kcore(ds, k)
+        got = dict(zip(got_t.column("node").to_pylist(),
+                       got_t.column("deg").to_pylist()))
+        assert got == want, k
+    assert rounds >= 1
+
+    # chain nodes never survive k=2 (cascade), clique is its own core
+    got2, _ = kcore(ds, 2)
+    assert not (set(chain.tolist())
+                & set(got2.column("node").to_pylist()))
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    dsk = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in k6], pa.int64()),
+        "dst": pa.array([b for _, b in k6], pa.int64())}))
+    t5, r5 = kcore(dsk, 5)
+    assert t5.num_rows == 6 and r5 == 1
+    t9, _ = kcore(dsk, 9)
+    assert t9.num_rows == 0
