@@ -331,6 +331,25 @@ def _doc_gopher_rules_agg(sf_dir: str):
                  "f_digit", "f_rep"])
 
 
+def _events_windowed_distinct_est(sf_dir: str):
+    """Per-hour approximate distinct users over the event stream
+    (stages/sketches.windowed_approx_distinct): per-block HLL
+    partials shuffled as O(windows x blocks x 2^p) register rows --
+    cardinality-independent, idempotent under at-least-once replay.
+    Approximate by design: rows-only; 4-sigma accuracy + replay
+    idempotence pinned in pytest."""
+    from go_distributed_log_search_ray.stages.sketches import (
+        windowed_approx_distinct)
+
+    ds = _read_table(sf_dir, "events", columns=["ts", "user_id"])
+    t = windowed_approx_distinct(ds, "ts", "user_id",
+                                 3_600_000_000, p=12)
+    import pandas as pd
+    return pd.DataFrame({
+        "window_id": t.column("window_id").to_pylist(),
+        "n_distinct_est": t.column("n_distinct_est").to_pylist()})
+
+
 def _doc_vocab_overlap_est(sf_dir: str):
     """Cross-corpus vocabulary overlap via HLL set algebra
     (stages/sketches.hll_global / hll_overlap_estimate): sketch the
@@ -2649,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_boilerplate_agg": _pages_boilerplate_agg,
         "doc_gopher_rules_agg": _doc_gopher_rules_agg,
         "doc_vocab_overlap_est": _doc_vocab_overlap_est,
+        "events_windowed_distinct_est": _events_windowed_distinct_est,
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,

@@ -2472,3 +2472,35 @@ def test_kcore_matches_bruteforce():
     assert t5.num_rows == 6 and r5 == 1
     t9, _ = kcore(dsk, 9)
     assert t9.num_rows == 0
+
+
+def test_windowed_approx_distinct_accuracy():
+    """Per-window HLL distinct estimates land within 4 sigma of exact
+    per-window distinct counts, and re-union of the same data changes
+    nothing (idempotent re-merge, the at-least-once resume property)."""
+    from go_distributed_log_search_ray.stages.sketches import (
+        windowed_approx_distinct)
+
+    rng = np.random.default_rng(19)
+    n = 60_000
+    W = 3_600_000_000
+    wid = rng.integers(0, 6, n).astype(np.int64)
+    user = rng.integers(0, 5000, n).astype(np.int64) + wid * 10_000
+    ts = wid * W + rng.integers(0, W, n)
+    t = pa.table({"ts": pa.array(ts).cast(pa.timestamp("us")),
+                  "user_id": pa.array(user)})
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    got = windowed_approx_distinct(ds, "ts", "user_id", W, p=12)
+    sigma = 1.04 / np.sqrt(1 << 12)
+    gmap = dict(zip(got.column("window_id").to_pylist(),
+                    got.column("n_distinct_est").to_pylist()))
+    assert len(gmap) == 6
+    for w in range(6):
+        exact = len(np.unique(user[wid == w]))
+        assert abs(gmap[w] - exact) < 4 * sigma * exact, (w, gmap[w],
+                                                          exact)
+    # idempotent under duplicated input (at-least-once replay)
+    got2 = windowed_approx_distinct(ds.union(ds), "ts", "user_id", W)
+    assert dict(zip(got2.column("window_id").to_pylist(),
+                    got2.column("n_distinct_est").to_pylist())) == gmap
