@@ -350,6 +350,34 @@ def _events_windowed_distinct_est(sf_dir: str):
         "n_distinct_est": t.column("n_distinct_est").to_pylist()})
 
 
+def _events_join_skew_profile(sf_dir: str):
+    """Pre-join skew diagnostics (stages/sketches.join_skew_profile):
+    exact per-key counts on both sides for keys hot on EITHER side
+    (Misra-Gries candidates + exact recount, k=64) plus each key's
+    exact inner-join output contribution -- the planning signal that
+    decides whether skew_join's broadcast hot path is worth it.
+    Profiled pair: all events vs high-value events, keyed by
+    event_type (the driver tables' genuinely skewed column)."""
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.sketches import (
+        join_skew_profile)
+
+    ev = _read_table(sf_dir, "events", columns=["event_type", "value"])
+    right = ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            pc.fill_null(b.column("value"), -1.0), 100.0)),
+        batch_format="pyarrow")
+    t = join_skew_profile(ev, right, "event_type", k=64)
+    import pandas as pd
+    return pd.DataFrame({
+        "key": t.column("key").to_pylist(),
+        "n_left": t.column("n_left").to_pylist(),
+        "n_right": t.column("n_right").to_pylist(),
+        "join_rows": t.column("join_rows").to_pylist()}) \
+        .sort_values("key").reset_index(drop=True)
+
+
 def _doc_vocab_overlap_est(sf_dir: str):
     """Cross-corpus vocabulary overlap via HLL set algebra
     (stages/sketches.hll_global / hll_overlap_estimate): sketch the
@@ -2669,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_rules_agg": _doc_gopher_rules_agg,
         "doc_vocab_overlap_est": _doc_vocab_overlap_est,
         "events_windowed_distinct_est": _events_windowed_distinct_est,
+        "events_join_skew_profile": _events_join_skew_profile,
         "doc_top_bigrams": _doc_top_bigrams,
         "orders_customer_left_join": R.orders_customer_left_join,
         "customer_order_full_join": R.customer_order_full_join,
@@ -3911,6 +3940,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_removed) AS BIGINT) AS tot_removed,
                    CAST(sum(kept_chars) AS BIGINT) AS kept_chars
             FROM kept GROUP BY 1 ORDER BY 1""",
+        "events_join_skew_profile": """
+            WITH l AS (SELECT event_type AS v, count(*) AS c
+                       FROM events GROUP BY 1),
+            ln AS (SELECT count(*) AS n FROM events),
+            r0 AS (SELECT event_type AS v, count(*) AS c
+                   FROM events WHERE value >= 100 GROUP BY 1),
+            rn AS (SELECT count(*) AS n FROM events
+                   WHERE value >= 100),
+            hot AS (SELECT v FROM l, ln WHERE c * 65 > n
+                    UNION SELECT v FROM r0, rn WHERE c * 65 > n)
+            SELECT h.v AS key,
+                   coalesce(l.c, 0) AS n_left,
+                   coalesce(r0.c, 0) AS n_right,
+                   coalesce(l.c, 0) * coalesce(r0.c, 0) AS join_rows
+            FROM hot h LEFT JOIN l ON l.v = h.v
+                       LEFT JOIN r0 ON r0.v = h.v
+            ORDER BY 1""",
         "doc_gopher_rules_agg": r"""
             WITH feat AS (
               SELECT doc_id, lang,

@@ -2504,3 +2504,35 @@ def test_windowed_approx_distinct_accuracy():
     got2 = windowed_approx_distinct(ds.union(ds), "ts", "user_id", W)
     assert dict(zip(got2.column("window_id").to_pylist(),
                     got2.column("n_distinct_est").to_pylist())) == gmap
+
+
+def test_join_skew_profile_exact():
+    """Pre-join skew profile: exact per-key counts on both sides for
+    keys hot on EITHER side, exact join contribution products; equals
+    a single-process reference on a skewed corpus."""
+    from go_distributed_log_search_ray.stages.sketches import (
+        join_skew_profile)
+
+    rng = np.random.default_rng(13)
+    # left: hot key 7 dominates; right: hot key 9 dominates
+    lk = np.concatenate([np.full(3000, 7), rng.integers(0, 200, 1000)])
+    rk = np.concatenate([np.full(2000, 9), rng.integers(0, 200, 800)])
+    dl = ray.data.from_arrow(pa.table({"k": pa.array(
+        lk.astype(np.int64))})).repartition(4)
+    dr = ray.data.from_arrow(pa.table({"k": pa.array(
+        rk.astype(np.int64))})).repartition(3)
+
+    k = 16
+    got = join_skew_profile(dl, dr, "k", k=k)
+    gmap = {r["key"]: (r["n_left"], r["n_right"], r["join_rows"])
+            for r in got.to_pylist()}
+
+    from collections import Counter
+    cl, cr = Counter(lk.tolist()), Counter(rk.tolist())
+    hot = {v for v, c in cl.items() if c * (k + 1) > len(lk)} | \
+          {v for v, c in cr.items() if c * (k + 1) > len(rk)}
+    want = {v: (cl.get(v, 0), cr.get(v, 0),
+                cl.get(v, 0) * cr.get(v, 0)) for v in hot}
+    assert gmap == want
+    assert 7 in gmap and 9 in gmap
+    assert gmap[7][0] == cl[7] and gmap[9][1] == cr[9]
