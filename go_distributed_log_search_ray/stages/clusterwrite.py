@@ -57,6 +57,35 @@ def zorder_key(x: pa.Array | pa.ChunkedArray,
     return pa.array(z.astype(np.int64))
 
 
+def zorder_key_n(cols: list[pa.Array | pa.ChunkedArray]) -> pa.Array:
+    """N-dimensional Morton key: round-robin bit interleaving of 2-8
+    non-negative int columns into one int64 (each column contributes
+    ``63 // n`` low bits; values outside that range raise).  The 2-D
+    fast path delegates to ``zorder_key``; higher dimensions use a
+    per-bit gather loop (n x bits iterations of whole-column numpy
+    ops -- vectorized over rows, not a row loop)."""
+    n = len(cols)
+    if n == 2:
+        return zorder_key(cols[0], cols[1])
+    if not 2 <= n <= 8:
+        raise ValueError("zorder_key_n supports 2-8 columns")
+    bits = 63 // n
+    vs = []
+    for c in cols:
+        v = _np(c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                else c)
+        if len(v) and (v.min() < 0 or v.max() >= (1 << bits)):
+            raise ValueError(
+                f"zorder_key_n: values must lie in [0, 2^{bits})")
+        vs.append(v.astype(np.uint64))
+    z = np.zeros(len(vs[0]) if vs else 0, np.uint64)
+    for b in range(bits):
+        for j, v in enumerate(vs):
+            z |= ((v >> np.uint64(b)) & np.uint64(1)) \
+                << np.uint64(b * n + j)
+    return pa.array(z.astype(np.int64))
+
+
 def write_clustered(ds: Dataset, out_dir: str, key: str, id_col: str,
                     num_partitions: int | None = None,
                     est_bytes: int | None = None,

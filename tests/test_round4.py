@@ -2536,3 +2536,51 @@ def test_join_skew_profile_exact():
     assert gmap == want
     assert 7 in gmap and 9 in gmap
     assert gmap[7][0] == cl[7] and gmap[9][1] == cr[9]
+
+
+def test_zorder_n_three_dim_box_pruning(tmp_path):
+    """3-D Morton clustering prunes on EVERY dimension: a box on any
+    single axis skips most files, the scalar bit-interleave matches a
+    reference, and the residual-filtered rows equal brute force."""
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        pruned_files_box, read_clustered_box, write_clustered,
+        zorder_key_n)
+
+    rng = np.random.default_rng(15)
+    n = 30_000
+    cols = [rng.integers(0, 512, n).astype(np.int64) for _ in range(3)]
+    t = pa.table({"x": pa.array(cols[0]), "y": pa.array(cols[1]),
+                  "z": pa.array(cols[2]),
+                  "id": pa.array(np.arange(n), pa.int64())})
+    zk = zorder_key_n([t.column("x"), t.column("y"), t.column("z")])
+    t = t.append_column("__z", zk)
+
+    def ref(a, b, c):
+        out = 0
+        for i in range(21):
+            out |= ((a >> i) & 1) << (3 * i)
+            out |= ((b >> i) & 1) << (3 * i + 1)
+            out |= ((c >> i) & 1) << (3 * i + 2)
+        return out
+    zs = zk.to_pylist()
+    for i in (0, 999, n - 1):
+        assert zs[i] == ref(int(cols[0][i]), int(cols[1][i]),
+                            int(cols[2][i]))
+    with pytest.raises(ValueError):
+        zorder_key_n([pa.array([1 << 21], pa.int64())] * 3)
+
+    out = str(tmp_path / "z3")
+    write_clustered(ray.data.from_arrow(t).repartition(6), out,
+                    key="__z", id_col="id", num_partitions=64,
+                    stats_cols=["x", "y", "z"])
+    for axis in ("x", "y", "z"):
+        files, total = pruned_files_box(out, {axis: (100, 160)})
+        assert len(files) < total * 0.7, axis   # every axis prunes
+
+    box = {"x": (100, 200), "y": (300, 400), "z": (0, 100)}
+    got = read_clustered_box(out, box).to_pandas()
+    got = got[(got.x >= 100) & (got.x < 200) & (got.y >= 300)
+              & (got.y < 400) & (got.z < 100)]
+    want = ((cols[0] >= 100) & (cols[0] < 200) & (cols[1] >= 300)
+            & (cols[1] < 400) & (cols[2] < 100))
+    assert sorted(got["id"]) == sorted(np.arange(n)[want].tolist())
