@@ -125,7 +125,11 @@ def run_queries() -> dict:
              "order_lineitem_join", "doc_langid", "doc_simhash_pairs",
              "knn_ivf",
              "events_funnel", "events_retention", "emb_gram_agg",
-             "doc_jaccard_pairs", "orders_merge_cdc_agg",
+             "orders_merge_cdc_agg",
+             # doc_jaccard_pairs excluded: the synthetic corpus is
+             # near-all templated twins, so the EXACT pair join's
+             # output is inherently ~1M pairs at sf0.1 (result-bound
+             # minutes, not an operator regression signal)
              "events_zorder_box_agg"]
     out = {}
     for name in picks:
