@@ -2584,3 +2584,49 @@ def test_zorder_n_three_dim_box_pruning(tmp_path):
     want = ((cols[0] >= 100) & (cols[0] < 200) & (cols[1] >= 300)
             & (cols[1] < 400) & (cols[2] < 100))
     assert sorted(got["id"]) == sorted(np.arange(n)[want].tolist())
+
+
+def test_merge_clustered_crash_after_swap(tmp_path):
+    """The OTHER torn state: crash after the atomic manifest swap but
+    before superseded-file deletion.  Readers see the NEW data (the
+    manifest is authoritative), vacuum removes exactly the orphaned
+    old-generation files, and re-applying the delta still converges."""
+    import json
+
+    from go_distributed_log_search_ray.stages.clusterwrite import (
+        merge_clustered, read_clustered, vacuum_clustered,
+        write_clustered)
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": pa.array(ids), "id": pa.array(ids),
+                  "v": pa.array(ids)})
+    out = str(tmp_path / "c")
+    write_clustered(ray.data.from_arrow(t).repartition(3), out,
+                    key="k", id_col="id", num_partitions=4)
+    man0 = {r["part"]: r["path"]
+            for r in json.load(open(f"{out}/manifest.json"))}
+
+    delta = pa.table({"k": pa.array([5], pa.int64()),
+                      "id": pa.array([5], pa.int64()),
+                      "v": pa.array([-9], pa.int64())})
+    merge_clustered(out, ray.data.from_arrow(delta), key="k",
+                    id_col="id")
+    man1 = json.load(open(f"{out}/manifest.json"))
+    # reconstruct the torn state: restore one superseded old file
+    changed = [p for p, path in man0.items()
+               if path not in {r["path"] for r in man1}]
+    assert changed
+    old_path = man0[changed[0]]
+    import pyarrow.parquet as pq
+    pq.write_table(t.slice(0, 7), old_path)       # orphan "old gen"
+
+    got = read_clustered(out).to_pandas()         # manifest wins
+    assert len(got) == n and got.set_index("id")["v"][5] == -9
+    res = vacuum_clustered(out)
+    assert old_path in res["paths"] and not os.path.exists(old_path)
+    # re-apply converges on the vacuumed table
+    merge_clustered(out, ray.data.from_arrow(delta), key="k",
+                    id_col="id")
+    got2 = read_clustered(out).to_pandas()
+    assert len(got2) == n and got2.set_index("id")["v"][5] == -9
