@@ -51,6 +51,31 @@ def _read_table(sf_dir: str, name: str, columns=None):
     from go_distributed_log_search_ray.functions.tableops import read_clean
     return read_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
+def _sf_tag(sf_dir: str) -> str:
+    """Cache tag for persistent /tmp artifacts derived from ``sf_dir``.
+
+    Folds in the FULL normalized path, the corpus generator version
+    and the input tables' newest mtime -- a regenerated corpus (same
+    path, new content: a GEN_VERSION bump, or a fresh driver round
+    rewriting /root/testdata) must never let ``_SUCCESS`` idempotence
+    silently reuse indexes/clustered tables built from old data."""
+    import hashlib
+    import os
+
+    from go_distributed_log_search_ray.corpus.generator import GEN_VERSION
+
+    p = os.path.normpath(os.path.abspath(sf_dir))
+    mt = 0
+    try:
+        for e in os.scandir(p):
+            if e.is_file():
+                mt = max(mt, e.stat().st_mtime_ns)
+    except OSError:
+        pass
+    h = hashlib.md5(f"{p}:{GEN_VERSION}:{mt}".encode()).hexdigest()[:10]
+    return f"{os.path.basename(p)}_{h}"
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001; returns the per-sink aggregate."""
     import shutil
@@ -634,7 +659,7 @@ def _doc_index_search(sf_dir: str):
     from go_distributed_log_search_ray.stages.invindex import (
         build_inverted_index, index_search)
     ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = _sf_tag(sf_dir)
     idx = build_inverted_index(ds, f"/tmp/graft_invindex_{tag}")
     return index_search(idx, ["table", "vector"], mode="and")
 
@@ -855,7 +880,7 @@ def _doc_export_shards(sf_dir: str):
         export_training_shards)
     ds = _read_table(sf_dir, "documents",
                      columns=["doc_id", "lang", "n_chars"])
-    out = f"/tmp/graft_export_{os.path.basename(os.path.normpath(sf_dir))}"
+    out = f"/tmp/graft_export_{_sf_tag(sf_dir)}"
     shutil.rmtree(out, ignore_errors=True)
     export_training_shards(ds, out, num_shards=8)
     back = ray.data.read_parquet(out)
@@ -1006,7 +1031,7 @@ def _orders_customer_merge_join(sf_dir: str):
     from go_distributed_log_search_ray.stages.clusterwrite import (
         merge_join_clustered, write_clustered)
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _sf_tag(sf_dir)
     orders = _read_table(sf_dir, "orders",
                          columns=["o_orderkey", "o_custkey",
                                   "o_totalprice"])
@@ -1109,7 +1134,7 @@ def _events_zorder_box_agg(sf_dir: str):
         read_clustered_box, write_clustered, zorder_key)
     from ray.data.aggregate import Sum
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _sf_tag(sf_dir)
     ev = _read_table(sf_dir, "events",
                      columns=["event_id", "ts", "user_id", "value"])
     US_PER_H = 3_600_000_000
@@ -1171,7 +1196,7 @@ def _orders_merge_cdc_agg(sf_dir: str):
         merge_clustered, read_clustered, write_clustered)
     from ray.data.aggregate import Count, Sum
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _sf_tag(sf_dir)
     orders = _read_table(sf_dir, "orders",
                          columns=["o_orderkey", "o_custkey",
                                   "o_totalprice"])
@@ -1589,8 +1614,7 @@ def _orders_clustered_read_agg(sf_dir: str):
                              b.column("o_totalprice"),
                              pa.scalar(100.0))), pa.int64())})
 
-    out_dir = ("/tmp/graft_clustered_orders_"
-               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    out_dir = f"/tmp/graft_clustered_orders_{_sf_tag(sf_dir)}"
     write_clustered(ds.map_batches(prep, batch_format="pyarrow"),
                     out_dir, key="price_cents", id_col="o_orderkey")
     lo, hi = 5_000_000, 15_000_000          # $50k..$150k
@@ -1684,7 +1708,7 @@ def _doc_incremental_dedup(sf_dir: str):
         build_fingerprint_snapshot, incremental_dedup)
     ds = _read_table(sf_dir, "documents",
                      columns=["doc_id", "text", "lang"])
-    snap_dir = f"/tmp/graft_fp_snapshot_{os.path.basename(os.path.normpath(sf_dir))}"
+    snap_dir = f"/tmp/graft_fp_snapshot_{_sf_tag(sf_dir)}"
     import numpy as np
     snap_src = ds.map_batches(
         lambda b: b.filter(pa.array(
@@ -1753,8 +1777,7 @@ def _doc_incremental_near_dedup(sf_dir: str):
     from go_distributed_log_search_ray.stages.incremental import (
         build_band_snapshot, incremental_near_dedup)
     ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    snap_dir = ("/tmp/graft_band_snapshot_"
-                f"{os.path.basename(os.path.normpath(sf_dir))}")
+    snap_dir = f"/tmp/graft_band_snapshot_{_sf_tag(sf_dir)}"
     snap_src = ds.map_batches(
         lambda b: b.filter(pa.array(
             np.asarray(b.column("doc_id")) % 3 == 0)),
@@ -2459,7 +2482,7 @@ def _knn_ivf(sf_dir: str):
           .filter(pc.equal(pc.field("vec_id"), 0)) \
           .column("embedding").to_pylist()[0]
     ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _sf_tag(sf_dir)
     t = knn_ivf(ds, np.asarray(q, dtype=np.float64), k=10,
                 index_dir=f"/tmp/graft_ivf/{tag}")
     return t.select(["vec_id", "rank"])
@@ -2504,7 +2527,7 @@ def _knn_ivfpq(sf_dir: str):
           .column("embedding").to_pylist()[0]
     ds = _read_table(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _sf_tag(sf_dir)
     idx = build_ivfpq_index(ds, f"/tmp/graft_ivfpq/{tag}", ncells=8,
                             m=8, ksub=64, sample_size=400)
     t = knn_ivfpq_probe(idx, np.asarray(q, dtype=np.float64), k=10,

@@ -65,6 +65,25 @@ def small_table(ds: Dataset, sort_keys: list[str] | None = None,
     return t
 
 
+def concat_nonempty(tables, schema: pa.Schema) -> pa.Table:
+    """``pa.concat_tables`` tolerant of Ray's degenerate empty blocks.
+
+    Ray's hash-shuffle groupby emits ZERO-COLUMN empty blocks for empty
+    output partitions (the count scales with parallelism, so a pipeline
+    green at 8 CPUs can raise ``ArrowInvalid: Schema at index N was
+    different`` at 32 -- the exact failure of `doc_token_freq_stats` in
+    round 4).  Filter those out, cast stragglers to the declared schema,
+    and return a typed empty when nothing survives.  ``schema`` is
+    required: the caller always knows the shape it expects, and an
+    all-empty result must still be typed for downstream kernels."""
+    good = [t for t in tables if t.num_columns > 0 and t.num_rows > 0]
+    if not good:
+        return schema.empty_table()
+    good = [t if t.schema.equals(schema) else t.select(schema.names).cast(schema)
+            for t in good]
+    return pa.concat_tables(good)
+
+
 def batch_topk(batch: pa.Table, k: int, sort_keys: list[tuple[str, str]]) -> pa.Table:
     """Per-batch top-k by the given (col, order) keys -- the combine side
     of the distributed top-k pattern: each block contributes at most k

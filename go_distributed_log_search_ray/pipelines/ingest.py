@@ -38,7 +38,7 @@ import ray
 import ray.data
 
 from ..stages.extract import HtmlExtractor, derive_host
-from ..stages.enrich import Enricher, broadcast_lookups
+from ..stages.enrich import Enricher
 from ..stages.aggregate import sink_counts_table, SINK_KEYS
 from ..state.manifest import Manifest, resolve_fs
 
@@ -138,7 +138,11 @@ def build_routed_dataset(
     one-row-group files measured 3x slower end to end)."""
     files = files if files is not None else shard_files(corpus_dir)
     if lookups_ref is None:
-        lookups_ref = broadcast_lookups(os.path.join(corpus_dir, "lookups"))
+        # pass the PATH, not a ray.put ref: the ctor arg stays a tiny
+        # inline string and an actor restart re-loads the tables itself
+        # instead of depending on a driver-owned plasma object
+        # (ray#53727); the tables are small by contract (broadcast-side)
+        lookups_ref = os.path.join(corpus_dir, "lookups")
     if num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
         try:
@@ -232,7 +236,8 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
     for i, f in enumerate(files):
         parts[i % nparts].append(f)
 
-    lookups_ref = broadcast_lookups(os.path.join(cfg.corpus_dir, "lookups"))
+    # path form: restart-safe Enricher init (see build_routed_dataset)
+    lookups_ref = os.path.join(cfg.corpus_dir, "lookups")
     if not cfg.resume:
         manifest.drop()
         manifest = Manifest(out_root, fs)

@@ -339,18 +339,22 @@ def merge_clustered(out_dir: str, delta: Dataset, key: str,
         slot = int(t.column("__part")[0].as_py())
         ins_mask = t.column("__ins")
         inserts = t.filter(ins_mask)
-        if op_col is not None:
-            keep = pc.not_equal(
-                pc.fill_null(inserts.column(op_col), "upsert"),
-                pa.scalar("delete"))
-            inserts = inserts.filter(keep)
-            inserts = inserts.drop_columns([op_col])
+        # duplicate-id guard BEFORE the delete filter: a delta carrying
+        # both an upsert and a delete for one id is just as ambiguous
+        # as two upserts -- validating after dropping deletes would let
+        # the upsert silently win instead of raising
         ids = inserts.column(id_col)
         uniq = pc.count_distinct(ids).as_py()
         if uniq != inserts.num_rows:
             raise ValueError(
                 f"merge delta has duplicate {id_col} values in one "
                 f"partition (slot {slot}): ambiguous upsert order")
+        if op_col is not None:
+            keep = pc.not_equal(
+                pc.fill_null(inserts.column(op_col), "upsert"),
+                pa.scalar("delete"))
+            inserts = inserts.filter(keep)
+            inserts = inserts.drop_columns([op_col])
         inserts = inserts.drop_columns(["__part", "__ins"])
         all_ids = t.column(id_col)  # removals: every delta id, any op
         base = pq.read_table(paths[slot])

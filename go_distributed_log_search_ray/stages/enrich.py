@@ -56,16 +56,23 @@ def _map_column(keys: pa.Array, table: dict, slot: int, out_type: pa.DataType) -
 
 
 class Enricher:
-    """map_batches(Enricher, fn_constructor_args=(lookups_ref,),
+    """map_batches(Enricher, fn_constructor_args=(lookups,),
     concurrency=N, batch_format="pyarrow").
 
-    Ray resolves the ObjectRef before calling ``__init__``, so the dicts
-    are deserialized once per actor (reference analog: the Kafka consumer
-    holding checkpoint/assignment state per process,
+    ``lookups`` may be a dict, an ObjectRef from ``broadcast_lookups``,
+    or a PATH STRING to the lookup dir.  The path form is preferred for
+    restartable pipelines: the constructor argument is then a tiny
+    inline string and ``__init__`` loads the tables itself, so an actor
+    restart never depends on a driver-owned plasma object staying alive
+    (ray#53727 -- a lost constructor-arg object makes the restart fail).
+    The dicts are built once per actor either way (reference analog: the
+    Kafka consumer holding checkpoint/assignment state per process,
     src/commands/sources/kafka_source.go:59-68).
     """
 
     def __init__(self, lookups) -> None:
+        if isinstance(lookups, str):            # path: restart-safe load
+            lookups = load_lookup_tables(lookups)
         if isinstance(lookups, ray.ObjectRef):  # defensive: nested-ref case
             lookups = ray.get(lookups)
         self.lang_locale = lookups["lang_locale"]

@@ -146,6 +146,15 @@ def pagerank_integer(edges: Dataset, src: str = "src", dst: str = "dst",
             .groupby("node").aggregate(Sum("c", alias_name="c")) \
             .map_batches(add_base, batch_format="pyarrow")
         if ck:
+            # torn-write safety: a run killed mid write_parquet leaves
+            # partial files with no _SUCCESS; write_parquet into the
+            # same dir APPENDS uniquely-named files, so a resume would
+            # read stale partials + new files (duplicated rank rows
+            # corrupting every later iteration).  Clear the unfinished
+            # dir first so only complete iteration data is readable.
+            if os.path.isdir(ck):
+                import shutil
+                shutil.rmtree(ck)
             os.makedirs(ck, exist_ok=True)
             ranks.write_parquet(ck)
             open(os.path.join(ck, "_SUCCESS"), "w").close()

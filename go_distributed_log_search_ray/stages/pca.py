@@ -60,6 +60,16 @@ def gram_accumulate(ds: Dataset, col: str,
                              "sums": pa.array([], pa.large_binary()),
                              "gram": pa.array([], pa.large_binary())})
         q = np.floor(x * scale).astype(np.int64)
+        # the advertised per-batch int64 bound, actually enforced:
+        # each Gram entry is a sum of rows products, |entry| <=
+        # rows * max|q|^2 -- check in Python ints (no wrap in the
+        # check itself) and fail loudly instead of silently wrapping
+        maxq = int(np.abs(q).max(initial=0))
+        if x.shape[0] * maxq * maxq >= 2 ** 63:
+            raise OverflowError(
+                f"gram_accumulate int64 partial would overflow: "
+                f"{x.shape[0]} rows x max|q|={maxq} (scale={scale}); "
+                f"reduce batch_size or scale")
         g = q.T @ q                       # d x d int64 partial
         s = q.sum(axis=0)
         return pa.table({

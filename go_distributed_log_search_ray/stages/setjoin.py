@@ -119,12 +119,17 @@ def jaccard_self_join(ds: Dataset, id_col: str = "doc_id",
         def __init__(self, r) -> None:
             ranks = ray.get(r) if isinstance(r, ray.ObjectRef) else r
             if ranks:
-                self.ck = np.fromiter(ranks.keys(), np.uint64,
-                                      len(ranks))
+                # keys are int64-VIEWED token hashes (about half are
+                # negative Python ints); go back to the unsigned domain
+                # via an int64 round-trip view -- np.fromiter(...,
+                # np.uint64) on negatives wraps with a warning on NumPy
+                # 1.26 and raises OverflowError on NumPy 2.x
+                self.ck = np.array(list(ranks.keys()),
+                                   np.int64).view(np.uint64)
                 order = np.argsort(self.ck)
                 self.ck = self.ck[order]
-                self.cv = np.fromiter(ranks.values(), np.uint64,
-                                      len(ranks))[order]
+                self.cv = np.array(list(ranks.values()),
+                                   np.uint64)[order]
             else:
                 self.ck = np.empty(0, np.uint64)
                 self.cv = np.empty(0, np.uint64)

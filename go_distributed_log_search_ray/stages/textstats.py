@@ -271,8 +271,16 @@ def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     of millions of terms, a few hundred MB broadcast once per node)."""
     import ray
 
+    from ..functions.tableops import concat_nonempty
+
     vt = global_token_counts(ds, text_col).materialize()
-    tbl = pa.concat_tables(ray.get(vt.to_arrow_refs())).combine_chunks()
+    # groupby output can carry ZERO-COLUMN empty blocks for empty
+    # partitions (count grows with parallelism: green at 8 CPUs, broke
+    # at 32 in round 4) -- concat through the schema-filtering helper.
+    tbl = concat_nonempty(
+        ray.get(vt.to_arrow_refs()),
+        pa.schema([("term", pa.string()), ("n", pa.int64())]),
+    ).combine_chunks()
     terms = tbl.column("term").to_numpy(zero_copy_only=False)
     counts = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(terms)

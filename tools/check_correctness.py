@@ -2,7 +2,12 @@
 entry at sf0.01 and compare against oracle_sql() via DuckDB
 (row count + column names + order-insensitive values).
 
-Usage: python tools/check_correctness.py [--json OUT] [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT] [--cpus N]
+                                         [sf_dir] [query ...]
+
+--cpus sets ray.init num_cpus (default 8).  Run the gate once at 32 to
+catch parallelism-dependent failures (empty groupby partitions emit
+zero-column blocks only at higher partition counts).
 
 With --json, per-query results (status, rows, seconds) are also written
 to OUT as a machine-readable record of the full local gate.
@@ -41,15 +46,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
+    num_cpus = 8
+    while argv and argv[0] in ("--json", "--cpus"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+        else:
+            num_cpus = int(argv[1])
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
     import logging
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
