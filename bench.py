@@ -123,7 +123,11 @@ def run_queries() -> dict:
              "knn_bruteforce", "doc_minhash_keep",
              "pages_extract", "pages_sink_agg",
              "order_lineitem_join", "doc_langid", "doc_simhash_pairs",
-             "knn_ivf",
+             # knn_ivf is reported SPLIT (knn_ivf_build /
+             # knn_ivf_probe_per_query, injected from extras in main):
+             # the combined number is dominated by the one-time index
+             # build at this corpus size, masking the probe cost that
+             # matters at scale (VERDICT r4 item 8)
              "events_funnel", "events_retention", "emb_gram_agg",
              "orders_merge_cdc_agg",
              # doc_jaccard_pairs excluded: the synthetic corpus is
@@ -335,6 +339,10 @@ def main() -> None:
     steady = run_headline(NUM_CPUS, scale_mode=True)  # long job, fixed costs amortized
     queries = run_queries()
     extras = run_extras()
+    # IVF reported split: amortized probe cost vs one-time build
+    # (the combined former "knn_ivf" line conflated them)
+    queries["knn_ivf_build"] = extras["ivf_build_sec"]
+    queries["knn_ivf_probe_per_query"] = extras["ivf_probe_sec_per_query"]
     seq = sequential_reference_throughput()
     try:
         sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))

@@ -160,27 +160,64 @@ def pagerank_integer(edges: Dataset, src: str = "src", dst: str = "dst",
             open(os.path.join(ck, "_SUCCESS"), "w").close()
             ranks = ray.data.read_parquet(ck)
         else:
-            ranks = ranks.materialize()
+            # bound the rank table's block count before snapping the
+            # iteration: the join unions both sides' blocks and the
+            # groupby inherits them, so without this blocks multiply
+            # every iteration and driver-side dispatch swamps compute
+            # (same geometric blowup measured in kcore's peel loop)
+            from .partitions import num_partitions as _default_partitions
+            ranks = ranks.repartition(
+                num_partitions or _default_partitions(None)).materialize()
     return ranks
 
 
+def _annotate_degrees(e: Dataset, deg: Dataset, p: int) -> Dataset:
+    """(u, v, du, dv): both endpoints' degrees attached via two
+    co-partitioned ``hash_join`` exchanges against the degree Dataset.
+    The degree table never leaves the cluster -- no O(nodes) driver
+    ``take_all`` and no O(nodes) broadcast object -- so this is the
+    orientation input that still works when the node set of a
+    web-scale link graph exceeds one machine's memory."""
+    from .join import hash_join
+
+    e_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    deg_schema = pa.schema([("n", pa.int64()), ("deg", pa.int64())])
+    j1 = hash_join(e, deg, on="u", right_on="n", num_partitions=p,
+                   left_schema=e_schema, right_schema=deg_schema) \
+        .map_batches(lambda b: b.rename_columns(["u", "v", "du"]),
+                     batch_format="pyarrow")
+    j1_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                           ("du", pa.int64())])
+    return hash_join(j1, deg, on="v", right_on="n", num_partitions=p,
+                     left_schema=j1_schema, right_schema=deg_schema) \
+        .map_batches(lambda b: b.rename_columns(["v", "u", "du", "dv"]),
+                     batch_format="pyarrow")
+
+
 def triangle_count(edges: Dataset, src: str = "src", dst: str = "dst",
-                   num_partitions: int | None = None) -> int:
+                   num_partitions: int | None = None,
+                   degree_mode: str = "copartition") -> int:
     """Exact triangle count via degree-oriented wedge counting -- the
     standard bounded-work distributed algorithm (public knowledge:
     node-iterator++ / Suri & Vassilvitskii 2011 "Counting Triangles
     and the Curse of the Last Reducer").
 
-    Plan: distinct undirected edges (one groupby), degrees (one
-    count shuffle, broadcast as a sorted lookup -- O(nodes) driver
-    state, the documented trade at this scale; swap for a
-    co-partitioned degree join on a >memory node set), orient each
-    edge from its lower-(degree, id) endpoint so every node's FORWARD
-    adjacency is O(sqrt(m)) amortized, emit each forward wedge
-    (b, c) once from its apex, and co-partition wedges with the edge
-    set by (b, c) hash so one membership pass per partition counts
-    closures.  Total work O(m^1.5), no all-pairs stage, hub nodes
-    defused by the orientation."""
+    Plan: distinct undirected edges (one groupby), degrees (one count
+    shuffle), orient each edge from its lower-(degree, id) endpoint so
+    every node's FORWARD adjacency is O(sqrt(m)) amortized, emit each
+    forward wedge (b, c) once from its apex, and co-partition wedges
+    with the edge set by (b, c) hash so one membership pass per
+    partition counts closures.  Total work O(m^1.5), no all-pairs
+    stage, hub nodes defused by the orientation.
+
+    ``degree_mode`` picks how orientation reads degrees:
+    * ``"copartition"`` (default, the web-scale path): the degree
+      table STAYS a Dataset and each endpoint's degree arrives via a
+      co-partitioned ``hash_join`` -- nothing O(nodes) ever
+      materializes on the driver or in a broadcast object.
+    * ``"broadcast"``: one ``take_all`` of the (node, degree) table
+      into a sorted numpy lookup shipped by ``ray.put`` -- one shuffle
+      cheaper, right when the node set comfortably fits one machine."""
     import ray
     from ray.data.aggregate import Count
 
@@ -206,27 +243,42 @@ def triangle_count(edges: Dataset, src: str = "src", dst: str = "dst",
             b.column("u").combine_chunks(),
             b.column("v").combine_chunks()])})
 
-    deg_rows = e.map_batches(endpoints, batch_format="pyarrow") \
-        .groupby("n").aggregate(Count(alias_name="deg")).take_all()
-    nodes = np.array([r["n"] for r in deg_rows], np.int64)
-    degs = np.array([r["deg"] for r in deg_rows], np.int64)
-    order = np.argsort(nodes)
-    nodes, degs = nodes[order], degs[order]
-    deg_ref = ray.put((nodes, degs))
+    deg = e.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("n").aggregate(Count(alias_name="deg"))
 
-    def orient(b: pa.Table, _r=deg_ref) -> pa.Table:
-        nd, dg = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+    def orient_rows(b: pa.Table) -> pa.Table:
         u = np.asarray(b.column("u"))
         v = np.asarray(b.column("v"))
-        du = dg[np.searchsorted(nd, u)]
-        dv = dg[np.searchsorted(nd, v)]
+        du = np.asarray(b.column("du"))
+        dv = np.asarray(b.column("dv"))
         # forward = lower (degree, id) endpoint first
         fwd = (du < dv) | ((du == dv) & (u < v))
         s = np.where(fwd, u, v)
         t = np.where(fwd, v, u)
         return pa.table({"s": pa.array(s), "t": pa.array(t)})
 
-    oe = e.map_batches(orient, batch_format="pyarrow").materialize()
+    if degree_mode == "copartition":
+        oe = _annotate_degrees(e, deg, p) \
+            .map_batches(orient_rows, batch_format="pyarrow") \
+            .materialize()
+    else:
+        deg_rows = deg.take_all()
+        nodes = np.array([r["n"] for r in deg_rows], np.int64)
+        degs = np.array([r["deg"] for r in deg_rows], np.int64)
+        order = np.argsort(nodes)
+        nodes, degs = nodes[order], degs[order]
+        deg_ref = ray.put((nodes, degs))
+
+        def orient(b: pa.Table, _r=deg_ref) -> pa.Table:
+            nd, dg = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+            u = np.asarray(b.column("u"))
+            v = np.asarray(b.column("v"))
+            t = pa.table({"u": b.column("u"), "v": b.column("v"),
+                          "du": pa.array(dg[np.searchsorted(nd, u)]),
+                          "dv": pa.array(dg[np.searchsorted(nd, v)])})
+            return orient_rows(t)
+
+        oe = e.map_batches(orient, batch_format="pyarrow").materialize()
 
     def wedge_rows(t: pa.Table) -> pa.Table:
         """apex group -> all forward-neighbor pairs (b < c by the
@@ -288,21 +340,33 @@ def triangle_count(edges: Dataset, src: str = "src", dst: str = "dst",
 
 
 def kcore(edges: Dataset, k: int, src: str = "src", dst: str = "dst",
-          max_rounds: int = 32) -> tuple[pa.Table, int]:
+          max_rounds: int = 32,
+          peel_mode: str = "copartition") -> tuple[pa.Table, int]:
     """k-core: the maximal subgraph where every node keeps degree
     >= k, by iterative peeling (public-knowledge algorithm; Seidman
     1983).  Returns ``(table(node, deg), rounds_used)`` where deg is
     the node's degree INSIDE the core.
 
     Per round: one degree count shuffle over the surviving edge set,
-    then a broadcast alive-set filter pass (O(nodes) driver state --
-    same documented trade as ``triangle_count``; swap for a
-    co-partitioned semi-join on a >memory node set).  Rounds are
-    data-dependent; raises if ``max_rounds`` is hit so a caller (or
-    an unrolled SQL oracle with the same round budget) can never
-    silently diverge."""
+    then a filter pass dropping edges touching a sub-``k`` node.
+    ``peel_mode``:
+    * ``"copartition"`` (default, the web-scale path): the degree
+      table stays a Dataset; the filter is two co-partitioned LEFT
+      SEMI ``hash_join`` exchanges of the edge set against the alive
+      node set, and convergence is decided by a tiny dead-count
+      aggregate -- nothing O(nodes) on the driver until the FINAL
+      core table (the return value) is collected.
+    * ``"broadcast"``: the per-round (node, degree) table lands on
+      the driver and ships as one sorted-lookup broadcast -- two
+      shuffles cheaper per round, right when nodes fit one machine.
+    Rounds are data-dependent; raises if ``max_rounds`` is hit so a
+    caller (or an unrolled SQL oracle with the same round budget)
+    can never silently diverge."""
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
+
+    from .join import hash_join
+    from .partitions import num_partitions as _default_partitions
 
     def canon(b: pa.Table) -> pa.Table:
         a = pc.cast(b.column(src), pa.int64())
@@ -320,6 +384,57 @@ def kcore(edges: Dataset, k: int, src: str = "src", dst: str = "dst",
         return pa.table({"n": pa.concat_arrays([
             b.column("u").combine_chunks(),
             b.column("v").combine_chunks()])})
+
+    if peel_mode == "copartition":
+        p = _default_partitions(None)
+        e_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        n_schema = pa.schema([("n", pa.int64())])
+
+        def dead_partial(b: pa.Table) -> pa.Table:
+            d = pc.sum(pc.cast(pc.less(b.column("deg"), k),
+                               pa.int64())).as_py() or 0
+            return pa.table({"dead": pa.array([d], pa.int64()),
+                             "total": pa.array([b.num_rows], pa.int64())})
+
+        for rounds in range(1, max_rounds + 1):
+            deg = e.map_batches(endpoints, batch_format="pyarrow") \
+                .groupby("n").aggregate(Count(alias_name="deg")) \
+                .materialize()
+            cnt = deg.map_batches(dead_partial, batch_format="pyarrow") \
+                .aggregate(Sum("dead", alias_name="dead"),
+                           Sum("total", alias_name="total"))
+            dead = int(cnt.get("dead") or 0)
+            total = int(cnt.get("total") or 0)
+            if total == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "deg": pa.array([], pa.int64())}), rounds
+            if dead == 0:
+                # converged: ONLY NOW does the (final, core-sized)
+                # degree table come to the driver -- it is the result
+                rows = deg.take_all()
+                nodes = np.array([r["n"] for r in rows], np.int64)
+                degs = np.array([r["deg"] for r in rows], np.int64)
+                order = np.argsort(nodes)
+                return pa.table({"node": pa.array(nodes[order]),
+                                 "deg": pa.array(degs[order])}), rounds
+            alive = deg.map_batches(
+                lambda b: pa.table({"n": b.column("n")}).filter(
+                    pc.greater_equal(b.column("deg"), k)),
+                batch_format="pyarrow")
+            e = hash_join(e, alive, on="u", right_on="n",
+                          num_partitions=p, join_type="left semi",
+                          left_schema=e_schema, right_schema=n_schema)
+            # bound the block count BEFORE snapping the round: each
+            # join unions both sides' blocks, so without this the edge
+            # set's block count grows geometrically round over round
+            # and driver-side per-block dispatch swamps the compute
+            # (measured: rounds went 3s -> 13s -> 53s; with the bound,
+            # every round is ~2s and the loop matches broadcast mode)
+            e = hash_join(e, alive, on="v", right_on="n",
+                          num_partitions=p, join_type="left semi",
+                          left_schema=e_schema, right_schema=n_schema) \
+                .repartition(p).materialize()
+        raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
 
     for rounds in range(1, max_rounds + 1):
         deg_rows = e.map_batches(endpoints, batch_format="pyarrow") \

@@ -143,6 +143,162 @@ def test_gram_accumulate_overflow_guard():
     assert int(acc["gram"][0][0]) == 500_000 ** 2 + 125_000 ** 2
 
 
+# -- Kafka-shaped rebalance semantics over the Source seam -------------------
+
+class _Rebalance(Exception):
+    """The pre-rebalance signal (reference: SourceItemTypeRestart,
+    src/commands/sources/kafka_source.go:143-173 -- current batch is
+    abandoned, offsets reload from the checkpoint)."""
+
+
+class _RebalancingFakeSource:
+    """Kafka-shaped Source-protocol fake: per-partition ordered message
+    chunks, an ASSIGNMENT set (the partitions this consumer currently
+    owns), checkpoint-aware start offsets (committed seqs passed in,
+    exactly as tail_ingest derives them from the manifest), and a
+    scheduled mid-poll rebalance that aborts the in-flight batch."""
+
+    def __init__(self, partitions, assignment, committed,
+                 rebalance_at_poll=None):
+        self.partitions = partitions          # {pname: [pa.Table, ...]}
+        self.assignment = set(assignment)
+        self.seqs = {k: set(v) for k, v in committed.items()}
+        self.rebalance_at_poll = rebalance_at_poll
+        self.polls = 0
+
+    def poll(self):
+        self.polls += 1
+        if self.rebalance_at_poll is not None \
+                and self.polls == self.rebalance_at_poll:
+            raise _Rebalance("partition assignment changed")
+        out = []
+        for p in sorted(self.assignment):
+            for seq, _tbl in enumerate(self.partitions[p]):
+                if seq not in self.seqs.get(p, set()):
+                    out.append((p, seq))
+        return out[:2]                        # bounded batches
+
+    def read(self, units):
+        return ray.data.from_arrow(pa.concat_tables(
+            [self.partitions[p][seq] for p, seq in units]))
+
+    def offsets(self, units):
+        return [f"{p}_{seq}.parquet" for p, seq in units]
+
+    def ack(self, units):
+        for p, seq in units:
+            self.seqs.setdefault(p, set()).add(seq)
+
+
+def test_rebalance_mid_stream_is_exactly_once(tmp_path):
+    """A rebalance mid-poll abandons the in-flight batch (nothing
+    committed), and the restarted consumers -- with a DIFFERENT
+    partition assignment -- resume from the manifest-derived offsets:
+    total routed rows equal the per-partition message totals exactly,
+    no duplicates, no gaps, across the reassignment."""
+    from go_distributed_log_search_ray.sources.tail import (
+        committed_offsets, consume)
+    from go_distributed_log_search_ray.state.manifest import Manifest
+
+    def chunk(p, seq, n):
+        base = hash((p, seq)) % 1000
+        return pa.table({"part": pa.array([p] * n),
+                         "val": pa.array(range(base, base + n),
+                                         pa.int64())})
+
+    parts = {"p0": [chunk("p0", s, 5) for s in range(3)],
+             "p1": [chunk("p1", s, 7) for s in range(2)]}
+    total = sum(t.num_rows for ts in parts.values() for t in ts)
+    out = str(tmp_path / "sink")
+
+    # run 1: owns both partitions, rebalance fires on the SECOND poll
+    # -> exactly one batch (2 units) committed, the rest abandoned
+    s1 = _RebalancingFakeSource(parts, {"p0", "p1"}, {},
+                                rebalance_at_poll=2)
+    with pytest.raises(_Rebalance):
+        consume(s1, out, poll_interval_s=0.01)
+    committed1, _ = committed_offsets(Manifest(out), "tail")
+    n1 = sum(len(v) for v in committed1.values())
+    assert n1 == 2                            # the first batch only
+
+    # post-rebalance: ownership splits; each restarted consumer loads
+    # its start offsets from the SAME manifest (checkpoint-aware)
+    for assignment in ({"p0"}, {"p1"}):
+        committed, _ = committed_offsets(Manifest(out), "tail")
+        s = _RebalancingFakeSource(parts, assignment, committed)
+        consume(s, out, poll_interval_s=0.01, max_idle_polls=1)
+
+    man = Manifest(out)
+    seqs, _ = committed_offsets(man, "tail")
+    assert seqs == {"p0": {0, 1, 2}, "p1": {0, 1}}
+    got = sum(e["row_count"] for e in man.entries()
+              if e.get("kind") == "tail")
+    assert got == total                       # exactly-once totals
+    # and the unit set is globally duplicate-free across all entries
+    all_units = [f for e in man.entries() if e.get("kind") == "tail"
+                 for f in e["shard_files"]]
+    assert len(all_units) == len(set(all_units)) == 5
+
+
+# -- graph family: co-partitioned degree/alive path (VERDICT r4 #4) ----------
+
+def test_graph_copartition_no_node_set_on_driver(monkeypatch):
+    """triangle_count / kcore in (default) copartition mode must never
+    land the whole node set on the driver or ship it as a broadcast:
+    degrees/alive sets travel via co-partitioned hash joins.  Spy on
+    take_all sizes and ray.put payloads over a 500-node graph whose
+    3-core is much smaller; both modes must agree exactly."""
+    from go_distributed_log_search_ray.stages.graph import (
+        kcore, triangle_count)
+
+    rng = np.random.default_rng(3)
+    n_nodes = 500
+    # a dense 40-node kernel (survives k=4) + sparse periphery
+    kern = rng.integers(0, 40, (600, 2))
+    peri = np.stack([rng.integers(40, n_nodes, 800),
+                     rng.integers(0, n_nodes, 800)], axis=1)
+    e = np.unique(np.concatenate([kern, peri]), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(e[:, 0], pa.int64()),
+        "dst": pa.array(e[:, 1], pa.int64())})).repartition(4)
+
+    want_tri = triangle_count(edges, degree_mode="broadcast")
+    want_core, _ = kcore(edges, 4, peel_mode="broadcast")
+
+    take_sizes, put_payloads = [], []
+    orig_take = ray.data.Dataset.take_all
+    orig_put = ray.put
+
+    def spy_take(self, *a, **k):
+        out = orig_take(self, *a, **k)
+        take_sizes.append(len(out))
+        return out
+
+    def spy_put(obj, *a, **k):
+        put_payloads.append(obj)
+        return orig_put(obj, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", spy_take)
+    monkeypatch.setattr(ray, "put", spy_put)
+
+    got_tri = triangle_count(edges)            # copartition default
+    got_core, _ = kcore(edges, 4)
+    assert got_tri == want_tri
+    assert got_core.to_pydict() == want_core.to_pydict()
+
+    core_n = want_core.num_rows
+    assert core_n < n_nodes // 3               # discriminating setup
+    # nothing node-set-sized ever materialized: the largest take_all is
+    # the final core table (kcore's return) or O(partitions) partials
+    assert max(take_sizes) <= max(core_n, 64)
+    # and no numpy node/degree array was broadcast via ray.put
+    for obj in put_payloads:
+        leaves = obj if isinstance(obj, (tuple, list)) else (obj,)
+        assert not any(isinstance(x, np.ndarray) and x.size >= n_nodes
+                       for x in leaves)
+
+
 # -- jaccard demote_common: unsigned hash domain (ADVICE r4) -----------------
 
 def test_jaccard_demote_common_same_pairs_as_plain():
