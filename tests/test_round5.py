@@ -299,6 +299,41 @@ def test_graph_copartition_no_node_set_on_driver(monkeypatch):
                        for x in leaves)
 
 
+# -- connected components: pointer doubling closes long chains ---------------
+
+def test_connected_components_long_chain_converges():
+    """A 200-node path has diameter 199: plain min-label sweeps need
+    199 rounds and blew the max_iter=64 budget before round 5.  The
+    adaptive pointer jump (label := label(label) when the sweep
+    stalls) squares the label reach, so the chain converges in
+    O(log diameter) rounds -- and an expander-ish dup-cluster graph
+    still converges without ever paying a jump."""
+    from go_distributed_log_search_ray.stages.components import (
+        connected_components, connected_components_edges)
+
+    n = 200
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array([f"n{i:04d}" for i in range(n)])}))
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([f"n{i:04d}" for i in range(n - 1)]),
+        "dst": pa.array([f"n{i+1:04d}" for i in range(n - 1)])})) \
+        .repartition(4)
+    rows = connected_components_edges(nodes, edges).take_all()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {"n0000"}
+
+    # key-graph variant: two components + isolated node + null keys
+    t = pa.table({
+        "id": pa.array(["a", "b", "c", "d", "e", "f"]),
+        "k1": pa.array(["x", "x", None, "y", "y", None]),
+        "k2": pa.array([None, "z", "z", None, None, None])})
+    got = {r["id"]: r["component"] for r in connected_components(
+        ray.data.from_arrow(t).repartition(3), "id",
+        ["k1", "k2"]).take_all()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "d", "e": "d", "f": "f"}
+
+
 # -- jaccard demote_common: unsigned hash domain (ADVICE r4) -----------------
 
 def test_jaccard_demote_common_same_pairs_as_plain():
