@@ -1538,6 +1538,31 @@ def _doc_hash_embed(sf_dir: str):
     return hash_embed(ds, dim=16)
 
 
+def _doc_dsir_select_agg(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023, greedy top-k variant):
+    hashed-unigram target ('de' docs) and raw corpus models folded in
+    ONE shuffle-free pass, exact fixed-point importance weights
+    broadcast, every doc scored in a second stateless pass, top-150 by
+    (score, doc_id) via the O(k x blocks) fold (stages/dsir.py).
+    Result: per-lang doc count + exact score sum of the selected set --
+    the target-language enrichment a selection run is judged by (the
+    'de' share of the picks is 1.57x its corpus share at sf0.01)."""
+    from go_distributed_log_search_ray.stages.dsir import (
+        corpus_bucket_counts, dsir_score, dsir_topk, dsir_weights)
+    ds = _read_table(sf_dir, "documents",
+                     columns=["doc_id", "text", "lang"])
+    raw, tgt = corpus_bucket_counts(ds, "lang", "de")
+    scored = dsir_score(ds, dsir_weights(tgt, raw),
+                        keep_cols=("lang",))
+    sel = dsir_topk(scored, 150)
+    g = sel.group_by("lang").aggregate([("doc_id", "count"),
+                                        ("score", "sum")])
+    g = g.rename_columns(["lang", "n_docs", "score_sum"])
+    g = g.set_column(2, "score_sum",
+                     pc.cast(g.column("score_sum"), pa.int64()))
+    return g.take(pc.sort_indices(g, sort_keys=[("lang", "ascending")]))
+
+
 def _doc_chunks(sf_dir: str):
     """RAG-prep chunking: every document split into overlapping
     64-token windows (stride 48), chunk text whitespace-canonical
@@ -2642,6 +2667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Long-stable driver-green entries rotate to the tail.
         # -- fixed in r5; needs its driver-green row
         "doc_token_freq_stats": _doc_token_freq_stats,
+        # -- new in r5 session 6
+        "doc_dsir_select_agg": _doc_dsir_select_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -2862,6 +2889,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
 {hash_embed_cols}
             FROM b GROUP BY doc_id""",
+        "doc_dsir_select_agg": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(t.tok), 1, 8))::UBIGINT
+                            % 1024 AS BIGINT) AS j
+                FROM documents,
+                     unnest(string_split_regex(coalesce(lower(text), ''),
+                                               '\s+')) AS t(tok)
+                WHERE t.tok <> ''),
+            tot AS (
+                SELECT count(*) AS r_tot,
+                       count(*) FILTER (WHERE lang = 'de') AS t_tot
+                FROM toks),
+            bc AS (
+                SELECT j, count(*) AS r,
+                       count(*) FILTER (WHERE lang = 'de') AS t
+                FROM toks GROUP BY j),
+            w AS (
+                SELECT g.j,
+                       CAST(((COALESCE(bc.t, 0) + 1)::HUGEINT
+                             * (tot.r_tot + 1024)::HUGEINT * 1000000)
+                            // ((COALESCE(bc.r, 0) + 1)::HUGEINT
+                                * (tot.t_tot + 1024)::HUGEINT)
+                            AS BIGINT) AS s
+                FROM (SELECT unnest(generate_series(0, 1023)) AS j) g
+                LEFT JOIN bc ON bc.j = g.j, tot),
+            per_doc AS (
+                SELECT toks.doc_id,
+                       CAST(sum(w.s)::HUGEINT // count(*)::HUGEINT
+                            AS BIGINT) AS score
+                FROM toks JOIN w ON w.j = toks.j GROUP BY toks.doc_id),
+            sel AS (
+                SELECT d.doc_id, d.lang, COALESCE(p.score, 0) AS score
+                FROM documents d LEFT JOIN per_doc p USING (doc_id)
+                ORDER BY score DESC, doc_id LIMIT 150)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(score) AS BIGINT) AS score_sum
+            FROM sel GROUP BY lang ORDER BY lang""",
         "doc_prefix_editdist_agg": """
             WITH p AS (
                 SELECT doc_id,
