@@ -1528,6 +1528,58 @@ def _doc_bigram_surprise(sf_dir: str):
     return bigram_surprise(ds)
 
 
+_BLOCKLIST = ["slow", "spark", "scan merge", "zzz$$bad"]
+
+
+def _doc_blocklist_agg(sf_dir: str):
+    """C4-style blocklist gate (stages/blockfilter.blocklist_screen):
+    every doc scanned for banned words/phrases on word edges via
+    vectorized RE2 (the same engine as DuckDB's regexp_matches, so the
+    oracle runs the IDENTICAL patterns), shuffle-free; aggregated into
+    per-(lang, blocked) doc counts + distinct-term hit sums.  The list
+    exercises a plain word, a multi-word phrase, and a regex-special
+    term; 'zzz$$bad' proves the zero-hit path."""
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.blockfilter import (
+        blocklist_screen)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text",
+                                                   "lang"])
+    scr = blocklist_screen(ds, _BLOCKLIST)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"),
+                      "blocked": b.column("blocked"),
+                      "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+                      "blocked_terms": b.column("n_blocked_terms")})
+        g = t.group_by(["lang", "blocked"]).aggregate(
+            [("n_docs", "sum"), ("blocked_terms", "sum")])
+        return g.rename_columns(["lang", "blocked", "n_docs",
+                                 "blocked_terms"])
+
+    t = small_table(scr.map_batches(partial, batch_format="pyarrow"))
+    g = t.group_by(["lang", "blocked"]).aggregate(
+        [("n_docs", "sum"), ("blocked_terms", "sum")])
+    g = g.rename_columns(["lang", "blocked", "n_docs", "blocked_terms"])
+    for c in ("n_docs", "blocked_terms"):
+        i = g.column_names.index(c)
+        g = g.set_column(i, c, g.column(c).cast(pa.int64()))
+    return g.take(pc.sort_indices(g, sort_keys=[("lang", "ascending"),
+                                                ("blocked", "ascending")]))
+
+
+def _doc_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail corpus split (stages/ccnet.py): exact-
+    integer bigram-LM surprise per doc, ONE sampled range exchange for
+    the global rank, NTILE(3) cuts bit-equal to SQL, per-bucket
+    fluency-tier stats.  The corpus-mixing stage a CCNet-style
+    pipeline feeds into training-set construction."""
+    from go_distributed_log_search_ray.stages.ccnet import (
+        ccnet_bucket_stats)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ccnet_bucket_stats(ds)
+
+
 def _doc_hash_embed(sf_dir: str):
     """Feature-hashing text vectorizer: 16-dim integer count vector per
     doc, component = md5(token)[:8] % 16 (stages/textstats.hash_embed
@@ -2669,6 +2721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_freq_stats": _doc_token_freq_stats,
         # -- new in r5 session 6
         "doc_dsir_select_agg": _doc_dsir_select_agg,
+        "doc_blocklist_agg": _doc_blocklist_agg,
+        "doc_ccnet_buckets": _doc_ccnet_buckets,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -2843,7 +2897,66 @@ def oracle_sql() -> dict[str, str]:
     _dot = " + ".join(f"{int(_qv[j])} * v{j}"
                       for j in range(16) if _qv[j] > 0)
     _n2 = " + ".join(f"v{j} * v{j}" for j in range(16))
+    # blocklist oracle runs the IDENTICAL RE2 patterns the Ray stage
+    # compiles (DuckDB's regexp_matches is RE2 too), generated from the
+    # same term_patterns() so there is no dialect or escaping drift
+    from go_distributed_log_search_ray.stages.blockfilter import (
+        term_patterns as _term_patterns)
+    _blk_expr = "\n                     + ".join(
+        f"CASE WHEN regexp_matches(low, '{p}') THEN 1 ELSE 0 END"
+        for p in _term_patterns(_BLOCKLIST))
     return {
+        "doc_blocklist_agg": f"""
+            WITH d AS (
+                SELECT lang, coalesce(lower(text), '') AS low
+                FROM documents),
+            scr AS (
+                SELECT lang,
+                       ({_blk_expr}) AS n_terms
+                FROM d)
+            SELECT lang, n_terms > 0 AS blocked,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_terms) AS BIGINT) AS blocked_terms
+            FROM scr GROUP BY 1, 2
+            ORDER BY lang, blocked""",
+        "doc_ccnet_buckets": """
+            WITH docs AS (
+                SELECT doc_id,
+                       string_split_regex(coalesce(lower(text), ''),
+                                          '\\s+') AS toks
+                FROM documents),
+            pairs AS (
+                SELECT doc_id, toks[g.i] AS l, toks[g.i + 1] AS r
+                FROM docs JOIN (
+                    SELECT unnest(generate_series(
+                        1, (SELECT max(len(toks)) FROM docs) - 1)) AS i) g
+                  ON g.i < len(toks)
+                WHERE toks[g.i] <> '' AND toks[g.i + 1] <> ''),
+            uni AS (SELECT t.tok AS term, count(*) AS n
+                    FROM docs, unnest(toks) AS t(tok)
+                    WHERE t.tok <> '' GROUP BY 1),
+            bi AS (SELECT l, r, count(*) AS n FROM pairs GROUP BY 1, 2),
+            icp AS (SELECT bi.l, bi.r,
+                           (uni.n * 1000) // bi.n AS icp
+                    FROM bi JOIN uni ON uni.term = bi.l),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(CAST(sum(icp.icp) AS BIGINT) // count(*)
+                            AS BIGINT) AS surprise
+                FROM pairs p JOIN icp USING (l, r)
+                GROUP BY p.doc_id),
+            ranked AS (
+                SELECT surprise,
+                       NTILE(3) OVER (ORDER BY surprise, doc_id) AS tile
+                FROM scored)
+            SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(surprise) AS BIGINT) AS min_surprise,
+                   CAST(max(surprise) AS BIGINT) AS max_surprise,
+                   CAST(sum(surprise) AS BIGINT) AS surprise_sum
+            FROM ranked GROUP BY tile
+            ORDER BY tile""",
         "doc_chunk_search": f"""
             WITH docs AS (
                 SELECT doc_id,
