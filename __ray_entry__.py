@@ -1590,6 +1590,38 @@ def _doc_hash_embed(sf_dir: str):
     return hash_embed(ds, dim=16)
 
 
+def _doc_domain_cap_agg(sf_dir: str):
+    """RefinedWeb-style per-domain cap (stages/domaincap.py): keep the
+    18 hash-priority-smallest docs per source; payload never shuffles
+    (per-batch top-k prune -> threshold broadcast -> stream filter).
+    Aggregated into per-source kept counts + kept-chars sums, which pin
+    the exact kept SET against the oracle's ROW_NUMBER() cut."""
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.domaincap import (
+        domain_cap_sample)
+    ds = _read_table(sf_dir, "documents",
+                     columns=["doc_id", "source", "n_chars"])
+    kept = domain_cap_sample(ds, "source", "doc_id", cap=18, seed=7)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b.column("source"),
+                      "n_kept": pa.array(np.ones(b.num_rows, np.int64)),
+                      "chars_kept": b.column("n_chars")})
+        g = t.group_by(["source"]).aggregate(
+            [("n_kept", "sum"), ("chars_kept", "sum")])
+        return g.rename_columns(["source", "n_kept", "chars_kept"])
+
+    t = small_table(kept.map_batches(partial, batch_format="pyarrow"))
+    g = t.group_by(["source"]).aggregate(
+        [("n_kept", "sum"), ("chars_kept", "sum")])
+    g = g.rename_columns(["source", "n_kept", "chars_kept"])
+    for c in ("n_kept", "chars_kept"):
+        i = g.column_names.index(c)
+        g = g.set_column(i, c, g.column(c).cast(pa.int64()))
+    return g.take(pc.sort_indices(g, sort_keys=[("source", "ascending")]))
+
+
 def _doc_dsir_select_agg(sf_dir: str):
     """DSIR data selection (Xie et al. 2023, greedy top-k variant):
     hashed-unigram target ('de' docs) and raw corpus models folded in
@@ -2723,6 +2755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_select_agg": _doc_dsir_select_agg,
         "doc_blocklist_agg": _doc_blocklist_agg,
         "doc_ccnet_buckets": _doc_ccnet_buckets,
+        "doc_domain_cap_agg": _doc_domain_cap_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -2906,6 +2939,22 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN regexp_matches(low, '{p}') THEN 1 ELSE 0 END"
         for p in _term_patterns(_BLOCKLIST))
     return {
+        "doc_domain_cap_agg": """
+            WITH pri AS (
+                SELECT source, n_chars, doc_id,
+                       ('0x' || substr(md5('7:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                           AS pri
+                FROM documents),
+            ranked AS (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY pri, doc_id) AS rn
+                FROM pri)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM ranked WHERE rn <= 18
+            GROUP BY source ORDER BY source""",
         "doc_blocklist_agg": f"""
             WITH d AS (
                 SELECT lang, coalesce(lower(text), '') AS low
