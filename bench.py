@@ -139,7 +139,9 @@ def run_queries() -> dict:
              # near-all templated twins, so the EXACT pair join's
              # output is inherently ~1M pairs at sf0.1 (result-bound
              # minutes, not an operator regression signal)
-             "events_zorder_box_agg"]
+             "events_zorder_box_agg",
+             # round-5 representative: payload-free per-domain caps
+             "doc_domain_cap_agg"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()
