@@ -1657,6 +1657,58 @@ def _doc_chunks(sf_dir: str):
     return chunk_documents(ds, chunk_tokens=64, overlap=16)
 
 
+def _pages_softdedup_agg(sf_dir: str):
+    """SoftDeDup duplicate-frequency reweighting (She et al., ACL 2024;
+    stages/softdedup.py): weight every page at 1/c where c is its
+    normalized-text duplicate-class size, instead of dropping dups.
+    Per (lang, dup_count): page count, text-byte mass, and the exact
+    fixed-point weight (1e6 // c) -- grouping by dup_count keeps the
+    whole comparison integer-exact.  Payload never shuffles: one narrow
+    (fp, lang, bytes) exchange, per-class fold, O(classes) output."""
+    import ray.data
+
+    from go_distributed_log_search_ray.functions.tableops import (
+        small_table)
+    from go_distributed_log_search_ray.stages.softdedup import (
+        WEIGHT_SCALE, commonness_agg)
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                               columns=["url", "text", "lang",
+                                        "text_bytes"])
+    agg = commonness_agg(ds, text_col="text", id_col="url",
+                         group_col="lang", size_col="text_bytes")
+    t = small_table(agg, int64_cols=["dup_count", "n_docs", "sum_size"])
+    dup = np.asarray(t.column("dup_count"), dtype=np.int64)
+    t = pa.table({
+        "lang": t.column("group"),
+        "dup_count": t.column("dup_count"),
+        "n_docs": t.column("n_docs"),
+        "sum_size": t.column("sum_size"),
+        "weight_ppm": pa.array(WEIGHT_SCALE // dup, pa.int64())})
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("lang", "ascending"), ("dup_count", "ascending")]))
+
+
+def _doc_clf_auc(sf_dir: str):
+    """Distributed exact ROC-AUC (Mann-Whitney with ties;
+    stages/evalmetrics.py) of the hashed-linear classifier score
+    against the lang=='en' label: the corpus-scale calibration check a
+    quality gate needs before filtering 100 TB with it.  One narrow
+    (score, n_pos, n_neg) groupby plus one sampled range exchange for
+    the prefix sum; result is the integer pair auc_num/auc_den."""
+    from go_distributed_log_search_ray.stages.classifier import (
+        classifier_score)
+    from go_distributed_log_search_ray.stages.evalmetrics import roc_auc
+    ds = _read_table(sf_dir, "documents", columns=["text", "lang"])
+    scored = classifier_score(ds)
+
+    def label(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "lab", pc.equal(pc.fill_null(b.column("lang"), ""), "en"))
+
+    scored = scored.map_batches(label, batch_format="pyarrow")
+    return roc_auc(scored, "clf_score", "lab", num_partitions=8)
+
+
 def _doc_pmi_bigrams(sf_dir: str):
     """Collocation mining: top-20 bigrams by integer-exact PMI score
     over candidates with count >= 5 (stages/textstats.pmi_collocations
@@ -2756,6 +2808,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist_agg": _doc_blocklist_agg,
         "doc_ccnet_buckets": _doc_ccnet_buckets,
         "doc_domain_cap_agg": _doc_domain_cap_agg,
+        # -- new in r5 session 7
+        "pages_softdedup_agg": _pages_softdedup_agg,
+        "doc_clf_auc": _doc_clf_auc,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -2955,6 +3010,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS chars_kept
             FROM ranked WHERE rn <= 18
             GROUP BY source ORDER BY source""",
+        "pages_softdedup_agg": rf"""
+            WITH fp AS (
+                SELECT lang, text_bytes,
+                       CASE WHEN text IS NULL THEN 'null#' || url
+                            ELSE md5(trim(regexp_replace(lower(text),
+                                                         '\s+', ' ', 'g')))
+                       END AS f
+                FROM read_parquet('{pages}')),
+            c AS (
+                SELECT lang, text_bytes,
+                       count(*) OVER (PARTITION BY f) AS dup_count
+                FROM fp)
+            SELECT lang, CAST(dup_count AS BIGINT) AS dup_count,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(text_bytes) AS BIGINT) AS sum_size,
+                   CAST(1000000 // dup_count AS BIGINT) AS weight_ppm
+            FROM c GROUP BY lang, dup_count
+            ORDER BY lang, dup_count""",
+        "doc_clf_auc": r"""
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(coalesce(text, '')),
+                                              '\S+') AS ts
+                    FROM documents), unnest(ts) AS u(t)),
+            sc AS (
+              SELECT doc_id,
+                     sum(CAST((('0x' || substr(md5(term), 1, 8))::UBIGINT
+                               % 1024) % 7 AS BIGINT) - 3) AS score
+              FROM toks GROUP BY doc_id),
+            scored AS (
+              SELECT coalesce(sc.score, 0) AS score,
+                     CASE WHEN coalesce(d.lang, '') = 'en'
+                          THEN 1 ELSE 0 END AS lab
+              FROM documents d LEFT JOIN sc USING (doc_id)),
+            g AS (SELECT score, sum(lab) AS np,
+                         count(*) - sum(lab) AS nn
+                  FROM scored GROUP BY score),
+            c AS (SELECT np, nn,
+                         coalesce(sum(nn) OVER (ORDER BY score
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS below
+                  FROM g)
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg,
+                   CAST(sum(np * (2 * below + nn)) AS BIGINT) AS auc_num,
+                   CAST(2 * sum(np) * sum(nn) AS BIGINT) AS auc_den
+            FROM c""",
         "doc_blocklist_agg": f"""
             WITH d AS (
                 SELECT lang, coalesce(lower(text), '') AS low
