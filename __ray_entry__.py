@@ -1709,6 +1709,48 @@ def _doc_clf_auc(sf_dir: str):
     return roc_auc(scored, "clf_score", "lab", num_partitions=8)
 
 
+def _emb_kcenter_agg(sf_dir: str):
+    """k-center greedy coreset selection (Sener & Savarese 2018;
+    stages/coreset.py): 6 maximally-diverse vectors by exact quantized
+    squared distance, farthest-point-first from the smallest-id seed.
+    Driver state is the 6x64 center matrix only; each round is one
+    streaming pass folding a single winner row per block.  The oracle
+    unrolls the same greedy rounds as chained CTEs over
+    list_dot_product on the identically quantized BIGINT lists."""
+    from go_distributed_log_search_ray.stages.coreset import (
+        kcenter_greedy)
+    ds = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kcenter_greedy(ds, k=6)
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """Unrolled farthest-point-first greedy as chained CTEs (same
+    pattern as the k-core unrolled-rounds oracle)."""
+    parts = [
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e "
+        "FROM embeddings), "
+        "sq AS (SELECT vec_id, e, list_dot_product(e, e) AS s FROM q), "
+        "c0 AS (SELECT vec_id, e, s FROM sq ORDER BY vec_id LIMIT 1), "
+        "d1 AS (SELECT p.vec_id, p.e, p.s, (p.s + c.s "
+        "- 2 * list_dot_product(p.e, c.e)) AS d FROM sq p, c0 c)"]
+    for r in range(1, k):
+        parts.append(
+            f", c{r} AS (SELECT vec_id, e, s, d FROM d{r} "
+            f"WHERE d > 0 ORDER BY d DESC, vec_id LIMIT 1)")
+        if r < k - 1:
+            parts.append(
+                f", d{r + 1} AS (SELECT p.vec_id, p.e, p.s, least(p.d, "
+                f"p.s + c.s - 2 * list_dot_product(p.e, c.e)) AS d "
+                f"FROM d{r} p, c{r} c)")
+    sel = ["SELECT CAST(0 AS BIGINT) AS round, vec_id, "
+           "CAST(0 AS BIGINT) AS maxmin_dist FROM c0"]
+    sel += [f"SELECT CAST({r} AS BIGINT), vec_id, CAST(d AS BIGINT) "
+            f"FROM c{r}" for r in range(1, k)]
+    return "".join(parts) + " " + " UNION ALL ".join(sel) + \
+        " ORDER BY round"
+
+
 def _doc_pmi_bigrams(sf_dir: str):
     """Collocation mining: top-20 bigrams by integer-exact PMI score
     over candidates with count >= 5 (stages/textstats.pmi_collocations
@@ -2811,6 +2853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in r5 session 7
         "pages_softdedup_agg": _pages_softdedup_agg,
         "doc_clf_auc": _doc_clf_auc,
+        "emb_kcenter_agg": _emb_kcenter_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -3028,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000000 // dup_count AS BIGINT) AS weight_ppm
             FROM c GROUP BY lang, dup_count
             ORDER BY lang, dup_count""",
+        "emb_kcenter_agg": _kcenter_oracle_sql(6),
         "doc_clf_auc": r"""
             WITH toks AS (
               SELECT doc_id, t AS term

@@ -113,3 +113,52 @@ def test_roc_auc_degenerate_labels():
                   "lab": pa.array([True, True, True])})
     out = roc_auc(ray.data.from_arrow(t), "score", "lab").to_pylist()[0]
     assert out == {"n_pos": 3, "n_neg": 0, "auc_num": 0, "auc_den": 0}
+
+
+def _brute_kcenter(ids, q, k):
+    """Reference greedy: farthest-point-first, smallest-id seed,
+    ties to smallest id."""
+    q = np.asarray(q, dtype=np.int64)
+    order = np.argsort(ids)
+    ids, q = np.asarray(ids)[order], q[order]
+    chosen = [0]
+    out = [(0, int(ids[0]), 0)]
+    d = ((q - q[0]) ** 2).sum(axis=1)
+    for r in range(1, k):
+        pick = int(np.lexsort((ids, -d))[0])
+        if d[pick] <= 0:
+            break
+        out.append((r, int(ids[pick]), int(d[pick])))
+        chosen.append(pick)
+        d = np.minimum(d, ((q - q[pick]) ** 2).sum(axis=1))
+    return out
+
+
+def test_kcenter_greedy_matches_bruteforce():
+    from go_distributed_log_search_ray.stages.coreset import kcenter_greedy
+
+    rng = np.random.RandomState(3)
+    n, dim = 200, 8
+    emb = rng.uniform(-1, 1, size=(n, dim)).astype(np.float32)
+    ids = np.arange(100, 100 + n)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(emb.tolist(),
+                                        pa.list_(pa.float32()))})
+    # 48 blocks over 200 rows: plenty of small/empty partials
+    ds = ray.data.from_arrow(t).repartition(48)
+    got = [(r["round"], r["vec_id"], r["maxmin_dist"])
+           for r in kcenter_greedy(ds, k=7).to_pylist()]
+    q = np.floor(emb.astype(np.float64) * 1000).astype(np.int64)
+    assert got == _brute_kcenter(ids, q, 7)
+
+
+def test_kcenter_greedy_stops_on_duplicates():
+    from go_distributed_log_search_ray.stages.coreset import kcenter_greedy
+
+    # two distinct points, each duplicated: greedy must stop at 2
+    emb = [[0.1, 0.2], [0.1, 0.2], [0.9, -0.3], [0.9, -0.3]]
+    t = pa.table({"vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "embedding": pa.array(emb, pa.list_(pa.float32()))})
+    out = kcenter_greedy(ray.data.from_arrow(t), k=4).to_pylist()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert out[0]["maxmin_dist"] == 0 and out[1]["maxmin_dist"] > 0
