@@ -2485,6 +2485,53 @@ def _media_video_agg(sf_dir: str):
         .select(["width", "height", "n_clips", "tot_frames", "tot_luma"])
 
 
+def _media_image_neardup_agg(sf_dir: str):
+    """Perceptual image near-dedup (dHash + Hamming-banded LSH), the
+    LAION/DataComp image-dedup step: decode pimg payloads, 64-bit
+    difference hash per image (stages/imagehash.py, vectorized), 4x16
+    band LSH (pigeonhole-exact for Hamming<=3), vectorized in-bucket
+    Hamming verify, label-propagation components.  The corpus generator
+    plants ground-truth groups with an INDEPENDENT scalar dHash and
+    verifies them at generation time (intra-group Hamming<=3 via the
+    base image, every cross-group pair >=6 apart), so the recovered
+    components must equal the planted ``nd_group`` goldens exactly.
+    Output: duplicate-group size histogram with id checksums
+    (structure-invariant in the arbitrary component labels)."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count, Sum, Min
+    from go_distributed_log_search_ray.stages.imagehash import (
+        image_neardup_components)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    media_dir = os.path.join(_corpus(sf_dir), "media")
+    ds = ray.data.read_parquet(
+        media_dir, columns=["media_id", "kind", "payload"],
+        filter=pc.field("kind") == "pimg")
+    comp = image_neardup_components(ds, id_col="media_id")
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "component": b.column("component"),
+            "media_id": pc.cast(b.column("media_id"), pa.int64())})
+
+    per_group = comp.map_batches(to_int, batch_format="pyarrow") \
+        .groupby("component").aggregate(
+            Count(alias_name="group_size"),
+            Min("media_id", alias_name="min_id"),
+            Sum("media_id", alias_name="sum_id")) \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b.column("group_size"), pa.scalar(2))),
+            batch_format="pyarrow")
+    agg = per_group.groupby("group_size").aggregate(
+        Count(alias_name="n_groups"),
+        Sum("min_id", alias_name="sum_min_id"),
+        Sum("sum_id", alias_name="sum_member_id"))
+    return small_table(agg, sort_keys=["group_size"],
+                       int64_cols=["group_size", "n_groups",
+                                   "sum_min_id", "sum_member_id"]) \
+        .select(["group_size", "n_groups", "sum_min_id", "sum_member_id"])
+
+
 def _emb_kmeans_train_agg(sf_dir: str):
     """TWO full distributed Lloyd iterations (assignment + centroid
     update, both bit-deterministic) then the final assignment census:
@@ -2854,6 +2901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_softdedup_agg": _pages_softdedup_agg,
         "doc_clf_auc": _doc_clf_auc,
         "emb_kcenter_agg": _emb_kcenter_agg,
+        # -- new in r5 session 8
+        "media_image_neardup_agg": _media_image_neardup_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -4980,6 +5029,18 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{media}')
             WHERE kind = 'y4m' AND n_frames IS NOT NULL
             GROUP BY width, height""",
+        "media_image_neardup_agg": f"""
+            SELECT CAST(sz AS BIGINT) AS group_size,
+                   count(*) AS n_groups,
+                   CAST(sum(min_id) AS BIGINT) AS sum_min_id,
+                   CAST(sum(sum_id) AS BIGINT) AS sum_member_id
+            FROM (SELECT nd_group, count(*) AS sz,
+                         min(media_id) AS min_id, sum(media_id) AS sum_id
+                  FROM read_parquet('{media}')
+                  WHERE kind = 'pimg' AND nd_group IS NOT NULL
+                  GROUP BY nd_group) g
+            WHERE sz >= 2
+            GROUP BY sz""",
         "knn_bruteforce": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)

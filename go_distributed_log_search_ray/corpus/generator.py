@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v10"
+GEN_VERSION = "v11"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -284,7 +284,7 @@ def _write_media(d: str, n_docs: int) -> None:
     cols = ("media_id", "kind", "payload", "width", "height",
             "sum_r", "sum_g", "sum_b",
             "n_channels", "sample_rate", "n_samples", "sum_ch0", "sum_ch1",
-            "n_frames", "sum_luma")
+            "n_frames", "sum_luma", "nd_group")
     rows = {k: [] for k in cols}
 
     def put(media_id, kind, payload, **golden):
@@ -494,6 +494,116 @@ def _write_media(d: str, n_docs: int) -> None:
             put(6 * n + g, "gif", payload, width=w, height=h,
                 sum_r=int(srgb[0]), sum_g=int(srgb[1]),
                 sum_b=int(srgb[2]))
+
+    # perceptual near-dup pool (kind="pimg"): PPM images planted in
+    # ground-truth duplicate groups for the dHash+LSH image dedup stage
+    # (stages/imagehash.py).  Each group is a base image (8x9 block
+    # pattern over 4 well-separated gray levels, +-10 pixel noise) plus
+    # re-rendered variants that drift <=3 dHash bits from the base; the
+    # golden nd_group is VERIFIED here with an independent scalar dHash
+    # (engine hashes vectorized): intra-group members stay within
+    # Hamming<=3 of the base and EVERY cross-group pair is >=6 bits
+    # apart, so the engine's recovered components must equal the planted
+    # groups exactly.  Singletons carry their own nd_group; two
+    # truncated payloads take the P11 null path.
+    def scalar_dhash(pix) -> int:
+        # loop form of the public dHash spec (BT.601 integer luma,
+        # floor-mean 8x9 blocks, horizontal gradient sign), independent
+        # of the engine's reduceat implementation (the ulaw pattern)
+        ih, iw = pix.shape[0], pix.shape[1]
+        cells = []
+        for bi in range(8):
+            row = []
+            for bj in range(9):
+                r0, r1 = bi * ih // 8, (bi + 1) * ih // 8
+                c0, c1 = bj * iw // 9, (bj + 1) * iw // 9
+                tot = cnt = 0
+                for y in range(r0, r1):
+                    for x in range(c0, c1):
+                        rr, gg, bb = (int(pix[y, x, 0]), int(pix[y, x, 1]),
+                                      int(pix[y, x, 2]))
+                        tot += (299 * rr + 587 * gg + 114 * bb) // 1000
+                        cnt += 1
+                row.append(tot // cnt)
+            cells.append(row)
+        hsh = 0
+        for bi in range(8):
+            for bj in range(8):
+                if cells[bi][bj] > cells[bi][bj + 1]:
+                    hsh |= 1 << (bi * 8 + bj)
+        return hsh
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    irng = np.random.default_rng(SEED + 9)
+    levels = np.array([30, 90, 150, 210], dtype=np.int64)
+
+    def sample_cells():
+        c = levels[irng.integers(0, 4, size=(8, 9))]
+        for bi in range(8):                 # decisive horizontal gradients
+            for bj in range(1, 9):
+                while c[bi, bj] == c[bi, bj - 1]:
+                    c[bi, bj] = levels[int(irng.integers(0, 4))]
+        return c
+
+    def render(c, iw, ih):
+        img = np.empty((ih, iw, 3), np.int64)
+        rb = (np.arange(9) * ih) // 8
+        cb = (np.arange(10) * iw) // 9
+        for bi in range(8):
+            for bj in range(9):
+                img[rb[bi]:rb[bi + 1], cb[bj]:cb[bj + 1], :] = c[bi, bj]
+        img[:, :, 0] += 6                   # exercise the luma weighting
+        img[:, :, 2] -= 6
+        img += irng.integers(-10, 11, size=img.shape)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    n_pool = max(60, n_docs // 60)
+    pool = []                               # (pix, iw, ih, group_id)
+    accepted = []                           # hashes of all PRIOR groups
+    group_id = 0
+    while len(pool) < n_pool:
+        gsize = 1 if irng.random() < 0.55 else int(irng.integers(2, 5))
+        for _attempt in range(200):
+            cells = sample_cells()
+            iw = int(irng.integers(18, 37))
+            ih = int(irng.integers(16, 33))
+            base = render(cells, iw, ih)
+            bh = scalar_dhash(base)
+            members = [(base, bh)]
+            for _v in range(gsize - 1):
+                for _vtry in range(80):
+                    vc = cells.copy()
+                    for _f in range(int(irng.integers(0, 3))):
+                        vc[int(irng.integers(0, 8)),
+                           int(irng.integers(0, 9))] = \
+                            levels[int(irng.integers(0, 4))]
+                    vpix = render(vc, iw, ih)
+                    vh = scalar_dhash(vpix)
+                    if hamming(vh, bh) <= 3:
+                        members.append((vpix, vh))
+                        break
+                else:
+                    break
+            if len(members) != gsize:
+                continue
+            if all(hamming(mh, oh) >= 6
+                   for _, mh in members for oh in accepted):
+                break
+        else:
+            raise RuntimeError("pimg group generation failed to converge")
+        for mpix, mh in members:
+            pool.append((mpix, iw, ih, group_id))
+            accepted.append(mh)
+        group_id += 1
+
+    for pi, (mpix, iw, ih, gid) in enumerate(pool):
+        payload = b"P6\n%d %d\n255\n" % (iw, ih) + mpix.tobytes()
+        put(7 * n + pi, "pimg", payload, nd_group=gid)
+    for ci in range(2):                     # P11: undecodable tail rows
+        bad = b"P6\n24 16\n255\n" + bytes(24 * 16 * 3 // 2)
+        put(7 * n + len(pool) + ci, "pimg", bad[: len(bad) - ci])
 
     t = pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),

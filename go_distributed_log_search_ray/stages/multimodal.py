@@ -41,13 +41,13 @@ def recommended_batch_size(avg_payload_bytes: int,
     return max(1, budget_bytes // max(1, avg_payload_bytes))
 
 
-def parse_ppm(p: bytes | None):
+def parse_ppm_pixels(p: bytes | None):
     """REAL P6 (raw) PPM decode -- a pure byte format needing no codec
     library: ASCII header ``P6 <w> <h> <maxval>`` (whitespace-separated,
     ``#`` comments allowed) followed by one whitespace byte and
-    ``w*h*3`` raw RGB bytes.  Returns (w, h, sum_r, sum_g, sum_b) with
-    EXACT integer channel sums, or None on any malformation (P11: the
-    row survives with null metadata)."""
+    ``w*h*3`` raw RGB bytes.  Returns an (h, w, 3) uint8 view of the
+    payload, or None on any malformation (P11: the row survives with
+    null metadata)."""
     if p is None or len(p) < 10 or p[:2] != b"P6":
         return None
     i, vals = 2, []
@@ -70,10 +70,18 @@ def parse_ppm(p: bytes | None):
     need = w * h * 3
     if mx != 255 or w <= 0 or h <= 0 or len(p) < i + need:
         return None
-    pix = np.frombuffer(p, dtype=np.uint8, count=need, offset=i) \
-        .reshape(-1, 3)
-    s = pix.sum(axis=0, dtype=np.int64)
-    return w, h, int(s[0]), int(s[1]), int(s[2])
+    return np.frombuffer(p, dtype=np.uint8, count=need, offset=i) \
+        .reshape(h, w, 3)
+
+
+def parse_ppm(p: bytes | None):
+    """parse_ppm_pixels -> (w, h, sum_r, sum_g, sum_b) with EXACT
+    integer channel sums, or None on any malformation."""
+    pix = parse_ppm_pixels(p)
+    if pix is None:
+        return None
+    s = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    return pix.shape[1], pix.shape[0], int(s[0]), int(s[1]), int(s[2])
 
 
 class PpmDecoder:
