@@ -2532,6 +2532,29 @@ def _media_image_neardup_agg(sf_dir: str):
         .select(["group_size", "n_groups", "sum_min_id", "sum_member_id"])
 
 
+def _lineitem_price_trend_agg(sf_dir: str):
+    """Grouped OLS trend (regr_slope family) with EXACT integer
+    sufficient statistics: slope of extendedprice (cents) per quantity
+    unit for each (returnflag, linestatus) group, emitted as the
+    gcd-reduced exact rational (slope_num, slope_den).  One pass: each
+    batch collapses to O(groups) partials in Arrow C++ before a tiny
+    groupby; the closed form runs on the driver over O(groups) Python
+    ints.  The oracle reproduces the identical arithmetic in HUGEINT,
+    so one misplaced row anywhere flips the value hash."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.regression import (
+        grouped_ols_slope)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus",
+                 "l_quantity", "l_extendedprice"])
+    t = grouped_ols_slope(ds, ["l_returnflag", "l_linestatus"],
+                          "l_quantity", "l_extendedprice", y_scale=100)
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("l_returnflag", "ascending"),
+                      ("l_linestatus", "ascending")]))
+
+
 def _emb_kmeans_train_agg(sf_dir: str):
     """TWO full distributed Lloyd iterations (assignment + centroid
     update, both bit-deterministic) then the final assignment census:
@@ -2903,6 +2926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter_agg": _emb_kcenter_agg,
         # -- new in r5 session 8
         "media_image_neardup_agg": _media_image_neardup_agg,
+        "lineitem_price_trend_agg": _lineitem_price_trend_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -5029,6 +5053,31 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{media}')
             WHERE kind = 'y4m' AND n_frames IS NOT NULL
             GROUP BY width, height""",
+        "lineitem_price_trend_agg": """
+            WITH s AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     sum(CAST(l_quantity AS HUGEINT)) AS sx,
+                     sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+                       AS sy,
+                     sum(CAST(l_quantity AS HUGEINT)
+                         * CAST(l_quantity AS HUGEINT)) AS sxx,
+                     sum(CAST(l_quantity AS HUGEINT)
+                         * CAST(round(l_extendedprice * 100) AS HUGEINT))
+                       AS sxy
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                        ELSE (n * sxy - sx * sy)
+                          // gcd(n * sxy - sx * sy, n * sxx - sx * sx)
+                        END AS BIGINT) AS slope_num,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 1
+                        ELSE (n * sxx - sx * sx)
+                          // gcd(n * sxy - sx * sy, n * sxx - sx * sx)
+                        END AS BIGINT) AS slope_den
+            FROM s""",
         "media_image_neardup_agg": f"""
             SELECT CAST(sz AS BIGINT) AS group_size,
                    count(*) AS n_groups,
