@@ -1709,6 +1709,33 @@ def _doc_clf_auc(sf_dir: str):
     return roc_auc(scored, "clf_score", "lab", num_partitions=8)
 
 
+def _doc_clf_calibration(sf_dir: str):
+    """Reliability-diagram calibration bins for the hashed-linear
+    quality classifier (stages/evalmetrics.calibration_bins): exact
+    per-score-bin row/positive/score totals against the lang=='en'
+    label -- the companion diagnostic to doc_clf_auc (a well-ranked
+    classifier can still be miscalibrated; the gate threshold is read
+    off this curve).  All integers; the oracle reproduces the hashed
+    scoring and mathematical-floor binning in SQL."""
+    from go_distributed_log_search_ray.stages.classifier import (
+        classifier_score)
+    from go_distributed_log_search_ray.stages.evalmetrics import (
+        calibration_bins)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    ds = _read_table(sf_dir, "documents", columns=["text", "lang"])
+    scored = classifier_score(ds)
+
+    def label(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "lab", pc.equal(pc.fill_null(b.column("lang"), ""), "en"))
+
+    scored = scored.map_batches(label, batch_format="pyarrow")
+    agg = calibration_bins(scored, "clf_score", "lab", bin_width=5)
+    return small_table(agg, sort_keys=["bin"],
+                       int64_cols=["bin", "n_rows", "n_pos", "sum_score"]) \
+        .select(["bin", "n_rows", "n_pos", "sum_score"])
+
+
 def _emb_kcenter_agg(sf_dir: str):
     """k-center greedy coreset selection (Sener & Savarese 2018;
     stages/coreset.py): 6 maximally-diverse vectors by exact quantized
@@ -2927,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in r5 session 8
         "media_image_neardup_agg": _media_image_neardup_agg,
         "lineitem_price_trend_agg": _lineitem_price_trend_agg,
+        "doc_clf_calibration": _doc_clf_calibration,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -3175,6 +3203,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(np * (2 * below + nn)) AS BIGINT) AS auc_num,
                    CAST(2 * sum(np) * sum(nn) AS BIGINT) AS auc_den
             FROM c""",
+        "doc_clf_calibration": r"""
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(coalesce(text, '')),
+                                              '\S+') AS ts
+                    FROM documents), unnest(ts) AS u(t)),
+            sc AS (
+              SELECT doc_id,
+                     sum(CAST((('0x' || substr(md5(term), 1, 8))::UBIGINT
+                               % 1024) % 7 AS BIGINT) - 3) AS score
+              FROM toks GROUP BY doc_id),
+            scored AS (
+              SELECT coalesce(sc.score, 0) AS score,
+                     CASE WHEN coalesce(d.lang, '') = 'en'
+                          THEN 1 ELSE 0 END AS lab
+              FROM documents d LEFT JOIN sc USING (doc_id))
+            SELECT CAST(floor(score / 5.0) AS BIGINT) AS bin,
+                   count(*) AS n_rows,
+                   CAST(sum(lab) AS BIGINT) AS n_pos,
+                   CAST(sum(score) AS BIGINT) AS sum_score
+            FROM scored
+            GROUP BY 1""",
         "doc_blocklist_agg": f"""
             WITH d AS (
                 SELECT lang, coalesce(lower(text), '') AS low

@@ -145,3 +145,41 @@ def roc_auc(ds: Dataset, score_col: str, label_col: str,
                      "auc_num": pa.array([num], pa.int64()),
                      "auc_den": pa.array([2 * p_total * n_total],
                                          pa.int64())})
+
+
+def calibration_bins(ds: Dataset, score_col: str, label_col: str,
+                     bin_width: int = 5) -> Dataset:
+    """Reliability-diagram bins for a scored corpus: group rows into
+    fixed-width score bins and return exact per-bin totals
+    ``(bin, n_rows, n_pos, sum_score)`` -- the positive rate
+    ``n_pos/n_rows`` per bin against the bin's mean score
+    ``sum_score/n_rows`` IS the calibration curve, kept as exact
+    integers so the oracle compares bit-for-bit.
+
+    Binning is mathematical floor division (negative scores bin down,
+    matching SQL ``floor(score / w)``), NOT C-style truncation.  Scale
+    shape: each batch collapses to O(bins) partials in Arrow C++; the
+    only exchange is the tiny ``groupby(bin)``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = _np(t.column(score_col)).astype(np.int64)
+        lab = _np(pc.cast(t.column(label_col), pa.int64()))
+        b = np.floor_divide(s, bin_width)
+        tmp = pa.table({"bin": pa.array(b),
+                        "n_rows": pa.array(np.ones(len(b), np.int64)),
+                        "n_pos": pa.array(lab.astype(np.int64)),
+                        "sum_score": pa.array(s)})
+        out = tmp.group_by(["bin"]).aggregate(
+            [("n_rows", "sum"), ("n_pos", "sum"), ("sum_score", "sum")])
+        return pa.table({
+            "bin": out.column("bin"),
+            "n_rows": out.column("n_rows_sum"),
+            "n_pos": out.column("n_pos_sum"),
+            "sum_score": out.column("sum_score_sum")})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_pos", alias_name="n_pos"),
+            Sum("sum_score", alias_name="sum_score"))

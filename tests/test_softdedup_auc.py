@@ -162,3 +162,35 @@ def test_kcenter_greedy_stops_on_duplicates():
     out = kcenter_greedy(ray.data.from_arrow(t), k=4).to_pylist()
     assert [r["vec_id"] for r in out] == [1, 3]
     assert out[0]["maxmin_dist"] == 0 and out[1]["maxmin_dist"] > 0
+
+
+def test_calibration_bins_floor_division_and_invariance():
+    """Negative scores bin DOWN (mathematical floor, matching SQL
+    floor(score/w)); totals are exact and block-count invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from go_distributed_log_search_ray.stages.evalmetrics import (
+        calibration_bins)
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-23, 24, size=500)
+    lab = rng.integers(0, 2, size=500)
+    t = pa.table({"s": pa.array(s, pa.int64()),
+                  "lab": pa.array(lab.astype(bool))})
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = calibration_bins(ds, "s", "lab", bin_width=5).take_all()
+        return sorted((r["bin"], r["n_rows"], r["n_pos"], r["sum_score"])
+                      for r in out)
+
+    got = run(1)
+    assert got == run(9)
+    want = {}
+    for si, li in zip(s.tolist(), lab.tolist()):
+        b = si // 5                      # python floor division
+        n, p, ss = want.get(b, (0, 0, 0))
+        want[b] = (n + 1, p + li, ss + si)
+    assert got == sorted((b, *v) for b, v in want.items())
+    assert any(b < 0 for b, *_ in got)   # negative bins exercised
