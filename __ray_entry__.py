@@ -1736,6 +1736,30 @@ def _doc_clf_calibration(sf_dir: str):
         .select(["bin", "n_rows", "n_pos", "sum_score"])
 
 
+def _doc_clf_kappa(sf_dir: str):
+    """Exact Cohen's kappa (stages/evalmetrics.cohens_kappa) between
+    the hashed-linear classifier's gate decision (clf_score > 0) and
+    the reference label (lang == 'en'): the chance-corrected agreement
+    a curation team reads before trusting a gate trained on one corpus
+    to filter another.  Gcd-reduced integer rational; the oracle
+    reproduces the scoring, both labelings, and the closed form in
+    HUGEINT."""
+    from go_distributed_log_search_ray.stages.classifier import (
+        classifier_score)
+    from go_distributed_log_search_ray.stages.evalmetrics import (
+        cohens_kappa)
+    ds = _read_table(sf_dir, "documents", columns=["text", "lang"])
+    scored = classifier_score(ds)
+
+    def labels(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "gate": pc.greater(b.column("clf_score"), pa.scalar(0)),
+            "gold": pc.equal(pc.fill_null(b.column("lang"), ""), "en")})
+
+    return cohens_kappa(scored.map_batches(labels, batch_format="pyarrow"),
+                        "gate", "gold")
+
+
 def _emb_kcenter_agg(sf_dir: str):
     """k-center greedy coreset selection (Sener & Savarese 2018;
     stages/coreset.py): 6 maximally-diverse vectors by exact quantized
@@ -2955,6 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_neardup_agg": _media_image_neardup_agg,
         "lineitem_price_trend_agg": _lineitem_price_trend_agg,
         "doc_clf_calibration": _doc_clf_calibration,
+        "doc_clf_kappa": _doc_clf_kappa,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -3203,6 +3228,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(np * (2 * below + nn)) AS BIGINT) AS auc_num,
                    CAST(2 * sum(np) * sum(nn) AS BIGINT) AS auc_den
             FROM c""",
+        "doc_clf_kappa": r"""
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(coalesce(text, '')),
+                                              '\S+') AS ts
+                    FROM documents), unnest(ts) AS u(t)),
+            sc AS (
+              SELECT doc_id,
+                     sum(CAST((('0x' || substr(md5(term), 1, 8))::UBIGINT
+                               % 1024) % 7 AS BIGINT) - 3) AS score
+              FROM toks GROUP BY doc_id),
+            scored AS (
+              SELECT CASE WHEN coalesce(sc.score, 0) > 0
+                          THEN 1 ELSE 0 END AS ga,
+                     CASE WHEN coalesce(d.lang, '') = 'en'
+                          THEN 1 ELSE 0 END AS gb
+              FROM documents d LEFT JOIN sc USING (doc_id)),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(CASE WHEN ga = gb THEN 1 ELSE 0 END)
+                              AS HUGEINT) AS diag,
+                         CAST(sum(ga) AS HUGEINT) AS a1,
+                         CAST(sum(gb) AS HUGEINT) AS b1
+                  FROM scored),
+            m2 AS (SELECT n, diag,
+                          a1 * b1 + (n - a1) * (n - b1) AS s
+                   FROM m)
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   CAST(diag AS BIGINT) AS n_agree,
+                   CAST(CASE WHEN n * n - s = 0 THEN 0
+                        ELSE (n * diag - s)
+                          // gcd(n * diag - s, n * n - s)
+                        END AS BIGINT) AS kappa_num,
+                   CAST(CASE WHEN n * n - s = 0 THEN 1
+                        ELSE (n * n - s)
+                          // gcd(n * diag - s, n * n - s)
+                        END AS BIGINT) AS kappa_den
+            FROM m2""",
         "doc_clf_calibration": r"""
             WITH toks AS (
               SELECT doc_id, t AS term

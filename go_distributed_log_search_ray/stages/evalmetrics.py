@@ -183,3 +183,50 @@ def calibration_bins(ds: Dataset, score_col: str, label_col: str,
             Sum("n_rows", alias_name="n_rows"),
             Sum("n_pos", alias_name="n_pos"),
             Sum("sum_score", alias_name="sum_score"))
+
+
+def cohens_kappa(ds: Dataset, col_a: str, col_b: str) -> pa.Table:
+    """Exact Cohen's kappa between two categorical label columns
+    (Cohen 1960): chance-corrected agreement, the standard check that
+    a trained quality gate and a reference labeler agree beyond their
+    marginal class rates.  One pass: per-batch confusion-cell partials
+    in Arrow C++, a tiny groupby, then the closed form over the
+    O(categories^2) confusion matrix on the driver as Python ints:
+
+        kappa = (n * sum_diag - S) / (n^2 - S),
+        S = sum_k rowmarg_k * colmarg_k
+
+    emitted gcd-reduced as (kappa_num, kappa_den) -- exact rational,
+    no float hazards.  Degenerate marginals (pe == 1, i.e. both
+    labelers constant) emit 0/1."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table({
+            "a": pc.cast(t.column(col_a), pa.string()),
+            "b": pc.cast(t.column(col_b), pa.string()),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+        out = tmp.group_by(["a", "b"]).aggregate([("n", "sum")])
+        return pa.table({"a": out.column("a"), "b": out.column("b"),
+                         "n": out.column("n_sum")})
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n")) \
+        .take_all()                      # O(categories^2) rows
+    n = sum(r["n"] for r in cells)
+    diag = sum(r["n"] for r in cells if r["a"] == r["b"])
+    rowm, colm = {}, {}
+    for r in cells:
+        rowm[r["a"]] = rowm.get(r["a"], 0) + r["n"]
+        colm[r["b"]] = colm.get(r["b"], 0) + r["n"]
+    s = sum(v * colm.get(k, 0) for k, v in rowm.items())
+    num, den = n * diag - s, n * n - s
+    if den == 0:
+        num, den = 0, 1
+    else:
+        g = math.gcd(abs(num), den)
+        num, den = num // g, den // g
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "n_agree": pa.array([diag], pa.int64()),
+                     "kappa_num": pa.array([num], pa.int64()),
+                     "kappa_den": pa.array([den], pa.int64())})

@@ -194,3 +194,35 @@ def test_calibration_bins_floor_division_and_invariance():
         want[b] = (n + 1, p + li, ss + si)
     assert got == sorted((b, *v) for b, v in want.items())
     assert any(b < 0 for b, *_ in got)   # negative bins exercised
+
+
+def test_cohens_kappa_exact_and_degenerate():
+    import numpy as np
+    import pyarrow as pa
+    import math
+    import ray
+    from go_distributed_log_search_ray.stages.evalmetrics import (
+        cohens_kappa)
+
+    rng = np.random.default_rng(13)
+    a = rng.choice(["x", "y", "z"], size=300)
+    agree = rng.random(300) < 0.6
+    b = np.where(agree, a, rng.choice(["x", "y", "z"], size=300))
+    t = pa.table({"a": a, "b": b})
+    out = cohens_kappa(ray.data.from_arrow(t).repartition(7), "a", "b") \
+        .to_pydict()
+    # reference: closed form on the dense confusion matrix
+    cats = ["x", "y", "z"]
+    n = 300
+    diag = int((a == b).sum())
+    s = sum(int((a == c).sum()) * int((b == c).sum()) for c in cats)
+    num, den = n * diag - s, n * n - s
+    g = math.gcd(abs(num), den)
+    assert out["n_rows"] == [n] and out["n_agree"] == [diag]
+    assert out["kappa_num"] == [num // g]
+    assert out["kappa_den"] == [den // g]
+
+    # both labelers constant -> pe == 1 -> 0/1 by convention
+    t2 = pa.table({"a": ["k"] * 10, "b": ["k"] * 10})
+    out2 = cohens_kappa(ray.data.from_arrow(t2), "a", "b").to_pydict()
+    assert out2["kappa_num"] == [0] and out2["kappa_den"] == [1]
