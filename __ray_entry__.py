@@ -2606,6 +2606,60 @@ def _lineitem_price_trend_agg(sf_dir: str):
                       ("l_linestatus", "ascending")]))
 
 
+def _media_wds_export_agg(sf_dir: str):
+    """WebDataset tar-shard export -> reimport round trip
+    (stages/wds.py): scatter the pimg pool into shard-NNNNNN.tar
+    training shards ({key}.ppm payload + {key}.json metadata, one
+    distributed writer task per shard), stream the shards back (one
+    task per tar), and fold per-kind totals with a CONTENT checksum
+    over the reimported payload bytes.  The oracle computes the same
+    checksum over the SOURCE parquet, so one corrupted, dropped, or
+    duplicated tar member anywhere flips the value hash."""
+    import hashlib
+    import json
+    import os
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from go_distributed_log_search_ray.stages.wds import (
+        read_wds_shards, write_wds_shards)
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    media_dir = os.path.join(_corpus(sf_dir), "media")
+    ds = ray.data.read_parquet(
+        media_dir, columns=["media_id", "kind", "payload"],
+        filter=pc.field("kind") == "pimg")
+    out = f"/tmp/graft_wds_{_sf_tag(sf_dir)}"
+    write_wds_shards(ds, out, num_shards=4, key_col="media_id",
+                     data_col="payload", ext="ppm",
+                     meta_cols=["kind"]).materialize()
+
+    def fold(b: pa.Table) -> pa.Table:
+        kinds, cks, nb, mid = [], [], [], []
+        for k, p, mj in zip(b.column("key").to_pylist(),
+                            b.column("payload").to_pylist(),
+                            b.column("meta_json").to_pylist()):
+            kinds.append(json.loads(mj)["kind"])
+            cks.append(int(hashlib.md5(
+                p.hex().upper().encode()).hexdigest()[:8], 16))
+            nb.append(len(p))
+            mid.append(int(k))
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "ck": pa.array(cks, pa.int64()),
+                         "n_bytes": pa.array(nb, pa.int64()),
+                         "media_id": pa.array(mid, pa.int64())})
+
+    agg = read_wds_shards(out, ext="ppm") \
+        .map_batches(fold, batch_format="pyarrow") \
+        .groupby("kind").aggregate(
+            Count(alias_name="n_samples"),
+            Sum("n_bytes", alias_name="sum_bytes"),
+            Sum("ck", alias_name="sum_ck"),
+            Sum("media_id", alias_name="sum_id"))
+    return small_table(agg, sort_keys=["kind"],
+                       int64_cols=["n_samples", "sum_bytes", "sum_ck",
+                                   "sum_id"]) \
+        .select(["kind", "n_samples", "sum_bytes", "sum_ck", "sum_id"])
+
+
 def _emb_kmeans_train_agg(sf_dir: str):
     """TWO full distributed Lloyd iterations (assignment + centroid
     update, both bit-deterministic) then the final assignment census:
@@ -2980,6 +3034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_trend_agg": _lineitem_price_trend_agg,
         "doc_clf_calibration": _doc_clf_calibration,
         "doc_clf_kappa": _doc_clf_kappa,
+        "media_wds_export_agg": _media_wds_export_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -5192,6 +5247,16 @@ def oracle_sql() -> dict[str, str]:
                           // gcd(n * sxy - sx * sy, n * sxx - sx * sx)
                         END AS BIGINT) AS slope_den
             FROM s""",
+        "media_wds_export_agg": f"""
+            SELECT kind, count(*) AS n_samples,
+                   CAST(sum(octet_length(payload)) AS BIGINT)
+                     AS sum_bytes,
+                   CAST(sum(('0x' || substr(md5(hex(payload)), 1, 8))
+                            ::UBIGINT) AS BIGINT) AS sum_ck,
+                   CAST(sum(media_id) AS BIGINT) AS sum_id
+            FROM read_parquet('{media}')
+            WHERE kind = 'pimg'
+            GROUP BY kind""",
         "media_image_neardup_agg": f"""
             SELECT CAST(sz AS BIGINT) AS group_size,
                    count(*) AS n_groups,
