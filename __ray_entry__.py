@@ -2660,6 +2660,32 @@ def _media_wds_export_agg(sf_dir: str):
         .select(["kind", "n_samples", "sum_bytes", "sum_ck", "sum_id"])
 
 
+def _media_sniff_agg(sf_dir: str):
+    """Content-type sniffing (stages/multimodal.MediaSniffer): magic-
+    byte dispatch over EVERY media payload -- the ingest-side routing
+    pass a crawl pipeline runs before codec pools, including the
+    PCM-vs-G.711 split read from the RIFF fmt tag.  Census per sniffed
+    type with byte totals; the oracle replicates the exact byte
+    signatures as hex-prefix CASE arms, so truncated payloads classify
+    identically on both sides."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from go_distributed_log_search_ray.stages.multimodal import MediaSniffer
+    from go_distributed_log_search_ray.functions.tableops import small_table
+    media_dir = os.path.join(_corpus(sf_dir), "media")
+    ds = ray.data.read_parquet(media_dir,
+                               columns=["media_id", "payload"])
+    sniffed = ds.map_batches(MediaSniffer, batch_size=64,
+                             batch_format="pyarrow", concurrency=(1, 4))
+    agg = sniffed.groupby("sniffed").aggregate(
+        Count(alias_name="n_payloads"),
+        Sum("payload_bytes", alias_name="sum_bytes"))
+    return small_table(agg, sort_keys=["sniffed"],
+                       int64_cols=["n_payloads", "sum_bytes"]) \
+        .select(["sniffed", "n_payloads", "sum_bytes"])
+
+
 def _emb_kmeans_train_agg(sf_dir: str):
     """TWO full distributed Lloyd iterations (assignment + centroid
     update, both bit-deterministic) then the final assignment census:
@@ -3035,6 +3061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_clf_calibration": _doc_clf_calibration,
         "doc_clf_kappa": _doc_clf_kappa,
         "media_wds_export_agg": _media_wds_export_agg,
+        "media_sniff_agg": _media_sniff_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -5247,6 +5274,32 @@ def oracle_sql() -> dict[str, str]:
                           // gcd(n * sxy - sx * sy, n * sxx - sx * sx)
                         END AS BIGINT) AS slope_den
             FROM s""",
+        "media_sniff_agg": f"""
+            SELECT CASE
+                     WHEN substr(hex(payload), 1, 4) = '5036' THEN 'ppm'
+                     WHEN substr(hex(payload), 1, 4) = 'FFD8' THEN 'jpeg'
+                     WHEN substr(hex(payload), 1, 8) = '47494638'
+                       THEN 'gif'
+                     WHEN substr(hex(payload), 1, 8) = '89504E47'
+                       THEN 'png'
+                     WHEN substr(hex(payload), 1, 18)
+                          = '595556344D50454732' THEN 'y4m'
+                     WHEN substr(hex(payload), 1, 8) = '52494646'
+                          AND substr(hex(payload), 17, 8) = '57415645'
+                          AND octet_length(payload) >= 22
+                          AND substr(hex(payload), 41, 4) = '0700'
+                       THEN 'ulaw'
+                     WHEN substr(hex(payload), 1, 8) = '52494646'
+                          AND substr(hex(payload), 17, 8) = '57415645'
+                          AND octet_length(payload) >= 22
+                          AND substr(hex(payload), 41, 4) = '0100'
+                       THEN 'wav'
+                     ELSE 'unknown'
+                   END AS sniffed,
+                   count(*) AS n_payloads,
+                   CAST(sum(octet_length(payload)) AS BIGINT) AS sum_bytes
+            FROM read_parquet('{media}')
+            GROUP BY 1""",
         "media_wds_export_agg": f"""
             SELECT kind, count(*) AS n_samples,
                    CAST(sum(octet_length(payload)) AS BIGINT)

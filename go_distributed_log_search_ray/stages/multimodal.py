@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.string()),
@@ -530,3 +531,51 @@ class FrameSample:
                 .append_column("frame_luma_sums",
                                pa.array(sums, type=pa.list_(pa.int64())))
                 .append_column("sample_err", pa.array(errs, pa.string())))
+
+
+def sniff_media_type(p: bytes | None) -> str:
+    """Content-type detection by magic bytes -- the ingest-side
+    dispatch a crawl pipeline runs BEFORE handing payloads to codec
+    pools (the binary twin of the reference's parser dispatch, P1).
+    Pure header inspection, no decode: PPM/GIF/PNG/JPEG/YUV4MPEG2 by
+    signature; RIFF/WAVE split into pcm ("wav") vs G.711 ("ulaw") by
+    the fmt chunk's format tag.  Unrecognized or too-short payloads
+    sniff to "unknown" (P11: never raises)."""
+    if p is None or len(p) < 2:
+        return "unknown"
+    if p[:2] == b"P6":
+        return "ppm"
+    if p[:2] == b"\xff\xd8":
+        return "jpeg"
+    if p[:4] == b"GIF8":
+        return "gif"
+    if p[:4] == b"\x89PNG":
+        return "png"
+    if p[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        # fmt tag: little-endian u16 at offset 20 (RIFF+size+WAVE+
+        # "fmt "+fmtsize); 1 = PCM, 7 = G.711 mu-law
+        if len(p) >= 22:
+            tag = p[20] | (p[21] << 8)
+            if tag == 7:
+                return "ulaw"
+            if tag == 1:
+                return "wav"
+        return "unknown"
+    return "unknown"
+
+
+class MediaSniffer:
+    """payload -> sniffed_type batch stage (header bytes only; the
+    cheap pre-dispatch pass that routes payloads to the right codec
+    actor pool and quarantines unknowns)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = [sniff_media_type(p)
+                 for p in batch.column("payload").to_pylist()]
+        sizes = pc.binary_length(batch.column("payload"))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("sniffed", pa.array(kinds, pa.string()))
+        return out.append_column("payload_bytes",
+                                 pc.cast(sizes, pa.int64()))

@@ -1734,3 +1734,37 @@ def test_vocab_nucleus_matches_bruteforce():
 
     nulls = pa.table({"text": pa.array([None, None], pa.string())})
     assert vocab_nucleus(ray.data.from_arrow(nulls)).num_rows == 0
+
+
+def test_media_sniffer_magic_bytes():
+    """Header-only content-type dispatch: every corpus format, the
+    PCM-vs-G.711 fmt-tag split, and the P11 short/garbage paths."""
+    from go_distributed_log_search_ray.stages.multimodal import (
+        MediaSniffer, sniff_media_type)
+
+    wav_hdr = (b"RIFF" + bytes(4) + b"WAVE" + b"fmt " + bytes(4)
+               + (1).to_bytes(2, "little") + bytes(10))
+    ulaw_hdr = (b"RIFF" + bytes(4) + b"WAVE" + b"fmt " + bytes(4)
+                + (7).to_bytes(2, "little") + bytes(10))
+    cases = {
+        b"P6\n2 2\n255\n" + bytes(12): "ppm",
+        b"\xff\xd8\xff\xe0rest": "jpeg",
+        b"GIF87a" + bytes(8): "gif",
+        b"\x89PNG\r\n\x1a\n": "png",
+        b"YUV4MPEG2 W4 H4\n": "y4m",
+        wav_hdr: "wav",
+        ulaw_hdr: "ulaw",
+        b"RIFF" + bytes(4) + b"WAVEfm": "unknown",   # cut before fmt tag
+        b"RIFX1234WAVE" + bytes(10): "unknown",      # wrong magic
+        b"P": "unknown",                             # too short
+        b"plain text": "unknown",
+        None: "unknown",
+    }
+    for p, want in cases.items():
+        assert sniff_media_type(p) == want, (p, want)
+
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([b"GIF87a", b"zz"], pa.binary())})
+    out = MediaSniffer()(t).to_pydict()
+    assert out["sniffed"] == ["gif", "unknown"]
+    assert out["payload_bytes"] == [6, 2]
