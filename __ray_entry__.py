@@ -3097,10 +3097,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compress_ratio_agg": _doc_compress_ratio_agg,
         "doc_incremental_near_dedup": _doc_incremental_near_dedup,
         "doc_weighted_topk_sample": _doc_weighted_topk_sample,
-        "knn_pq": _knn_pq,
-        "knn_ivfpq": _knn_ivfpq,
+        # full-oracle queries outrank rows-only ones for the 50-entry
+        # driver window: knn_pq/knn_ivfpq (rows-only; value-checked by
+        # the 32-CPU local gate + recall pytest) yield their slots
         "events_funnel": R.events_funnel,
         "events_retention": R.events_retention,
+        "knn_pq": _knn_pq,
+        "knn_ivfpq": _knn_ivfpq,
         # -- flagship + core text ops, last driver-checked r3
         "pages_extract": _pages_extract,
         "pages_grok": _pages_grok,

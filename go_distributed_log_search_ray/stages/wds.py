@@ -42,7 +42,7 @@ _MANIFEST = pa.schema([("shard", pa.int64()), ("n_samples", pa.int64()),
 def write_wds_shards(ds: Dataset, out_dir: str, num_shards: int,
                      key_col: str, data_col: str, ext: str,
                      meta_cols: list[str] | None = None,
-                     seed: int = 19) -> Dataset:
+                     seed: int = 19, resume: bool = False) -> Dataset:
     """Scatter rows into ``shard-NNNNNN.tar`` WebDataset shards.
 
     Every row becomes a sample: ``{key}.{ext}`` holding the binary
@@ -50,6 +50,14 @@ def write_wds_shards(ds: Dataset, out_dir: str, num_shards: int,
     (always including the key).  Returns the O(shards) manifest
     Dataset ``(shard, n_samples, n_bytes)``; files land atomically
     (tmp + rename) so a re-run never exposes torn shards.
+
+    ``resume=True`` skips shards whose tar already exists: because
+    writes are atomic AND shard bytes are a pure function of the data
+    (deterministic scatter, sorted members, fixed mtime), an existing
+    file is always a complete identical shard -- a killed export rerun
+    redoes only the missing shards.  The caller must key ``out_dir``
+    to the input data (the ``_sf_tag`` pattern): resume never
+    validates content against a CHANGED input.
     """
     meta_cols = meta_cols or []
     os.makedirs(out_dir, exist_ok=True)
@@ -63,11 +71,19 @@ def write_wds_shards(ds: Dataset, out_dir: str, num_shards: int,
         if t.num_rows == 0 or t.num_columns == 0:
             return _MANIFEST.empty_table()
         sid = int(t.column("shard")[0].as_py())
+        path = os.path.join(out_dir, f"shard-{sid:06d}.tar")
+        if resume and os.path.exists(path):
+            with tarfile.open(path, "r") as tf:
+                members = tf.getmembers()
+            return pa.table({
+                "shard": pa.array([sid], pa.int64()),
+                "n_samples": pa.array([len(members) // 2], pa.int64()),
+                "n_bytes": pa.array([sum(m.size for m in members)],
+                                    pa.int64())}, schema=_MANIFEST)
         t = t.take(pc.sort_indices(t, sort_keys=[(key_col, "ascending")]))
         keys = t.column(key_col).to_pylist()
         payloads = t.column(data_col).to_pylist()
         metas = {c: t.column(c).to_pylist() for c in meta_cols}
-        path = os.path.join(out_dir, f"shard-{sid:06d}.tar")
         tmp = path + f".tmp{os.getpid()}"
         n_bytes = 0
         with tarfile.open(tmp, "w") as tf:

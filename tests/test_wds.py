@@ -77,3 +77,30 @@ def test_wds_members_adjacent_and_sorted(tmp_path):
         # each sample's members are adjacent: json then payload
         assert all(bases[i] == bases[i + 1] for i in range(0, len(bases), 2))
         assert [n.rsplit(".", 1)[1] for n in names[:2]] == ["json", "bin"]
+
+
+def test_wds_resume_skips_existing_shards(tmp_path):
+    """Killed-export resume: existing shards are skipped (atomic write
+    + deterministic bytes make them provably complete); only missing
+    shards are rewritten, and the result equals a fresh export."""
+    t = _data(n=60, seed=4)
+    out = str(tmp_path / "wds")
+    write_wds_shards(ray.data.from_arrow(t), out, num_shards=3,
+                     key_col="doc_id", data_col="blob", ext="bin") \
+        .materialize()
+    files = sorted(glob.glob(os.path.join(out, "*.tar")))
+    assert len(files) == 3
+    ref_bytes = {f: open(f, "rb").read() for f in files}
+    # simulate a killed run: one shard missing, the others already done
+    os.remove(files[1])
+    os.utime(files[0], (1, 1))              # sentinel mtime on survivors
+    os.utime(files[2], (1, 1))
+    man = write_wds_shards(ray.data.from_arrow(t), out, num_shards=3,
+                           key_col="doc_id", data_col="blob", ext="bin",
+                           resume=True).take_all()
+    assert sum(r["n_samples"] for r in man) == t.num_rows
+    # survivors untouched (sentinel mtime kept), missing shard rebuilt
+    assert os.stat(files[0]).st_mtime == 1
+    assert os.stat(files[2]).st_mtime == 1
+    for f in files:
+        assert open(f, "rb").read() == ref_bytes[f]
