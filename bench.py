@@ -31,6 +31,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 def _init_ray(num_cpus: int) -> None:
     import logging
     import ray
+    # Ray's raylet launches workers at nice 15 by default
+    # (RAY_worker_niceness), so under load our own compute lands in
+    # /proc/stat's "nice" bucket and reads as a phantom co-tenant --
+    # this misattribution sent rounds 3-8 hunting "clean windows" that
+    # their own workers were polluting.  Pin niceness to 0 so worker
+    # time accounts as "user" and nice_pct becomes a true external
+    # signal (and a nice-0 co-tenant can no longer preempt the bench).
+    os.environ.setdefault("RAY_worker_niceness", "0")
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
@@ -261,10 +269,13 @@ def _first_touch_mbps() -> float:
 
 
 def _cpu_jiffies() -> list:
-    """First /proc/stat line: the co-tenant runs OUTSIDE this PID
-    namespace (ps shows nothing) but its cycles still appear here as
-    'nice' time, and hypervisor contention as 'steal' -- the only
-    machine-readable contention signal available in this sandbox."""
+    """First /proc/stat line.  Session 9 correction: the "nice
+    co-tenant" rounds 3-8 dodged was OUR OWN Ray workers -- the raylet
+    launches them at nice 15 (RAY_worker_niceness default), so bench
+    compute itself filled the nice bucket.  With _init_ray pinning
+    niceness to 0, worker time now lands in 'user'; nice_pct measures
+    genuinely external load and 'steal' hypervisor contention -- the
+    only true external signals available in this sandbox."""
     try:
         with open("/proc/stat") as f:
             return [int(x) for x in f.readline().split()[1:9]]
@@ -274,8 +285,9 @@ def _cpu_jiffies() -> list:
 
 def _cpu_pct(a: list, b: list) -> dict:
     """% of total CPU time between two _cpu_jiffies snapshots, keyed by
-    who got it.  nice_pct = external co-tenant, steal_pct = hypervisor;
-    both at ~0 means the measurement window was clean."""
+    who got it.  With workers at niceness 0 (see _init_ray): user_pct =
+    this bench, nice_pct = external co-tenant, steal_pct = hypervisor;
+    nice+steal ~0 means the measurement window was clean."""
     if not a or not b:
         return {}
     d = [y - x for x, y in zip(a, b)]
