@@ -834,6 +834,37 @@ def _pages_domain_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_docs", "n_hosts"])
 
 
+def _pages_link_hosts_agg(sf_dir: str):
+    """Host link graph from outbound page anchors
+    (stages/linkgraph.py): regex link extraction over raw html with the
+    pattern compiled once per actor, per-batch distinct-link combiners,
+    one distributed pair-graph groupby; top-20 destination hosts by
+    in-degree with distinct-source fan-in and self-link counts.  The
+    oracle re-extracts every anchor with DuckDB regexp_extract_all over
+    the same html bytes and aggregates in SQL."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.linkgraph import (
+        host_link_graph)
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                               columns=["host", "html"])
+    return host_link_graph(ds, k=20)
+
+
+def _pages_link_canon_agg(sf_dir: str):
+    """URL canonicalization over extracted outbound links
+    (stages/linkgraph.py): lowercase authority, strip default :80/:443
+    ports, drop fragments and utm_* tracking params, bytewise param
+    sort.  Reports the per-destination raw-vs-canonical distinct-URL
+    collapse (the dedup win), top 20 by anchor count.  The oracle runs
+    the identical rule chain via DuckDB string/list functions."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.linkgraph import (
+        canonical_link_stats)
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                               columns=["host", "html"])
+    return canonical_link_stats(ds, k=20)
+
+
 def _doc_classifier_agg(sf_dir: str):
     """Hashed-feature linear classifier scoring (the fastText-style
     corpus quality gate) with broadcast weights; per-lang doc counts,
@@ -3062,6 +3093,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_clf_kappa": _doc_clf_kappa,
         "media_wds_export_agg": _media_wds_export_agg,
         "media_sniff_agg": _media_sniff_agg,
+        # -- new in r5 session 9 (corpus v12 plants outbound anchors)
+        "pages_link_hosts_agg": _pages_link_hosts_agg,
+        "pages_link_canon_agg": _pages_link_canon_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -3888,6 +3922,62 @@ def oracle_sql() -> dict[str, str]:
                             THEN kept - 1 ELSE 0 END) AS BIGINT)
                        AS text_chars
             FROM per_doc GROUP BY lang""",
+        "pages_link_hosts_agg": f"""
+            WITH raw AS (
+              SELECT host AS src_host,
+                     unnest(regexp_extract_all(decode(html),
+                            'href="([^"]+)"', 1)) AS href
+              FROM read_parquet('{pages}')),
+            parts AS (
+              SELECT src_host, href,
+                     lower(regexp_extract(href,
+                           '^https?://([^/?#]+)', 1)) AS auth
+              FROM raw
+              WHERE regexp_matches(href, '^https?://[^/?#]+')),
+            canon AS (
+              SELECT src_host,
+                     regexp_replace(auth, ':(80|443)$', '') AS dst_host
+              FROM parts)
+            SELECT dst_host,
+                   count(*) AS in_degree,
+                   count(DISTINCT src_host) AS n_src_hosts,
+                   CAST(sum(CASE WHEN src_host = dst_host
+                            THEN 1 ELSE 0 END) AS BIGINT) AS self_links
+            FROM canon GROUP BY dst_host
+            ORDER BY in_degree DESC, dst_host LIMIT 20""",
+        "pages_link_canon_agg": f"""
+            WITH raw AS (
+              SELECT unnest(regexp_extract_all(decode(html),
+                            'href="([^"]+)"', 1)) AS href
+              FROM read_parquet('{pages}')),
+            parts AS (
+              SELECT href,
+                     lower(regexp_extract(href,
+                           '^https?://([^/?#]+)', 1)) AS auth,
+                     regexp_extract(href,
+                           '^https?://[^/?#]+([^?#]*)', 1) AS path,
+                     regexp_extract(href,
+                           '^https?://[^/?#]+[^?#]*\\?([^#]*)', 1)
+                         AS query
+              FROM raw
+              WHERE regexp_matches(href, '^https?://[^/?#]+')),
+            canon AS (
+              SELECT href,
+                     regexp_replace(auth, ':(80|443)$', '') AS dst_host,
+                     'https://' || regexp_replace(auth, ':(80|443)$', '')
+                       || path || CASE WHEN cq <> '' THEN '?' || cq
+                                       ELSE '' END AS canon
+              FROM (SELECT *, array_to_string(list_sort(list_filter(
+                          string_split(query, '&'),
+                          x -> x <> '' AND NOT starts_with(x, 'utm_'))),
+                          '&') AS cq
+                    FROM parts))
+            SELECT dst_host,
+                   count(*) AS n_links,
+                   count(DISTINCT href) AS n_raw_urls,
+                   count(DISTINCT canon) AS n_canon_urls
+            FROM canon GROUP BY dst_host
+            ORDER BY n_links DESC, dst_host LIMIT 20""",
         "pages_domain_agg": f"""
             WITH c AS (
               SELECT regexp_replace(regexp_replace(regexp_replace(

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from .reference import extract_document
 from ..functions.textops import host_bucket
 
-GEN_VERSION = "v11"
+GEN_VERSION = "v12"
 CACHE_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", f"/tmp/graft_corpus_{GEN_VERSION}")
 SEED = 20240817
 
@@ -73,7 +73,40 @@ def corpus_dir(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, tag)
 
 
-def _build_html(rng, words, lang, host, hot_words) -> bytes:
+def _messy_link(rng, words, hosts, host_w, self_host) -> str:
+    """One deliberately-messy outbound URL (v12): mixed-case hosts,
+    default :443 ports, shuffled query params including utm_* tracking
+    noise, and fragments -- the raw material for the URL-canonicalizer
+    and host-link-graph operators (stages/linkgraph.py).  Destination
+    hosts reuse the Zipf popularity weights so the link graph has real
+    hubs; ~10% are self-links."""
+    if rng.random() < 0.10:
+        dst = self_host
+    else:
+        dst = hosts[int(rng.choice(len(hosts), p=host_w))]
+    r = rng.random()
+    if r < 0.15:
+        dst = dst.upper()
+    elif r < 0.25:
+        dst = dst.capitalize()
+    port = ":443" if rng.random() < 0.20 else ""
+    # draw link paths from a small pool (12x8 combos) so the same
+    # canonical URL recurs under different case/port/param/fragment
+    # noise -- otherwise the canonicalizer would never collapse anything
+    path = f"/{rng.choice(words[:12])}/{rng.choice(words[:8])}"
+    q = ""
+    if rng.random() < 0.5:
+        pool = ["b=2", "a=1", "utm_source=feed", "utm_campaign=promo",
+                "ref=home"]
+        k = int(rng.integers(1, 4))
+        picked = [pool[int(j)] for j in
+                  rng.choice(len(pool), size=k, replace=False)]
+        q = "?" + "&".join(picked)
+    frag = f"#sec{int(rng.integers(1, 9))}" if rng.random() < 0.2 else ""
+    return f"https://{dst}{port}{path}{q}{frag}"
+
+
+def _build_html(rng, words, lang, host, hot_words, hosts, host_w) -> bytes:
     title_words = list(rng.choice(words, rng.integers(3, 8)))
     if rng.random() < 0.15:
         title_words.insert(1, "&amp;")
@@ -117,6 +150,14 @@ def _build_html(rng, words, lang, host, hot_words) -> bytes:
         if rng.random() < 0.1:
             ws[int(rng.integers(0, n_words))] = "&lt;tag&gt;"
         parts.append(b"<p>" + " ".join(ws).encode() + b"</p>")
+    # v12: ~70% of pages carry 1-6 outbound anchors with messy URLs
+    # (see _messy_link); anchor text joins the extracted text like any
+    # other stripped-tag content, so the goldens stay self-consistent
+    if rng.random() < 0.7:
+        for _ in range(int(rng.integers(1, 7))):
+            href = _messy_link(rng, words, hosts, host_w, host)
+            atext = " ".join(rng.choice(words, 3))
+            parts.append(f'<a href="{href}">{atext}</a>'.encode())
     parts.append(b"</body></html>")
     html = b"\n".join(parts)
 
@@ -183,7 +224,8 @@ def _generate_locked(out: str) -> str:
         if i > 100 and rng.random() < 0.03:
             html = htmls[int(rng.integers(0, i - 1))]  # content duplicate
         else:
-            html = _build_html(rng, words, lang, host, HOT_WORDS)
+            html = _build_html(rng, words, lang, host, HOT_WORDS,
+                               hosts, host_w)
         htmls.append(html)
         r = extract_document(html)
         rows["url"].append(url)

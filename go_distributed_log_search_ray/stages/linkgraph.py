@@ -1,0 +1,219 @@
+"""Outbound-link extraction, URL canonicalization, and the host link
+graph over raw page HTML.
+
+Reference parity: the reference engine parses each web document into
+fields (/root/reference src/commands/index.go:118-193) but stops at the
+page boundary; its users' next step on a web corpus is link analysis.
+This family implements the two standard web-pipeline operators past
+that boundary:
+
+* **URL canonicalization** -- collapse tracking-param (``utm_*``),
+  host-case, default-port (``:80``/``:443``) and fragment noise so
+  outbound-link dedup counts real destinations, not syntactic
+  variants (the same rule set Common-Crawl's URL index applies).
+* **Host link graph** -- (src_host, dst_host) edge aggregation:
+  in-degree, distinct-source fan-in, self-link counts.  This is the
+  input shape for PageRank / hub analysis (stages/graph.py consumes
+  exactly this edge list).
+
+Scale shape: extraction is embarrassingly-parallel ``map_batches``
+over html with the anchor regex compiled once per actor; each batch
+pre-aggregates to distinct ``(src_host, dst_host, href, canon, n)``
+partials (a combiner), so the one shuffle moves O(distinct links per
+batch) rows, never O(anchors) and never the html bytes.  At 100 TB the
+html column stays pinned to the read stage; everything downstream is
+host-cardinality-sized.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from ..functions.tableops import concat_nonempty
+
+_HREF_RE = re.compile(rb'href="([^"]+)"')
+# one regex, three groups: host[:port], path, optional ?query (the
+# oracle mirrors each group with its own regexp_extract)
+_URL_RE = re.compile(r"^https?://([^/?#]+)([^?#]*)(?:\?([^#]*))?")
+_PORT_RE = re.compile(r":(?:80|443)$")
+
+EDGE_SCHEMA = pa.schema([
+    ("src_host", pa.string()),
+    ("dst_host", pa.string()),
+    ("href", pa.string()),
+    ("canon", pa.string()),
+    ("n", pa.int64()),
+])
+
+
+def canonicalize_url(href: str) -> tuple[str, str] | None:
+    """(dst_host, canonical_url) for an absolute http(s) URL, else None.
+
+    Rules (kept bit-identical to the SQL oracle): lowercase the
+    authority, strip default ports, drop the fragment, drop ``utm_*``
+    query params, sort surviving params bytewise, normalize the scheme
+    to https.
+    """
+    m = _URL_RE.match(href)
+    if not m or not m.group(1):
+        return None
+    host = _PORT_RE.sub("", m.group(1).lower())
+    path = m.group(2) or ""
+    query = m.group(3) or ""
+    params = sorted(p for p in query.split("&")
+                    if p and not p.startswith("utm_"))
+    canon = f"https://{host}{path}"
+    if params:
+        canon += "?" + "&".join(params)
+    return host, canon
+
+
+class LinkExtractor:
+    """Actor-pool stage: html -> distinct-link partial counts.
+
+    ``__init__`` pins the compiled anchor regex (T1/T2 discipline:
+    per-worker state built once, reference
+    src/commands/index.go:118-141's parser-tree-once analog);
+    ``__call__`` emits per-batch combined ``EDGE_SCHEMA`` partials.
+    """
+
+    def __init__(self) -> None:
+        self.href_re = _HREF_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts = batch.column("src_host").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        counts: dict[tuple[str, str, str, str], int] = {}
+        for src, html in zip(hosts, htmls):
+            if html is None:
+                continue
+            for raw in self.href_re.findall(html):
+                href = raw.decode("utf-8", errors="replace")
+                hc = canonicalize_url(href)
+                if hc is None:
+                    continue
+                key = (src, hc[0], href, hc[1])
+                counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return EDGE_SCHEMA.empty_table()
+        ks = list(counts.keys())
+        return pa.table({
+            "src_host": pa.array([k[0] for k in ks], pa.string()),
+            "dst_host": pa.array([k[1] for k in ks], pa.string()),
+            "href": pa.array([k[2] for k in ks], pa.string()),
+            "canon": pa.array([k[3] for k in ks], pa.string()),
+            "n": pa.array([counts[k] for k in ks], pa.int64()),
+        })
+
+
+def extract_links(pages: Dataset, host_col: str = "host",
+                  html_col: str = "html") -> Dataset:
+    """Distinct-link partials from a pages dataset.
+
+    Column-prunes to (host, html) before the extract stage so the rest
+    of the page row never ships; output rows follow ``EDGE_SCHEMA``
+    with per-batch-combined counts (a second groupby is needed for
+    global totals -- callers do it fused with their aggregate).
+    """
+    slim = pages.select_columns([host_col, html_col])
+    if host_col != "src_host":
+        slim = slim.rename_columns({host_col: "src_host"})
+    return slim.map_batches(LinkExtractor, batch_format="pyarrow",
+                            concurrency=(1, 8))
+
+
+def host_edges(pages: Dataset) -> Dataset:
+    """Global (src_host, dst_host, n) edge list as a Dataset -- the
+    PageRank/hub-analysis input shape.  One distributed groupby over
+    the per-batch partials; nothing lands on the driver."""
+    from ray.data.aggregate import Sum
+
+    edges = extract_links(pages).map_batches(
+        lambda t: t.select(["src_host", "dst_host", "n"]),
+        batch_format="pyarrow")
+    return edges.groupby(["src_host", "dst_host"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def host_link_graph(pages: Dataset, k: int = 20) -> pa.Table:
+    """Top-k link-graph hubs: per dst_host in-degree (total anchors),
+    distinct source hosts, and self-link count.
+
+    The shuffle collapses to the (src_host, dst_host) pair graph --
+    the standard compact web-graph representation -- distributed; only
+    the O(hosts) per-destination rollup reaches the driver.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    # materialize the compact pair graph once (O(distinct host pairs),
+    # distributed); the three rollups below each re-read it instead of
+    # re-running the html extraction
+    pairs = host_edges(pages).materialize()
+    per_dst = pairs.groupby("dst_host").aggregate(
+        Sum("n", alias_name="in_degree"),
+        Count(alias_name="n_src_hosts"))   # rows ARE distinct pairs
+    selfs = pairs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("src_host"),
+                                    t.column("dst_host"))),
+        batch_format="pyarrow").groupby("dst_host").aggregate(
+            Sum("n", alias_name="self_links"))
+    agg = concat_nonempty(
+        ray.get(per_dst.to_arrow_refs()),
+        pa.schema([("dst_host", pa.string()),
+                   ("in_degree", pa.int64()),
+                   ("n_src_hosts", pa.int64())]))
+    self_t = concat_nonempty(
+        ray.get(selfs.to_arrow_refs()),
+        pa.schema([("dst_host", pa.string()),
+                   ("self_links", pa.int64())]))
+    out = agg.join(self_t, "dst_host", join_type="left outer")
+    out = out.set_column(
+        out.schema.get_field_index("self_links"), "self_links",
+        pc.fill_null(out.column("self_links"), 0))
+    out = out.sort_by([("in_degree", "descending"),
+                       ("dst_host", "ascending")]).slice(0, k)
+    return out.select(["dst_host", "in_degree", "n_src_hosts",
+                       "self_links"])
+
+
+def canonical_link_stats(pages: Dataset, k: int = 20) -> pa.Table:
+    """Top-k destinations by canonicalization collapse: total anchors,
+    distinct raw hrefs, distinct canonical URLs.  The raw-vs-canonical
+    gap is the dedup win the canonicalizer buys.
+
+    Distinct-URL collapse happens in the distributed groupby (the
+    O(distinct links) intermediate never leaves the cluster); per
+    destination the second pass ships only (dst_host, canon)-level
+    rows, and the driver sees O(hosts).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    link = extract_links(pages).groupby(
+        ["dst_host", "href", "canon"]).aggregate(
+            Sum("n", alias_name="n")).materialize()
+    # rows are now globally-distinct hrefs (href -> canon is
+    # functional, so count(rows) per dst == distinct raw urls)
+    per_dst = link.groupby("dst_host").aggregate(
+        Sum("n", alias_name="n_links"),
+        Count(alias_name="n_raw_urls")).to_arrow_refs()
+    canon = link.groupby(["dst_host", "canon"]).aggregate(
+        Count(alias_name="_c")).groupby("dst_host").aggregate(
+            Count(alias_name="n_canon_urls")).to_arrow_refs()
+    import ray
+    a = concat_nonempty(ray.get(per_dst),
+                        pa.schema([("dst_host", pa.string()),
+                                   ("n_links", pa.int64()),
+                                   ("n_raw_urls", pa.int64())]))
+    b = concat_nonempty(ray.get(canon),
+                        pa.schema([("dst_host", pa.string()),
+                                   ("n_canon_urls", pa.int64())]))
+    out = a.join(b, "dst_host")
+    out = out.sort_by([("n_links", "descending"),
+                       ("dst_host", "ascending")]).slice(0, k)
+    return out.select(["dst_host", "n_links", "n_raw_urls",
+                       "n_canon_urls"])
