@@ -834,6 +834,91 @@ def _pages_domain_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_docs", "n_hosts"])
 
 
+def _pages_bloom_screen_agg(sf_dir: str):
+    """Bloom-filter screen of a crawl increment against a snapshot
+    (stages/bloomdedup.py): snapshot = pages whose trailing url
+    ordinal % 3 == 0, increment = the rest (the corpus plants ~3%
+    content duplicates, so the increment carries real hits); k=3 multiply-shift hashes over the md5-prefix
+    content fingerprint into a 2^16-bit filter built in one streaming
+    pass (per-block bitmap partials OR-merged).  Per-lang doc counts,
+    Bloom hits, exact dups (Bloom has no false negatives, so exact dups
+    are always a subset of hits) and the false positives the sketch
+    admits -- the oracle recomputes every bit position in HUGEINT
+    arithmetic, reproducing FPs bit-for-bit.  Scale path: misses skip
+    the exact stage entirely; hits route into the bucket-partitioned
+    incremental_dedup (the snapshot never shuffles either way)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from go_distributed_log_search_ray.stages.bloomdedup import (
+        bloom_screen)
+    from go_distributed_log_search_ray.stages.incremental import (
+        fingerprints)
+    from go_distributed_log_search_ray.functions.tableops import (
+        concat_nonempty, small_table)
+
+    import ray.data
+
+    def _ordinal(b: pa.Table) -> np.ndarray:
+        return np.array([int(u.rsplit("/", 1)[1])
+                         for u in b.column("url").to_pylist()], np.int64)
+
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                               columns=["url", "lang", "text"])
+    snap = ds.map_batches(
+        lambda b: b.filter(pa.array(_ordinal(b) % 3 == 0)),
+        batch_format="pyarrow")
+    new = ds.map_batches(
+        lambda b: b.filter(pa.array(_ordinal(b) % 3 != 0)),
+        batch_format="pyarrow")
+    tagged = bloom_screen(new, snap, p_bits=16)
+
+    # exact-dup verification column: the snapshot fp set is demo-small
+    # here (O(snapshot) on the driver); at scale only Bloom HITS reach
+    # an exact path, via incremental_dedup's partitioned snapshot
+    fp_parts = ray.get(snap.map_batches(
+        lambda b: pa.table({"fp": pa.array(
+            fingerprints(b.column("text")), pa.uint64())}).filter(
+                pa.array(np.array(
+                    [v is not None for v in
+                     b.column("text").to_pylist()]))),
+        batch_format="pyarrow").to_arrow_refs())
+    snap_fps = np.unique(np.asarray(concat_nonempty(
+        fp_parts, pa.schema([("fp", pa.uint64())])).column("fp")))
+
+    def partial(b: pa.Table) -> pa.Table:
+        fps = fingerprints(b.column("text"))
+        notnull = np.array([v is not None
+                            for v in b.column("text").to_pylist()])
+        if len(snap_fps):
+            idx = np.minimum(np.searchsorted(snap_fps, fps),
+                             len(snap_fps) - 1)
+            exact = notnull & (snap_fps[idx] == fps)
+        else:
+            exact = np.zeros(b.num_rows, bool)
+        hit = np.asarray(b.column("bloom_hit"))
+        t = pa.table({
+            "lang": b.column("lang"),
+            "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_bloom_hits": pa.array(hit.astype(np.int64)),
+            "n_exact_dups": pa.array(exact.astype(np.int64))})
+        g = t.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("n_bloom_hits", "sum"),
+             ("n_exact_dups", "sum")])
+        return g.rename_columns(["lang", "n_docs", "n_bloom_hits",
+                                 "n_exact_dups"])
+
+    agg = tagged.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_bloom_hits", alias_name="n_bloom_hits"),
+            Sum("n_exact_dups", alias_name="n_exact_dups"))
+    out = small_table(agg, int64_cols=["n_docs", "n_bloom_hits",
+                                       "n_exact_dups"])
+    return out.append_column(
+        "n_false_pos", pc.subtract(out.column("n_bloom_hits"),
+                                   out.column("n_exact_dups")))
+
+
 def _pages_link_hosts_agg(sf_dir: str):
     """Host link graph from outbound page anchors
     (stages/linkgraph.py): regex link extraction over raw html with the
@@ -3096,6 +3181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in r5 session 9 (corpus v12 plants outbound anchors)
         "pages_link_hosts_agg": _pages_link_hosts_agg,
         "pages_link_canon_agg": _pages_link_canon_agg,
+        "pages_bloom_screen_agg": _pages_bloom_screen_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -3276,6 +3362,12 @@ def oracle_sql() -> dict[str, str]:
     # blocklist oracle runs the IDENTICAL RE2 patterns the Ray stage
     # compiles (DuckDB's regexp_matches is RE2 too), generated from the
     # same term_patterns() so there is no dialect or escaping drift
+    # Bloom hash constants rendered from the stage module itself so the
+    # SQL can never drift from the Ray implementation
+    from go_distributed_log_search_ray.stages.bloomdedup import (
+        _A as _bloom_A, _B as _bloom_B)
+    _bloom_h_vals = ", ".join(
+        f"({int(a)}, {int(b)})" for a, b in zip(_bloom_A, _bloom_B))
     from go_distributed_log_search_ray.stages.blockfilter import (
         term_patterns as _term_patterns)
     _blk_expr = "\n                     + ".join(
@@ -3922,6 +4014,53 @@ def oracle_sql() -> dict[str, str]:
                             THEN kept - 1 ELSE 0 END) AS BIGINT)
                        AS text_chars
             FROM per_doc GROUP BY lang""",
+        "pages_bloom_screen_agg": f"""
+            WITH pg AS (
+              SELECT lang, text,
+                     CAST(regexp_extract(url, '/([0-9]+)$', 1)
+                          AS BIGINT) AS ord
+              FROM read_parquet('{pages}')),
+            snap AS (
+              SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS fp
+              FROM pg WHERE ord % 3 = 0
+                AND text IS NOT NULL),
+            h(a, b) AS (VALUES {_bloom_h_vals}),
+            pos AS (
+              SELECT DISTINCT CAST(((CAST(fp AS HUGEINT) * a + b)
+                     % 18446744073709551616) // 281474976710656
+                     AS BIGINT) AS p
+              FROM snap, h),
+            newd AS (
+              SELECT ord AS doc_id, lang,
+                     CASE WHEN text IS NULL THEN NULL ELSE
+                          ('0x' || substr(md5(text), 1, 16))::UBIGINT
+                     END AS fp
+              FROM pg WHERE ord % 3 <> 0),
+            np AS (
+              SELECT doc_id,
+                     CAST(((CAST(fp AS HUGEINT) * a + b)
+                          % 18446744073709551616) // 281474976710656
+                          AS BIGINT) AS p
+              FROM newd, h WHERE fp IS NOT NULL),
+            hits AS (
+              SELECT doc_id FROM np
+              WHERE p IN (SELECT p FROM pos)
+              GROUP BY doc_id HAVING count(*) = 3),
+            ex AS (SELECT doc_id FROM newd
+                   WHERE fp IN (SELECT fp FROM snap))
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id IN (SELECT doc_id
+                            FROM hits) THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bloom_hits,
+                   CAST(sum(CASE WHEN doc_id IN (SELECT doc_id
+                            FROM ex) THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_exact_dups,
+                   CAST(sum(CASE WHEN doc_id IN (SELECT doc_id
+                            FROM hits) AND doc_id NOT IN
+                            (SELECT doc_id FROM ex)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_false_pos
+            FROM newd GROUP BY lang""",
         "pages_link_hosts_agg": f"""
             WITH raw AS (
               SELECT host AS src_host,
