@@ -834,6 +834,41 @@ def _pages_domain_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_docs", "n_hosts"])
 
 
+def _pages_pagerank(sf_dir: str):
+    """PageRank over the REAL host link graph -- the full web-pipeline
+    composition: anchor extraction (stages/linkgraph.py) -> distinct
+    (src_host, dst_host) pair graph -> integer-exact directed PageRank
+    (stages/graph.py; 3 sweeps, damping 17/20, scale 1e6).  Node ids
+    are the md5-prefix host fingerprint >> 1 (int64-safe, identical in
+    SQL), so the oracle rebuilds the same graph from the same html
+    bytes and unrolls the same integer sweeps."""
+    import ray.data
+    from go_distributed_log_search_ray.functions.tableops import (
+        global_topk)
+    from go_distributed_log_search_ray.stages.graph import (
+        pagerank_integer)
+    from go_distributed_log_search_ray.stages.incremental import (
+        fingerprints)
+    from go_distributed_log_search_ray.stages.linkgraph import host_edges
+
+    pages = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                                  columns=["host", "html"])
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        s = (fingerprints(b.column("src_host")) >> np.uint64(1)) \
+            .astype(np.int64)
+        d = (fingerprints(b.column("dst_host")) >> np.uint64(1)) \
+            .astype(np.int64)
+        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+    edges = host_edges(pages).map_batches(to_ids,
+                                          batch_format="pyarrow")
+    ranks = pagerank_integer(edges, iterations=3)
+    return global_topk(ranks, 20, [("r", "descending"),
+                                   ("node", "ascending")]) \
+        .select(["node", "r"])
+
+
 def _pages_bloom_screen_agg(sf_dir: str):
     """Bloom-filter screen of a crawl increment against a snapshot
     (stages/bloomdedup.py): snapshot = pages whose trailing url
@@ -3182,6 +3217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_hosts_agg": _pages_link_hosts_agg,
         "pages_link_canon_agg": _pages_link_canon_agg,
         "pages_bloom_screen_agg": _pages_bloom_screen_agg,
+        "pages_pagerank": _pages_pagerank,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -4014,6 +4050,54 @@ def oracle_sql() -> dict[str, str]:
                             THEN kept - 1 ELSE 0 END) AS BIGINT)
                        AS text_chars
             FROM per_doc GROUP BY lang""",
+        "pages_pagerank": f"""
+            WITH raw AS (
+              SELECT host AS src_host,
+                     unnest(regexp_extract_all(decode(html),
+                            'href="([^"]+)"', 1)) AS href
+              FROM read_parquet('{pages}')),
+            canon AS (
+              SELECT src_host,
+                     regexp_replace(lower(regexp_extract(href,
+                         '^https?://([^/?#]+)', 1)),
+                         ':(80|443)$', '') AS dst_host
+              FROM raw
+              WHERE regexp_matches(href, '^https?://[^/?#]+')),
+            edges AS (
+              SELECT DISTINCT
+                  CAST((('0x' || substr(md5(src_host), 1, 16))::UBIGINT
+                        >> 1) AS BIGINT) AS s,
+                  CAST((('0x' || substr(md5(dst_host), 1, 16))::UBIGINT
+                        >> 1) AS BIGINT) AS d
+              FROM canon),
+            deg AS (SELECT s, CAST(count(*) AS BIGINT) AS od
+                    FROM edges GROUP BY s),
+            nodes AS (SELECT DISTINCT s AS node FROM edges
+                      UNION SELECT DISTINCT d FROM edges),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            r1 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(
+                       (r.r * 17) // (20 * g.od)), 0) AS BIGINT) AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.d = n.node
+                   LEFT JOIN deg g ON g.s = e.s
+                   LEFT JOIN r0 r ON r.node = e.s
+                   GROUP BY n.node),
+            r2 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(
+                       (r.r * 17) // (20 * g.od)), 0) AS BIGINT) AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.d = n.node
+                   LEFT JOIN deg g ON g.s = e.s
+                   LEFT JOIN r1 r ON r.node = e.s
+                   GROUP BY n.node),
+            r3 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(
+                       (r.r * 17) // (20 * g.od)), 0) AS BIGINT) AS r
+                   FROM nodes n
+                   LEFT JOIN edges e ON e.d = n.node
+                   LEFT JOIN deg g ON g.s = e.s
+                   LEFT JOIN r2 r ON r.node = e.s
+                   GROUP BY n.node)
+            SELECT node, r FROM r3
+            ORDER BY r DESC, node LIMIT 20""",
         "pages_bloom_screen_agg": f"""
             WITH pg AS (
               SELECT lang, text,
