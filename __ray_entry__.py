@@ -834,6 +834,21 @@ def _pages_domain_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_docs", "n_hosts"])
 
 
+def _doc_unimax_mixture_agg(sf_dir: str):
+    """UniMax token-budget allocation across document sources
+    (stages/mixture.py, Chung 2023): distributed per-source whitespace
+    token counts (one streaming pass), then the integer-exact greedy --
+    ascending-size visit, alloc = min(1 epoch x size, rem // k) with a
+    budget of 9/10 of total tokens -- small sources hit the epoch cap,
+    the leftover spreads over the large ones (both greedy branches
+    bind).  The oracle replays the greedy in a recursive CTE over the
+    identical SQL token counts."""
+    from go_distributed_log_search_ray.stages.mixture import (
+        unimax_mixture)
+    ds = _read_table(sf_dir, "documents", columns=["source", "text"])
+    return unimax_mixture(ds, budget_num=9, budget_den=10, max_epochs=1)
+
+
 def _pages_pagerank(sf_dir: str):
     """PageRank over the REAL host link graph -- the full web-pipeline
     composition: anchor extraction (stages/linkgraph.py) -> distinct
@@ -3218,6 +3233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_link_canon_agg": _pages_link_canon_agg,
         "pages_bloom_screen_agg": _pages_bloom_screen_agg,
         "pages_pagerank": _pages_pagerank,
+        "doc_unimax_mixture_agg": _doc_unimax_mixture_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -4050,6 +4066,41 @@ def oracle_sql() -> dict[str, str]:
                             THEN kept - 1 ELSE 0 END) AS BIGINT)
                        AS text_chars
             FROM per_doc GROUP BY lang""",
+        "doc_unimax_mixture_agg": """
+            WITH RECURSIVE tok AS (
+              SELECT source,
+                     CAST(sum(CASE WHEN text IS NULL OR trim(text,
+                          ' ' || chr(9) || chr(10) || chr(12) ||
+                          chr(13) || chr(11)) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text,
+                          ' ' || chr(9) || chr(10) || chr(12) ||
+                          chr(13) || chr(11)), '[\t\n\f\r\x0b ]+'))
+                        END) AS BIGINT) AS L
+              FROM documents GROUP BY source),
+            ord AS (
+              SELECT source, L,
+                     CAST(row_number() OVER (ORDER BY L, source)
+                          AS BIGINT) AS i,
+                     (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n,
+                     (SELECT CAST(sum(L) * 9 // 10 AS BIGINT) FROM tok)
+                         AS b
+              FROM tok),
+            rec AS (
+              SELECT CAST(0 AS BIGINT) AS i,
+                     (SELECT b FROM ord LIMIT 1) AS rem,
+                     CAST(NULL AS VARCHAR) AS source,
+                     CAST(NULL AS BIGINT) AS L,
+                     CAST(NULL AS BIGINT) AS alloc
+              UNION ALL
+              SELECT o.i,
+                     r.rem - least(1 * o.L, r.rem // (o.n - o.i + 1)),
+                     o.source, o.L,
+                     least(1 * o.L, r.rem // (o.n - o.i + 1))
+              FROM rec r JOIN ord o ON o.i = r.i + 1)
+            SELECT source, L AS n_tokens, alloc AS alloc_tokens,
+                   CASE WHEN L = 0 THEN 0
+                        ELSE alloc * 1000 // L END AS epochs_pm
+            FROM rec WHERE i > 0 ORDER BY source""",
         "pages_pagerank": f"""
             WITH raw AS (
               SELECT host AS src_host,
