@@ -834,6 +834,21 @@ def _pages_domain_agg(sf_dir: str):
     return small_table(agg, int64_cols=["n_docs", "n_hosts"])
 
 
+def _pages_hits_agg(sf_dir: str):
+    """Two unrolled HITS sweeps (Kleinberg 1999) over the weighted host
+    link graph (stages/linkgraph.hits_authorities): a1 = weighted
+    in-degree, h1 = sum n*a1 over out-edges, a2 = sum n*h1 over
+    in-edges; un-normalized integer sweeps, top-15 authorities.  The
+    oracle rebuilds the same weighted pair graph from the html bytes
+    and runs the same two sweeps as joins."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.linkgraph import (
+        hits_authorities)
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                               columns=["host", "html"])
+    return hits_authorities(ds, k=15)
+
+
 def _doc_unimax_mixture_agg(sf_dir: str):
     """UniMax token-budget allocation across document sources
     (stages/mixture.py, Chung 2023): distributed per-source whitespace
@@ -3234,6 +3249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_bloom_screen_agg": _pages_bloom_screen_agg,
         "pages_pagerank": _pages_pagerank,
         "doc_unimax_mixture_agg": _doc_unimax_mixture_agg,
+        "pages_hits_agg": _pages_hits_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -4066,6 +4082,32 @@ def oracle_sql() -> dict[str, str]:
                             THEN kept - 1 ELSE 0 END) AS BIGINT)
                        AS text_chars
             FROM per_doc GROUP BY lang""",
+        "pages_hits_agg": f"""
+            WITH raw AS (
+              SELECT host AS src_host,
+                     unnest(regexp_extract_all(decode(html),
+                            'href="([^"]+)"', 1)) AS href
+              FROM read_parquet('{pages}')),
+            canon AS (
+              SELECT src_host,
+                     regexp_replace(lower(regexp_extract(href,
+                         '^https?://([^/?#]+)', 1)),
+                         ':(80|443)$', '') AS dst_host
+              FROM raw
+              WHERE regexp_matches(href, '^https?://[^/?#]+')),
+            edges AS (
+              SELECT src_host AS s, dst_host AS d,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM canon GROUP BY 1, 2),
+            a1 AS (SELECT d, CAST(sum(n) AS BIGINT) AS a1
+                   FROM edges GROUP BY d),
+            h1 AS (SELECT e.s, CAST(sum(e.n * a1.a1) AS BIGINT) AS h1
+                   FROM edges e JOIN a1 ON a1.d = e.d GROUP BY e.s),
+            a2 AS (SELECT e.d, CAST(sum(e.n * h1.h1) AS BIGINT) AS a2
+                   FROM edges e JOIN h1 ON h1.s = e.s GROUP BY e.d)
+            SELECT a2.d AS host, a1.a1 AS in_links, a2.a2 AS authority
+            FROM a2 JOIN a1 ON a1.d = a2.d
+            ORDER BY authority DESC, host LIMIT 15""",
         "doc_unimax_mixture_agg": """
             WITH RECURSIVE tok AS (
               SELECT source,

@@ -149,7 +149,10 @@ def run_queries() -> dict:
              # minutes, not an operator regression signal)
              "events_zorder_box_agg",
              # round-5 representative: payload-free per-domain caps
-             "doc_domain_cap_agg"]
+             "doc_domain_cap_agg",
+             # round-5 s9 representative: full-corpus anchor scan ->
+             # distributed host link graph
+             "pages_link_hosts_agg"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()

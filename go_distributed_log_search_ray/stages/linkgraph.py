@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
@@ -217,3 +218,57 @@ def canonical_link_stats(pages: Dataset, k: int = 20) -> pa.Table:
                        ("dst_host", "ascending")]).slice(0, k)
     return out.select(["dst_host", "n_links", "n_raw_urls",
                        "n_canon_urls"])
+
+
+def hits_authorities(pages: Dataset, k: int = 15) -> pa.Table:
+    """Two unrolled HITS sweeps (Kleinberg 1999) over the weighted host
+    pair graph: a1(v) = weighted in-degree, h1(u) = sum n(u,v)*a1(v),
+    a2(v) = sum n(u,v)*h1(u).  Un-normalized integer sweeps -- exact and
+    SQL-reproducible; two rounds keep int64 far from wrap (checked).
+
+    Scale shape: the pair graph stays a Dataset; the a1/h1 score maps
+    are O(hosts) and ride into the weighting stages as broadcast
+    lookups -- the same pattern as every other small-side enrich in
+    this repo.  Returns top-k authorities (host, in_links, authority).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = host_edges(pages).materialize()
+
+    def rollup(ds, key, val, out):
+        t = concat_nonempty(
+            ray.get(ds.groupby(key).aggregate(
+                Sum(val, alias_name=out)).to_arrow_refs()),
+            pa.schema([(key, pa.string()), (out, pa.int64())]))
+        return dict(zip(t.column(key).to_pylist(),
+                        t.column(out).to_pylist()))
+
+    a1 = rollup(pairs, "dst_host", "n", "a1")
+    total_n = sum(a1.values())
+    # int64 headroom: a2 <= total_n * max(h1) <= total_n^2 * max(a1)
+    if a1 and total_n * total_n * max(a1.values()) >= 1 << 62:
+        raise OverflowError("hits_authorities: integer sweeps would "
+                            "exceed int64; rescale edge weights first")
+
+    def weight_by(scores, side):
+        def fn(b: pa.Table) -> pa.Table:
+            w = np.array([scores.get(h, 0)
+                          for h in b.column(side).to_pylist()], np.int64)
+            n = np.asarray(b.column("n"), np.int64)
+            return pa.table({"src_host": b.column("src_host"),
+                             "dst_host": b.column("dst_host"),
+                             "w": pa.array(n * w)})
+        return fn
+
+    h1 = rollup(pairs.map_batches(weight_by(a1, "dst_host"),
+                                  batch_format="pyarrow"),
+                "src_host", "w", "h1")
+    a2 = rollup(pairs.map_batches(weight_by(h1, "src_host"),
+                                  batch_format="pyarrow"),
+                "dst_host", "w", "a2")
+    hosts = sorted(a2, key=lambda h: (-a2[h], h))[:k]
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "in_links": pa.array([a1.get(h, 0) for h in hosts], pa.int64()),
+        "authority": pa.array([a2[h] for h in hosts], pa.int64())})

@@ -125,3 +125,38 @@ def test_extractor_tolerates_null_and_truncated_html():
                  b'<p>no links</p>']})
     out = ex(batch)
     assert out.num_rows == 0  # unterminated href attr never matches
+
+
+def test_hits_two_sweeps_hand_example():
+    import pyarrow as pa
+    import ray
+    from unittest import mock
+    from go_distributed_log_search_ray.stages import linkgraph as lg
+
+    # tiny graph: a->b (x2), c->b, b->c
+    edges = pa.table({"src_host": ["a", "c", "b"],
+                      "dst_host": ["b", "b", "c"],
+                      "n": pa.array([2, 1, 1], pa.int64())})
+    with mock.patch.object(lg, "host_edges",
+                           return_value=ray.data.from_arrow(edges)):
+        out = lg.hits_authorities(None, k=3).to_pylist()
+    # a1: b=3, c=1 ; h1: a=2*3=6, c=1*3=3, b=1*1=1
+    # a2: b = 2*h1(a) + 1*h1(c) = 12+3 = 15 ; c = 1*h1(b) = 1
+    assert out[0] == {"host": "b", "in_links": 3, "authority": 15}
+    assert out[1] == {"host": "c", "in_links": 1, "authority": 1}
+
+
+def test_hits_overflow_guard():
+    import pyarrow as pa
+    import ray
+    import pytest
+    from unittest import mock
+    from go_distributed_log_search_ray.stages import linkgraph as lg
+
+    big = 1 << 40
+    edges = pa.table({"src_host": ["a"], "dst_host": ["b"],
+                      "n": pa.array([big], pa.int64())})
+    with mock.patch.object(lg, "host_edges",
+                           return_value=ray.data.from_arrow(edges)):
+        with pytest.raises(OverflowError):
+            lg.hits_authorities(None, k=3)
