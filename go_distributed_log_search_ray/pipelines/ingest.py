@@ -163,17 +163,24 @@ def build_routed_dataset(
 
     ds = ray.data.read_parquet(files, columns=INPUT_COLUMNS,
                                override_num_blocks=num_blocks)
+    # zero constructor args on both actor pools: config is baked into
+    # class attributes (HtmlExtractor.configured / Enricher.at), so no
+    # driver-owned plasma object is needed for an actor RESTART to
+    # succeed (ray#53727).  Non-path lookups (dict/ObjectRef callers)
+    # keep the ctor-arg form.
+    enrich_cls, enrich_args = Enricher, (lookups_ref,)
+    if isinstance(lookups_ref, str):
+        enrich_cls, enrich_args = Enricher.at(lookups_ref), ()
     ds = ds.map_batches(
-        HtmlExtractor,
-        fn_constructor_kwargs={"drop_html": drop_html},
+        HtmlExtractor.configured(drop_html),
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=cap(extract_concurrency or _default_concurrency()),
     )
     ds = ds.map_batches(derive_host, batch_format="pyarrow")
     ds = ds.map_batches(
-        Enricher,
-        fn_constructor_args=(lookups_ref,),
+        enrich_cls,
+        fn_constructor_args=enrich_args,
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=cap(enrich_concurrency or _default_concurrency()),

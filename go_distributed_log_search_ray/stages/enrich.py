@@ -60,17 +60,28 @@ class Enricher:
     concurrency=N, batch_format="pyarrow").
 
     ``lookups`` may be a dict, an ObjectRef from ``broadcast_lookups``,
-    or a PATH STRING to the lookup dir.  The path form is preferred for
-    restartable pipelines: the constructor argument is then a tiny
-    inline string and ``__init__`` loads the tables itself, so an actor
-    restart never depends on a driver-owned plasma object staying alive
-    (ray#53727 -- a lost constructor-arg object makes the restart fail).
+    or a PATH STRING to the lookup dir.  For restartable pipelines prefer
+    ``Enricher.at(path)``: it returns a no-arg-constructible subclass with
+    the path baked into a class attribute, so map_batches ships ZERO
+    constructor args -- Ray Data puts fn_constructor_args in the object
+    store, and with actor restarts enabled a lost arg object makes every
+    restart fail (ray#53727).  ``__init__`` loads the tables itself from
+    the path, so a restarted actor is fully self-contained.
     The dicts are built once per actor either way (reference analog: the
     Kafka consumer holding checkpoint/assignment state per process,
     src/commands/sources/kafka_source.go:59-68).
     """
 
-    def __init__(self, lookups) -> None:
+    LOOKUPS = None                 # set on subclasses made by .at()
+
+    @classmethod
+    def at(cls, lookups_path: str) -> type:
+        """A no-arg-constructible subclass bound to a lookup-dir path."""
+        return type("EnricherAt", (cls,), {"LOOKUPS": lookups_path})
+
+    def __init__(self, lookups=None) -> None:
+        if lookups is None:
+            lookups = self.LOOKUPS
         if isinstance(lookups, str):            # path: restart-safe load
             lookups = load_lookup_tables(lookups)
         if isinstance(lookups, ray.ObjectRef):  # defensive: nested-ref case

@@ -47,9 +47,27 @@ def _first_group(arr: pa.Array, pattern: str) -> pa.Array:
 class HtmlExtractor:
     """Actor-pool stage: map_batches(HtmlExtractor, concurrency=N,
     batch_format="pyarrow").  Emits text/title/lang_meta/grok columns next
-    to the pass-through input columns."""
+    to the pass-through input columns.
 
-    def __init__(self, drop_html: bool = True) -> None:
+    Configuration rides on the CLASS (``DROP_HTML``; override with
+    ``configured(...)``), not on constructor args: Ray Data ships
+    ``fn_constructor_args`` through the object store, and with the actor
+    pool's restarts enabled a lost arg object makes every restart fail
+    (ray#53727) -- a class attribute is serialized inside the actor
+    definition instead, so restarts are self-contained."""
+
+    DROP_HTML = True
+
+    @classmethod
+    def configured(cls, drop_html: bool) -> type:
+        """A no-arg-constructible subclass with ``drop_html`` baked in."""
+        if drop_html == cls.DROP_HTML:
+            return cls
+        return type("HtmlExtractorKeepHtml" if not drop_html
+                    else "HtmlExtractorDropHtml",
+                    (cls,), {"DROP_HTML": drop_html})
+
+    def __init__(self, drop_html: bool | None = None) -> None:
         # RE2 programs are compiled inside Arrow per kernel call; what we
         # pin per-actor is the pattern set + field plan (cheap but mirrors
         # the reference's build-parsers-once contract, index.go:70-75).
@@ -62,7 +80,7 @@ class HtmlExtractor:
         # drop the heavy payload INSIDE the stage: emitting html only for
         # a downstream drop_columns ships ~60% dead bytes through the
         # object store per batch
-        self.drop_html = drop_html
+        self.drop_html = self.DROP_HTML if drop_html is None else drop_html
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         html = batch.column("html")
