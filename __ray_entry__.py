@@ -1015,6 +1015,36 @@ def _pages_link_canon_agg(sf_dir: str):
     return canonical_link_stats(ds, k=20)
 
 
+def _pages_anchor_terms(sf_dir: str):
+    """Anchor-text aggregation per destination host (the Brin & Page
+    1998 web-search signal: what the rest of the web calls a host).
+    stages/linkgraph.py extracts (href, anchor text) pairs with a
+    per-actor compiled regex, canonicalizes the destination, tokenizes
+    the anchor text, pre-aggregates per batch, and one distributed
+    groupby + distributed sort yields the global top-30 (dst_host,
+    term) pairs.  The oracle re-extracts both regex groups with DuckDB
+    parallel unnest (which zips equal-length lists) and aggregates in
+    SQL."""
+    import ray.data
+    from go_distributed_log_search_ray.stages.linkgraph import (
+        anchor_text_terms)
+    ds = ray.data.read_parquet(_corpus_pages_dir(sf_dir),
+                               columns=["html"])
+    return anchor_text_terms(ds, k=30)
+
+
+def _events_type_anomaly(sf_dir: str):
+    """Trailing-window traffic-anomaly flags per event type
+    (pipelines/relational.py events_type_anomaly): per-(type, hour)
+    counts via combiner + one groupby, dense per-type hourly series
+    scanned in map_groups with numpy sliding sums, and an exact-integer
+    3-sigma decision  (c*W - S)^2 > 9*(W*Q - S^2)  over the 6 prior
+    hours so the SQL window-function oracle matches bit-for-bit."""
+    from go_distributed_log_search_ray.pipelines.relational import (
+        events_type_anomaly)
+    return events_type_anomaly(sf_dir)
+
+
 def _doc_classifier_agg(sf_dir: str):
     """Hashed-feature linear classifier scoring (the fastText-style
     corpus quality gate) with broadcast weights; per-lang doc counts,
@@ -3250,6 +3280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_pagerank": _pages_pagerank,
         "doc_unimax_mixture_agg": _doc_unimax_mixture_agg,
         "pages_hits_agg": _pages_hits_agg,
+        # -- new in r5 session 10
+        "pages_anchor_terms": _pages_anchor_terms,
+        "events_type_anomaly": _events_type_anomaly,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -4294,6 +4327,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT canon) AS n_canon_urls
             FROM canon GROUP BY dst_host
             ORDER BY n_links DESC, dst_host LIMIT 20""",
+        "pages_anchor_terms": f"""
+            WITH raw AS (
+              SELECT unnest(regexp_extract_all(decode(html),
+                            '<a href="([^"]+)">([^<]*)</a>', 1)) AS href,
+                     unnest(regexp_extract_all(decode(html),
+                            '<a href="([^"]+)">([^<]*)</a>', 2)) AS atext
+              FROM read_parquet('{pages}')),
+            hosts AS (
+              SELECT regexp_replace(lower(regexp_extract(href,
+                         '^https?://([^/?#]+)', 1)), ':(80|443)$', '')
+                         AS dst_host,
+                     atext
+              FROM raw WHERE regexp_matches(href, '^https?://[^/?#]+')),
+            terms AS (
+              SELECT dst_host,
+                     unnest(string_split_regex(lower(atext), '\\s+'))
+                         AS term
+              FROM hosts)
+            SELECT dst_host, term, count(*) AS n_anchors
+            FROM terms WHERE term <> ''
+            GROUP BY 1, 2
+            ORDER BY n_anchors DESC, dst_host, term LIMIT 30""",
         "pages_domain_agg": f"""
             WITH c AS (
               SELECT regexp_replace(regexp_replace(regexp_replace(
@@ -4748,6 +4803,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                    count(*) AS event_count
             FROM events GROUP BY event_type, user_id % 8""",
+        "events_type_anomaly": """
+            WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS h,
+                              count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+            hours AS (SELECT unnest(generate_series(h0, h1)) AS h
+                      FROM b),
+            types AS (SELECT DISTINCT event_type FROM c),
+            dense AS (SELECT t.event_type, hours.h,
+                             coalesce(c.cnt, 0) AS cnt
+                      FROM types t CROSS JOIN hours
+                      LEFT JOIN c ON c.event_type = t.event_type
+                                 AND c.h = hours.h),
+            w AS (SELECT event_type, h, cnt,
+                         sum(cnt) OVER win AS s,
+                         sum(cnt * cnt) OVER win AS q
+                  FROM dense
+                  WINDOW win AS (PARTITION BY event_type ORDER BY h
+                                 ROWS BETWEEN 6 PRECEDING
+                                      AND 1 PRECEDING))
+            SELECT event_type, CAST(h * 3600 AS BIGINT) AS hour_epoch,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(s AS BIGINT) AS win_sum,
+                   CAST(q AS BIGINT) AS win_sumsq
+            FROM w WHERE h >= (SELECT h0 FROM b) + 6
+              AND (cnt*6 - s)*(cnt*6 - s) > 9*(6*q - s*s)
+            ORDER BY event_type, hour_epoch""",
         "events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,

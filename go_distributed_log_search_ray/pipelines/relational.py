@@ -2014,3 +2014,81 @@ def events_chi2_type_hour(sf_dir: str) -> pa.Table:
 
     return chi2_association(ds.map_batches(prep, batch_format="pyarrow"),
                             "event_type", "hour")
+
+
+def events_type_anomaly(sf_dir: str, window: int = 6,
+                        tau: int = 3) -> pa.Table:
+    """Trailing-window traffic-anomaly detection per event type (the
+    telemetry-pipeline alerting stage the reference's users run on top
+    of per-sink counts; reference aggregates per sink only,
+    src/commands/index.go:219-258 -- this is the next operator out).
+
+    Per (event_type, hour) counts come from the usual per-batch
+    combiner + one groupby; each type's DENSE hourly series (zeros for
+    silent hours, over the global [hmin, hmax] range so drops are
+    anomalies too) is then scanned per group inside ``map_groups`` with
+    a numpy sliding window.  An hour is flagged when its count deviates
+    from the trailing ``window`` prior hours by more than ``tau`` sigma
+    -- evaluated in EXACT INTEGER arithmetic so the SQL oracle matches
+    bit-for-bit:  (c*W - S)^2 > tau^2 * (W*Q - S^2)  where S, Q are the
+    window's sum and sum-of-squares.  A zero-variance window flags any
+    deviation (LHS > 0, RHS = 0), and equality (exactly tau sigma) does
+    NOT flag -- same strictness both sides.
+
+    Scale shape: the shuffle is O(types x hours) count partials; each
+    group's dense series is O(hours) (a decade is ~90k rows) and groups
+    spread across the cluster; only flagged rows return to the driver.
+    Int64 exactness is guarded: counts are bounded so (c*W - S)^2 stays
+    under 2^63 or the stage raises instead of wrapping."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.cast(pc.divide(epoch_us, pa.scalar(3_600_000_000)),
+                       pa.int64())
+        g = pa.table({"event_type": b.column("event_type"),
+                      "h": hour}).group_by(["event_type", "h"])
+        return g.aggregate([("h", "count")]).rename_columns(
+            ["event_type", "h", "cnt"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "h"]).aggregate(
+            Sum("cnt", alias_name="cnt")).materialize()
+    from ray.data.aggregate import Max, Min
+    bounds = counts.aggregate(Min("h"), Max("h"))
+    h0, h1 = int(bounds["min(h)"]), int(bounds["max(h)"])
+    n_hours = h1 - h0 + 1
+    W, T2 = int(window), int(tau) * int(tau)
+
+    def scan(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        dense = np.zeros(n_hours, np.int64)
+        hs = group.column("h").to_numpy(zero_copy_only=False)
+        cs = group.column("cnt").to_numpy(zero_copy_only=False)
+        dense[hs - h0] = cs
+        cmax = int(dense.max())
+        # |c*W - S| <= cmax*W, squared must stay under 2^63
+        if (cmax * W) ** 2 >= 1 << 63:
+            raise OverflowError("events_type_anomaly: hourly counts too "
+                                "large for exact int64 z^2; rescale")
+        csum = np.concatenate(([0], np.cumsum(dense)))
+        sq = np.concatenate(([0], np.cumsum(dense * dense)))
+        # trailing window [i-W, i) for i >= W
+        s = csum[W:-1] - csum[:-W - 1] if n_hours > W else np.empty(0, np.int64)
+        q = sq[W:-1] - sq[:-W - 1] if n_hours > W else np.empty(0, np.int64)
+        c = dense[W:]
+        lhs = (c * W - s) ** 2
+        rhs = T2 * (W * q - s * s)
+        hit = lhs > rhs
+        idx = np.nonzero(hit)[0]
+        return pa.table({
+            "event_type": pa.array([et] * len(idx), pa.string()),
+            "hour_epoch": pa.array((idx + W + h0) * 3600, pa.int64()),
+            "cnt": pa.array(c[idx], pa.int64()),
+            "win_sum": pa.array(s[idx], pa.int64()),
+            "win_sumsq": pa.array(q[idx], pa.int64()),
+        })
+
+    flagged = counts.groupby("event_type").map_groups(
+        scan, batch_format="pyarrow")
+    return _sorted_table(flagged, ["event_type", "hour_epoch"])

@@ -272,3 +272,72 @@ def hits_authorities(pages: Dataset, k: int = 15) -> pa.Table:
         "host": pa.array(hosts, pa.string()),
         "in_links": pa.array([a1.get(h, 0) for h in hosts], pa.int64()),
         "authority": pa.array([a2[h] for h in hosts], pa.int64())})
+
+
+_ANCHOR_RE = re.compile(rb'<a href="([^"]+)">([^<]*)</a>')
+
+ANCHOR_TERM_SCHEMA = pa.schema([
+    ("dst_host", pa.string()),
+    ("term", pa.string()),
+    ("n", pa.int64()),
+])
+
+
+class AnchorTermExtractor:
+    """Actor-pool stage: html -> per-batch (dst_host, term, n) partials
+    from anchor TEXT -- the classic web-search signal ("what the rest
+    of the web calls this host", Brin & Page 1998 §2.2).  The anchor
+    regex is pinned per actor (T1/T2 discipline); the per-batch dict is
+    a combiner, so the shuffle moves O(distinct (host, term)) rows per
+    batch, never O(anchors) and never html bytes."""
+
+    def __init__(self) -> None:
+        self.anchor_re = _ANCHOR_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for html in batch.column("html").to_pylist():
+            if html is None:
+                continue
+            for href, atext in self.anchor_re.findall(html):
+                hc = canonicalize_url(href.decode("utf-8",
+                                                  errors="replace"))
+                if hc is None:
+                    continue
+                for term in atext.decode("utf-8", errors="replace") \
+                                 .lower().split():
+                    key = (hc[0], term)
+                    counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return ANCHOR_TERM_SCHEMA.empty_table()
+        ks = list(counts.keys())
+        return pa.table({
+            "dst_host": pa.array([k[0] for k in ks], pa.string()),
+            "term": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([counts[k] for k in ks], pa.int64()),
+        })
+
+
+def anchor_text_terms(pages: Dataset, k: int = 30) -> pa.Table:
+    """Top-k (dst_host, term) anchor-text pairs by global anchor count,
+    ties broken by (dst_host, term) for a deterministic oracle compare.
+
+    Scale shape: extraction is embarrassingly parallel with per-batch
+    combiners; ONE groupby collapses to the global (host, term) counts
+    (O(hosts x anchor vocab) rows, all distributed); the top-k is a
+    distributed sort + limit, so the driver only ever sees k rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    slim = pages.select_columns(["html"])
+    partials = slim.map_batches(AnchorTermExtractor,
+                                batch_format="pyarrow",
+                                concurrency=(1, 8))
+    agg = partials.groupby(["dst_host", "term"]).aggregate(
+        Sum("n", alias_name="n_anchors"))
+    top = agg.sort(["n_anchors", "dst_host", "term"],
+                   descending=[True, False, False]).limit(k)
+    return concat_nonempty(
+        ray.get(top.to_arrow_refs()),
+        pa.schema([("dst_host", pa.string()), ("term", pa.string()),
+                   ("n_anchors", pa.int64())]))

@@ -160,3 +160,56 @@ def test_hits_overflow_guard():
                            return_value=ray.data.from_arrow(edges)):
         with pytest.raises(OverflowError):
             lg.hits_authorities(None, k=3)
+
+
+# -- anchor-text aggregation ---------------------------------------------
+
+def test_anchor_term_extractor_unit():
+    from go_distributed_log_search_ray.stages.linkgraph import (
+        AnchorTermExtractor)
+    html = (b'<p>noise</p>'
+            b'<a href="http://A.com:80/x">Deep Learning</a>'
+            b'<a href="https://a.com/y?utm_s=1">deep  nets</a>'
+            b'<a href="/rel">skipped relative</a>'
+            b'<a href="https://b.io/z"></a>')       # empty anchor text
+    batch = pa.table({"html": pa.array([html, None], pa.binary())})
+    out = AnchorTermExtractor()(batch).to_pandas()
+    got = {(r.dst_host, r.term): r.n for r in out.itertuples()}
+    # host lowercased + default port stripped; text lowercased,
+    # whitespace-split (double space collapses); relative link and
+    # empty anchor text contribute nothing
+    assert got == {("a.com", "deep"): 2, ("a.com", "learning"): 1,
+                   ("a.com", "nets"): 1}
+
+
+def test_anchor_text_terms_matches_sql(corpus_dir):
+    from go_distributed_log_search_ray.stages.linkgraph import (
+        anchor_text_terms)
+    # force high parallelism: the groupby/sort path must tolerate
+    # empty blocks (the parallelism-dependent hazard class)
+    ds = ray.data.read_parquet(
+        os.path.join(corpus_dir, "pages"),
+        columns=["html"], override_num_blocks=32)
+    got = anchor_text_terms(ds, k=25).to_pandas()
+    want = duckdb.sql(f"""
+        WITH raw AS (
+          SELECT unnest(regexp_extract_all(decode(html),
+                 '<a href="([^"]+)">([^<]*)</a>', 1)) AS href,
+                 unnest(regexp_extract_all(decode(html),
+                 '<a href="([^"]+)">([^<]*)</a>', 2)) AS atext
+          FROM read_parquet('{corpus_dir}/pages/*.parquet')),
+        hosts AS (
+          SELECT regexp_replace(lower(regexp_extract(href,
+                     '^https?://([^/?#]+)', 1)), ':(80|443)$', '')
+                     AS dst_host, atext
+          FROM raw WHERE regexp_matches(href, '^https?://[^/?#]+')),
+        terms AS (
+          SELECT dst_host,
+                 unnest(string_split_regex(lower(atext), '\\s+')) AS term
+          FROM hosts)
+        SELECT dst_host, term, count(*) AS n_anchors
+        FROM terms WHERE term <> ''
+        GROUP BY 1, 2 ORDER BY n_anchors DESC, dst_host, term
+        LIMIT 25""").df()
+    assert got.reset_index(drop=True).equals(
+        want.astype(got.dtypes.to_dict()))
