@@ -152,7 +152,9 @@ def run_queries() -> dict:
              "doc_domain_cap_agg",
              # round-5 s9 representative: full-corpus anchor scan ->
              # distributed host link graph
-             "pages_link_hosts_agg"]
+             "pages_link_hosts_agg",
+             # round-5 s10: telemetry alerting over dense hourly series
+             "events_type_anomaly"]
     out = {}
     for name in picks:
         t0 = time.perf_counter()
