@@ -29,3 +29,33 @@ def test_actor_death_retry_is_exact(corpus_dir, tmp_path):
     assert len(got) == len(oracle)
     for url, text in oracle:
         assert got[url] == text
+
+
+def test_class_attribute_config_is_restart_self_contained(corpus_dir):
+    """The flagship's actor pools ship ZERO constructor args
+    (ray#53727): config rides on dynamically-created subclasses.  The
+    subclasses must (a) construct with no args, (b) behave per their
+    baked config, (c) survive a pickle round-trip (what an actor
+    restart deserializes) with the config intact."""
+    import pickle
+
+    from go_distributed_log_search_ray.stages.enrich import Enricher
+    from go_distributed_log_search_ray.stages.extract import HtmlExtractor
+
+    keep = HtmlExtractor.configured(False)
+    drop = HtmlExtractor.configured(True)
+    assert drop is HtmlExtractor          # default reused, no new class
+    assert keep().drop_html is False and drop().drop_html is True
+    # pickle round-trip (cloudpickle uses pickle semantics for the
+    # dynamic class via its __reduce__ path; plain pickle fails on
+    # dynamic classes, so round-trip an INSTANCE through cloudpickle)
+    import ray.cloudpickle as cp
+    k2 = cp.loads(cp.dumps(keep))
+    assert k2().drop_html is False
+
+    lookups_path = os.path.join(corpus_dir, "lookups")
+    ecls = Enricher.at(lookups_path)
+    e = ecls()                             # loads tables from the path
+    assert e.lang_locale and e.site_meta and e.host_geo
+    e2cls = cp.loads(cp.dumps(ecls))
+    assert e2cls().lang_locale == e.lang_locale
