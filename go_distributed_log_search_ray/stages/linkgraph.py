@@ -151,31 +151,30 @@ def host_link_graph(pages: Dataset, k: int = 20) -> pa.Table:
     import ray
     from ray.data.aggregate import Count, Sum
 
-    # materialize the compact pair graph once (O(distinct host pairs),
-    # distributed); the three rollups below each re-read it instead of
-    # re-running the html extraction
-    pairs = host_edges(pages).materialize()
-    per_dst = pairs.groupby("dst_host").aggregate(
-        Sum("n", alias_name="in_degree"),
-        Count(alias_name="n_src_hosts"))   # rows ARE distinct pairs
-    selfs = pairs.map_batches(
-        lambda t: t.filter(pc.equal(t.column("src_host"),
-                                    t.column("dst_host"))),
-        batch_format="pyarrow").groupby("dst_host").aggregate(
-            Sum("n", alias_name="self_links"))
-    agg = concat_nonempty(
+    # ONE fused rollup shuffle: the self-link count rides as a derived
+    # column (n where src==dst else 0) computed inside map_batches, so
+    # in-degree / fan-in / self-links all come out of a single
+    # groupby(dst_host) -- the previous two-groupby + driver-join shape
+    # paid a second all-to-all for the (rare) self edges
+    def with_self(t: pa.Table) -> pa.Table:
+        is_self = pc.equal(t.column("src_host"), t.column("dst_host"))
+        self_n = pc.if_else(is_self, t.column("n"),
+                            pa.scalar(0, pa.int64()))
+        return pa.table({"dst_host": t.column("dst_host"),
+                         "n": t.column("n"), "self_n": self_n})
+
+    per_dst = host_edges(pages).materialize() \
+        .map_batches(with_self, batch_format="pyarrow") \
+        .groupby("dst_host").aggregate(
+            Sum("n", alias_name="in_degree"),
+            Count(alias_name="n_src_hosts"),   # rows ARE distinct pairs
+            Sum("self_n", alias_name="self_links"))
+    out = concat_nonempty(
         ray.get(per_dst.to_arrow_refs()),
         pa.schema([("dst_host", pa.string()),
                    ("in_degree", pa.int64()),
-                   ("n_src_hosts", pa.int64())]))
-    self_t = concat_nonempty(
-        ray.get(selfs.to_arrow_refs()),
-        pa.schema([("dst_host", pa.string()),
+                   ("n_src_hosts", pa.int64()),
                    ("self_links", pa.int64())]))
-    out = agg.join(self_t, "dst_host", join_type="left outer")
-    out = out.set_column(
-        out.schema.get_field_index("self_links"), "self_links",
-        pc.fill_null(out.column("self_links"), 0))
     out = out.sort_by([("in_degree", "descending"),
                        ("dst_host", "ascending")]).slice(0, k)
     return out.select(["dst_host", "in_degree", "n_src_hosts",
