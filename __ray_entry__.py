@@ -664,6 +664,36 @@ def _doc_index_search(sf_dir: str):
     return index_search(idx, ["table", "vector"], mode="and")
 
 
+def _doc_phrase_search(sf_dir: str):
+    """Exact-PHRASE search through a persisted POSITIONAL inverted
+    index (stages/phrasesearch.py): postings carry token ordinals,
+    bucket-partitioned by term hash so the query reads only its terms'
+    buckets; the k-way anchor intersection runs vectorized per doc
+    inside one groupby(doc_id) shuffle carrying only matching postings.
+    Lucene-PhraseQuery semantics the reference's substring scan
+    (src/commands/search.go:221-255) cannot express."""
+    from go_distributed_log_search_ray.stages.phrasesearch import (
+        build_positional_index, phrase_search)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tag = _sf_tag(sf_dir)
+    idx = build_positional_index(ds, f"/tmp/graft_posindex_{tag}")
+    return phrase_search(idx, ["hash", "merge"], k=15)
+
+
+def _doc_proximity_search(sf_dir: str):
+    """Unordered PROXIMITY (slop) search over the positional index:
+    docs where 'spark' and 'window' occur within 3 tokens, with the
+    exact minimum span per doc -- SpanNearQuery semantics; the per-doc
+    nearest-neighbor merge is O(n log n), never the quadratic pair
+    table the SQL oracle builds."""
+    from go_distributed_log_search_ray.stages.phrasesearch import (
+        build_positional_index, proximity_search)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tag = _sf_tag(sf_dir)
+    idx = build_positional_index(ds, f"/tmp/graft_posindex_{tag}")
+    return proximity_search(idx, "spark", "window", window=3)
+
+
 def _doc_normalize_dedup_agg(sf_dir: str):
     """Normalize-then-dedup accounting: per language, total docs vs
     distinct md5 fingerprints of NORMALIZED text (lower + whitespace
@@ -3283,6 +3313,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in r5 session 10
         "pages_anchor_terms": _pages_anchor_terms,
         "events_type_anomaly": _events_type_anomaly,
+        # -- new in r5 session 11 (positional index)
+        "doc_phrase_search": _doc_phrase_search,
+        "doc_proximity_search": _doc_proximity_search,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -4982,6 +5015,34 @@ def oracle_sql() -> dict[str, str]:
                       lower(coalesce(text,'')), '\S+'), 'table')
               AND list_contains(regexp_extract_all(
                       lower(coalesce(text,'')), '\S+'), 'vector')""",
+        "doc_phrase_search": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     generate_subscripts(ts, 1) - 1 AS pos
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(coalesce(text,'')),
+                                              '\S+') AS ts
+                    FROM documents))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+            FROM (SELECT doc_id, tok,
+                         lead(tok, 1) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS t1
+                  FROM toks)
+            WHERE tok = 'hash' AND t1 = 'merge'
+            GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT 15""",
+        "doc_proximity_search": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     generate_subscripts(ts, 1) - 1 AS pos
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(coalesce(text,'')),
+                                              '\S+') AS ts
+                    FROM documents))
+            SELECT a.doc_id, CAST(MIN(ABS(a.pos - b.pos)) AS BIGINT)
+                       AS min_dist
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+            WHERE a.tok = 'spark' AND b.tok = 'window'
+            GROUP BY a.doc_id HAVING MIN(ABS(a.pos - b.pos)) <= 3""",
         "doc_token_freq_stats": r"""
             WITH toks AS (
               SELECT doc_id, t AS term

@@ -366,3 +366,73 @@ def test_jaccard_demote_common_same_pairs_as_plain():
     demoted = pairset(jaccard_self_join(ds, "doc_id", "text", 500,
                                         demote_common=5))
     assert demoted == plain and (7, 60) in {(a, b) for a, b, _, _ in plain}
+
+
+# -- positional index: phrase + proximity search (round-5 session 11) --------
+
+def _brute_phrase(texts, phrase):
+    """Occurrence counts by scanning token lists directly."""
+    out = {}
+    k = len(phrase)
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        n = sum(1 for a in range(len(toks) - k + 1)
+                if toks[a:a + k] == phrase)
+        if n:
+            out[i] = n
+    return out
+
+
+def _brute_prox(texts, ta, tb, window):
+    out = {}
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        pa_ = [p for p, w in enumerate(toks) if w == ta]
+        pb_ = [p for p, w in enumerate(toks) if w == tb]
+        if pa_ and pb_:
+            d = min(abs(x - y) for x in pa_ for y in pb_)
+            if d <= window:
+                out[i] = d
+    return out
+
+
+def test_phrase_and_proximity_match_bruteforce(tmp_path):
+    """Random corpus, high partition count (empty groupby partitions),
+    repeated-term phrase, and a multi-block index build -- results must
+    equal the quadratic brute force exactly."""
+    from go_distributed_log_search_ray.stages.phrasesearch import (
+        build_positional_index, phrase_search, proximity_search)
+
+    rng = np.random.default_rng(17)
+    vocab = ["hash", "merge", "scan", "sort", "table", "row", "the"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 40))))
+             for _ in range(120)]
+    texts.append("")                               # empty doc
+    texts.append("hash hash hash")                 # repeated-term target
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string())})).repartition(16)
+    idx = build_positional_index(ds, str(tmp_path / "pidx"), num_buckets=8)
+
+    for phrase in (["hash", "merge"], ["hash", "hash"],
+                   ["sort", "the", "table"]):
+        want = _brute_phrase(texts, phrase)
+        got = phrase_search(idx, phrase, k=10_000, num_buckets=8)
+        assert dict(zip(got.column("doc_id").to_pylist(),
+                        got.column("n_occ").to_pylist())) == want, phrase
+
+    for ta, tb, w in (("hash", "merge", 2), ("scan", "row", 5)):
+        want = _brute_prox(texts, ta, tb, w)
+        got = proximity_search(idx, ta, tb, w, num_buckets=8)
+        assert dict(zip(got.column("doc_id").to_pylist(),
+                        got.column("min_dist").to_pylist())) == want, (ta, tb)
+
+    # no-match phrase returns a typed empty, not a crash
+    none = phrase_search(idx, ["zz", "yy"], num_buckets=8)
+    assert none.num_rows == 0 and none.schema.names == ["doc_id", "n_occ"]
+    # identical-term proximity is rejected (would measure self-distance)
+    with pytest.raises(ValueError):
+        proximity_search(idx, "hash", "hash", 2, num_buckets=8)
+    # idempotent rebuild (segment-commit semantics)
+    assert build_positional_index(ds, str(tmp_path / "pidx"),
+                                  num_buckets=8) == idx
