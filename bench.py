@@ -228,6 +228,32 @@ def run_extras() -> dict:
     out["bruteforce_sec_per_query"] = round(
         (time.perf_counter() - t0) / len(queries), 3)
     _sh.rmtree(idx, ignore_errors=True)
+
+    # positional index: one-time build vs per-query phrase search, plus
+    # the bucket-pruning fraction (same build-once/read-little contract
+    # as IVF -- query terms hash to <= |terms| of 32 buckets)
+    from go_distributed_log_search_ray.stages.phrasesearch import (
+        build_positional_index, phrase_search)
+    docs = read_clean(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    pidx = "/tmp/bench_posindex"
+    _sh.rmtree(pidx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_positional_index(docs, pidx)
+    out["posindex_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    phrase_search(pidx, ["hash", "merge"], k=15)
+    out["phrase_query_sec"] = round(time.perf_counter() - t0, 3)
+    import zlib as _z
+    want = {_z.crc32(t.encode()) % 32 for t in ("hash", "merge")}
+    probed = sum(os.path.getsize(f) for c in want
+                 for f in _g.glob(os.path.join(
+                     pidx, f"tok_bucket={c}", "*.parquet")))
+    total = sum(os.path.getsize(f)
+                for f in _g.glob(os.path.join(
+                    pidx, "tok_bucket=*", "*.parquet")))
+    out["phrase_query_bytes_frac"] = round(probed / max(total, 1), 3)
+    _sh.rmtree(pidx, ignore_errors=True)
     return out
 
 
