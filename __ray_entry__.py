@@ -3313,9 +3313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in r5 session 10
         "pages_anchor_terms": _pages_anchor_terms,
         "events_type_anomaly": _events_type_anomaly,
-        # -- new in r5 session 11 (positional index)
+        # -- new in r5 session 11 (positional index, cube)
         "doc_phrase_search": _doc_phrase_search,
         "doc_proximity_search": _doc_proximity_search,
+        "orders_cube_agg": R.orders_cube_agg,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -5015,6 +5016,13 @@ def oracle_sql() -> dict[str, str]:
                       lower(coalesce(text,'')), '\S+'), 'table')
               AND list_contains(regexp_extract_all(
                       lower(coalesce(text,'')), '\S+'), 'vector')""",
+        "orders_cube_agg": """
+            SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
+                   o_orderstatus AS status,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders GROUP BY CUBE (yr, status)""",
         "doc_phrase_search": r"""
             WITH toks AS (
               SELECT doc_id, unnest(ts) AS tok,

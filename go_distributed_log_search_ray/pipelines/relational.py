@@ -1110,6 +1110,63 @@ def orders_validate_agg(sf_dir: str) -> pa.Table:
         .select(["rule", "n_violations", "n_rows"])
 
 
+# -- CUBE / GROUPING SETS -----------------------------------------------------
+
+def orders_cube_agg(sf_dir: str) -> pa.Table:
+    """CUBE over (order year, status): all four grouping sets -- (yr,
+    status), (yr), (status), () -- with count + exact-cents revenue,
+    NULL marking each rolled-up dimension (ANSI GROUP BY CUBE output).
+
+    Computed the way a distributed engine should: the fact table is
+    shuffled ONCE, at the finest grain (per-batch partial aggregation,
+    then one groupby) -- every coarser grouping set re-aggregates the
+    O(years x statuses) finest-level partials, never re-reading or
+    re-shuffling the fact table.  At 100 TB the cube costs exactly one
+    corpus pass + one tiny exchange, regardless of how many grouping
+    sets are requested (sum/count re-aggregate losslessly; avg would
+    ride as sum+count, min/max as themselves)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "yr": pc.cast(pc.year(b.column("o_orderdate")), pa.string()),
+            "status": b.column("o_orderstatus"),
+            "cents": _cents(b.column("o_totalprice"))})
+        g = t.group_by(["yr", "status"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["yr", "status", "sum_cents", "n_orders"])
+
+    fine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["yr", "status"]).aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_orders", alias_name="n_orders"))
+    t = small_table(fine, int64_cols=["sum_cents", "n_orders"])
+
+    def roll(keys: list[str]) -> pa.Table:
+        if keys:
+            g = t.group_by(keys).aggregate(
+                [("sum_cents", "sum"), ("n_orders", "sum")])
+            g = g.rename_columns(keys + ["sum_cents", "n_orders"])
+        else:
+            g = pa.table({
+                "sum_cents": pa.array(
+                    [pc.sum(t.column("sum_cents")).as_py()], pa.int64()),
+                "n_orders": pa.array(
+                    [pc.sum(t.column("n_orders")).as_py()], pa.int64())})
+        for d in ("yr", "status"):
+            if d not in keys:
+                g = g.append_column(
+                    d, pa.array([None] * g.num_rows, pa.string()))
+        return g.select(["yr", "status", "n_orders", "sum_cents"])
+
+    out = pa.concat_tables(
+        [roll(["yr", "status"]), roll(["yr"]), roll(["status"]), roll([])])
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("yr", "ascending"), ("status", "ascending")],
+        null_placement="at_end"))
+
+
 # -- dataset reconciliation diff ----------------------------------------------
 
 def orders_diff_agg(sf_dir: str) -> pa.Table:

@@ -436,3 +436,36 @@ def test_phrase_and_proximity_match_bruteforce(tmp_path):
     # idempotent rebuild (segment-commit semantics)
     assert build_positional_index(ds, str(tmp_path / "pidx"),
                                   num_buckets=8) == idx
+
+
+def test_cube_reaggregates_from_finest_level():
+    """CUBE grouping sets must be consistent: every coarser level's
+    sums equal the finest level re-aggregated, and NULL marks exactly
+    the rolled-up dimensions (ANSI CUBE output shape)."""
+    from go_distributed_log_search_ray.pipelines.relational import (
+        orders_cube_agg)
+
+    t = orders_cube_agg("/root/testdata/sf0.001")
+    yr = t.column("yr").to_pylist()
+    st = t.column("status").to_pylist()
+    n = t.column("n_orders").to_pylist()
+    s = t.column("sum_cents").to_pylist()
+    rows = list(zip(yr, st, n, s))
+    fine = [(a, b, c, d) for a, b, c, d in rows
+            if a is not None and b is not None]
+    assert fine, "finest level empty"
+    # (yr) level == finest folded over status; ditto (status) and ()
+    by_yr = {}
+    by_st = {}
+    for a, b, c, d in fine:
+        by_yr[a] = (by_yr.get(a, (0, 0))[0] + c, by_yr.get(a, (0, 0))[1] + d)
+        by_st[b] = (by_st.get(b, (0, 0))[0] + c, by_st.get(b, (0, 0))[1] + d)
+    assert {(a, c, d) for a, b, c, d in rows
+            if a is not None and b is None} == \
+        {(a, v[0], v[1]) for a, v in by_yr.items()}
+    assert {(b, c, d) for a, b, c, d in rows
+            if a is None and b is not None} == \
+        {(b, v[0], v[1]) for b, v in by_st.items()}
+    grand = [(c, d) for a, b, c, d in rows if a is None and b is None]
+    assert grand == [(sum(c for _, _, c, _ in fine),
+                      sum(d for _, _, _, d in fine))]
