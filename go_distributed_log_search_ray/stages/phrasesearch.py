@@ -108,10 +108,14 @@ def build_positional_index(ds: Dataset, index_dir: str,
 
 
 def _read_term_postings(index_dir: str, terms: list[str], id_col: str,
-                        num_buckets: int) -> Dataset:
+                        num_buckets: int) -> Dataset | None:
     """Bucket-pruned postings read filtered to the exact query terms --
     (num_buckets - |buckets|)/num_buckets of the index never leaves
-    storage, matching the invindex/IVF I/O-pruning contract."""
+    storage, matching the invindex/IVF I/O-pruning contract.  Returns
+    ``None`` when none of the terms' buckets exist on disk (every query
+    term is absent from the corpus): the hive write only materializes
+    directories for non-empty buckets, and ``read_parquet`` rejects an
+    empty path list."""
     import zlib
     want = sorted(set(terms))
     buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
@@ -119,6 +123,8 @@ def _read_term_postings(index_dir: str, terms: list[str], id_col: str,
     files = [f for c in buckets
              for f in sorted(glob.glob(
                  os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    if not files:
+        return None
     tset = pa.array(want, pa.string())
     return ray.data.read_parquet(files, columns=["term", id_col, "pos"]) \
         .map_batches(
@@ -161,8 +167,11 @@ def phrase_search(index_dir: str, phrase: list[str], k: int = 15,
         return pa.table({id_col: pa.array([doc], id_type),
                          "n_occ": pa.array([int(anchors.size)], pa.int64())})
 
-    per_doc = _read_term_postings(index_dir, phrase, id_col, num_buckets) \
-        .groupby(id_col).map_groups(fold, batch_format="pyarrow")
+    postings = _read_term_postings(index_dir, phrase, id_col, num_buckets)
+    if postings is None:
+        return out_schema.empty_table()
+    per_doc = postings.groupby(id_col).map_groups(
+        fold, batch_format="pyarrow")
     out = concat_nonempty(ray.get(per_doc.to_arrow_refs()), out_schema)
     order = pc.sort_indices(out, sort_keys=[("n_occ", "descending"),
                                             (id_col, "ascending")])
@@ -210,9 +219,12 @@ def proximity_search(index_dir: str, term_a: str, term_b: str,
         return pa.table({id_col: pa.array([doc], id_type),
                          "min_dist": pa.array([best], pa.int64())})
 
-    per_doc = _read_term_postings(index_dir, [term_a, term_b], id_col,
-                                  num_buckets) \
-        .groupby(id_col).map_groups(fold, batch_format="pyarrow")
+    postings = _read_term_postings(index_dir, [term_a, term_b], id_col,
+                                   num_buckets)
+    if postings is None:
+        return out_schema.empty_table()
+    per_doc = postings.groupby(id_col).map_groups(
+        fold, batch_format="pyarrow")
     out = concat_nonempty(ray.get(per_doc.to_arrow_refs()), out_schema)
     return out.take(pc.sort_indices(
         out, sort_keys=[("min_dist", "ascending"), (id_col, "ascending")]))

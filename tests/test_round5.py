@@ -437,6 +437,20 @@ def test_phrase_and_proximity_match_bruteforce(tmp_path):
     assert build_positional_index(ds, str(tmp_path / "pidx"),
                                   num_buckets=8) == idx
 
+    # Every query term hashing to a bucket with NO directory on disk
+    # (hive writes only materialize non-empty buckets) must yield a
+    # typed empty result, not a read_parquet "no paths" crash: index
+    # only "alpha" (bucket 2 of 4), query terms in buckets 3 and 1.
+    one = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["alpha"], pa.string())}))
+    idx1 = build_positional_index(one, str(tmp_path / "pidx1"),
+                                  num_buckets=4)
+    r = phrase_search(idx1, ["zzqq", "yyxx"], num_buckets=4)
+    assert r.num_rows == 0 and r.schema.names == ["doc_id", "n_occ"]
+    r = proximity_search(idx1, "zzqq", "yyxx", 3, num_buckets=4)
+    assert r.num_rows == 0 and r.schema.names == ["doc_id", "min_dist"]
+
 
 def test_cube_reaggregates_from_finest_level():
     """CUBE grouping sets must be consistent: every coarser level's
