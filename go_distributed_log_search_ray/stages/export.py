@@ -56,6 +56,13 @@ def export_training_shards(ds: Dataset, out_dir: str, num_shards: int,
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
+    # torn-write hygiene: a run killed mid write_parquet leaves partial
+    # shard files with no _SUCCESS, and the redo appends new
+    # uniquely-named files -- readers glob the dir, so stale partials
+    # would silently duplicate rows.  Rebuild from scratch.
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
 
     def tag(b: pa.Table) -> pa.Table:
         return b.append_column(

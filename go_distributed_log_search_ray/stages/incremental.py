@@ -29,6 +29,7 @@ from __future__ import annotations
 import glob
 import hashlib
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -62,6 +63,12 @@ def build_fingerprint_snapshot(ds: Dataset, out_dir: str,
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
+    # torn-write hygiene (see export.py): a redo over stale partials
+    # would append a second full copy of every bucket.  The fp screen
+    # itself is set-semantic (np.unique), so this is storage hygiene,
+    # not a correctness hole -- but 2x snapshot bytes at 100 TB is real.
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
 
     def partial(b: pa.Table) -> pa.Table:
         t = b.column(text_col)
@@ -179,6 +186,11 @@ def build_band_snapshot(ds: Dataset, out_dir: str,
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
+    # torn-write hygiene: stale partials + a redo would double every
+    # posting (inflating dup_hits counts, not just is_dup) and double
+    # the snapshot bytes.  Rebuild from scratch.
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
 
     class Exploder:
         def __init__(self) -> None:
@@ -316,10 +328,16 @@ def append_band_snapshot(new_ds: Dataset, snapshot_dir: str,
                                   num_buckets)
 
     # torn-append hygiene: drop any files from a previous failed run of
-    # THIS increment before rewriting them
-    import shutil
+    # THIS increment before rewriting them -- BOTH the staging dir and
+    # any live `inc-<id>-*` files a torn publish loop already moved in
+    # (the redo's write_parquet generates fresh uuid names, so stale
+    # published files would not be overwritten; they'd duplicate every
+    # posting of this increment)
     stage_dir = os.path.join(snapshot_dir, f"_incoming.{increment_id}")
     shutil.rmtree(stage_dir, ignore_errors=True)
+    for stale in glob.glob(os.path.join(
+            snapshot_dir, "bucket=*", f"inc-{increment_id}-*.parquet")):
+        os.remove(stale)
     new_ds.map_batches(Exploder, batch_format="pyarrow",
                        concurrency=(1, 8)) \
         .write_parquet(stage_dir, partition_cols=["bucket"])

@@ -483,3 +483,84 @@ def test_cube_reaggregates_from_finest_level():
     grand = [(c, d) for a, b, c, d in rows if a is None and b is None]
     assert grand == [(sum(c for _, _, c, _ in fine),
                       sum(d for _, _, _, d in fine))]
+
+
+# -- torn-write hygiene across the _SUCCESS-guarded builders -----------------
+
+def test_torn_builds_rebuilt_without_duplicates(tmp_path):
+    """Every _SUCCESS-guarded builder whose readers glob the output dir
+    must clear stale partials before a rebuild: a run killed mid
+    write_parquet leaves partial files with no marker, and the redo's
+    write_parquet appends fresh uuid-named files -- without the purge,
+    readers would see stale + new rows (the pagerank ADVICE-r4 class,
+    applied to export / fp snapshot / band snapshot / band append)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from go_distributed_log_search_ray.stages.export import (
+        export_training_shards)
+    from go_distributed_log_search_ray.stages.incremental import (
+        append_band_snapshot, build_band_snapshot,
+        build_fingerprint_snapshot)
+
+    def rows_under(d):
+        return sum(pq.read_table(f).num_rows
+                   for f in g.glob(os.path.join(d, "**", "*.parquet"),
+                                   recursive=True))
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(30), pa.int64()),
+        "text": pa.array([f"doc body number {i}" for i in range(30)])})
+    ds = ray.data.from_arrow(t)
+
+    # clean-reference row counts per builder
+    clean_exp = str(tmp_path / "exp_clean")
+    export_training_shards(ds, clean_exp, num_shards=2)
+    clean_fp = str(tmp_path / "fp_clean")
+    build_fingerprint_snapshot(ds, clean_fp, num_buckets=4)
+    clean_band = str(tmp_path / "band_clean")
+    build_band_snapshot(ds, clean_band, num_buckets=4)
+
+    def seed_stale(dst_dir, src_dir):
+        """Copy one real parquet file into dst as a stale partial
+        (plausible schema, no _SUCCESS)."""
+        src = g.glob(os.path.join(src_dir, "**", "*.parquet"),
+                     recursive=True)[0]
+        sub = os.path.relpath(os.path.dirname(src), src_dir)
+        os.makedirs(os.path.join(dst_dir, sub), exist_ok=True)
+        import shutil
+        shutil.copy(src, os.path.join(dst_dir, sub, "stale.parquet"))
+
+    for builder, clean in (
+            (lambda d: export_training_shards(ds, d, num_shards=2),
+             clean_exp),
+            (lambda d: build_fingerprint_snapshot(ds, d, num_buckets=4),
+             clean_fp),
+            (lambda d: build_band_snapshot(ds, d, num_buckets=4),
+             clean_band)):
+        torn = clean + "_torn"
+        seed_stale(torn, clean)
+        builder(torn)
+        assert rows_under(torn) == rows_under(clean), torn
+
+    # torn APPEND publish: a stale published file of THIS increment
+    # (old uuid name) must be purged before the redo publishes
+    inc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["fresh doc one", "fresh doc two"])}))
+    clean2 = str(tmp_path / "band_clean2")
+    build_band_snapshot(ds, clean2, num_buckets=4)
+    append_band_snapshot(inc, clean2, "inc1", num_buckets=4)
+    want = rows_under(clean2)
+
+    torn2 = str(tmp_path / "band_torn2")
+    build_band_snapshot(ds, torn2, num_buckets=4)
+    stale_src = g.glob(os.path.join(clean2, "bucket=*",
+                                    "inc-inc1-*.parquet"))[0]
+    bdir = os.path.join(torn2, os.path.basename(os.path.dirname(stale_src)))
+    os.makedirs(bdir, exist_ok=True)
+    import shutil
+    shutil.copy(stale_src, os.path.join(bdir, "inc-inc1-stalefile.parquet"))
+    append_band_snapshot(inc, torn2, "inc1", num_buckets=4)
+    assert rows_under(torn2) == want
