@@ -219,21 +219,91 @@ def canonical_link_stats(pages: Dataset, k: int = 20) -> pa.Table:
                        "n_canon_urls"])
 
 
-def hits_authorities(pages: Dataset, k: int = 15) -> pa.Table:
+def hits_authorities(pages: Dataset, k: int = 15,
+                     mode: str = "broadcast") -> pa.Table:
     """Two unrolled HITS sweeps (Kleinberg 1999) over the weighted host
     pair graph: a1(v) = weighted in-degree, h1(u) = sum n(u,v)*a1(v),
     a2(v) = sum n(u,v)*h1(u).  Un-normalized integer sweeps -- exact and
     SQL-reproducible; two rounds keep int64 far from wrap (checked).
 
-    Scale shape: the pair graph stays a Dataset; the a1/h1 score maps
-    are O(hosts) and ride into the weighting stages as broadcast
-    lookups -- the same pattern as every other small-side enrich in
-    this repo.  Returns top-k authorities (host, in_links, authority).
-    """
-    import ray
-    from ray.data.aggregate import Sum
+    ``mode`` picks the score-map plumbing (identical results, pytest
+    asserts equality -- the same dual graph.py exposes for degrees):
 
+    * ``"broadcast"`` (default): the a1/h1 maps are O(hosts) driver
+      dicts riding into the weighting stages as broadcast lookups --
+      right whenever the host set fits one process (up to ~10^7 hosts).
+    * ``"copartition"``: scores stay Datasets; each sweep is ONE
+      co-partitioned hash join (pairs x scores) + groupby, so nothing
+      O(hosts) ever lands on the driver -- the web-scale path where the
+      host set itself is cluster-sized.  Costs two extra shuffles of
+      the pair graph, which is why it isn't the small-graph default.
+
+    Returns top-k authorities (host, in_links, authority)."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    if mode not in ("broadcast", "copartition"):
+        raise ValueError(f"unknown mode {mode!r}")
     pairs = host_edges(pages).materialize()
+
+    if mode == "copartition":
+        from .join import hash_join
+
+        pair_schema = pa.schema([("src_host", pa.string()),
+                                 ("dst_host", pa.string()),
+                                 ("n", pa.int64())])
+
+        def sweep(scores: Dataset, score_col: str, join_key: str,
+                  out_key: str, out_col: str) -> Dataset:
+            """ONE co-partitioned join of the pair graph with a score
+            Dataset, then the weighted rollup to the other side."""
+            j = hash_join(
+                pairs, scores, on=join_key,
+                left_schema=pair_schema,
+                right_schema=pa.schema([(join_key, pa.string()),
+                                        (score_col, pa.int64())]))
+
+            def weigh(b: pa.Table) -> pa.Table:
+                w = pc.multiply_checked(b.column("n"),
+                                        b.column(score_col))
+                return pa.table({out_key: b.column(out_key), "w": w})
+
+            return j.map_batches(weigh, batch_format="pyarrow") \
+                .groupby(out_key).aggregate(Sum("w", alias_name=out_col))
+
+        a1_ds = pairs.groupby("dst_host").aggregate(
+            Sum("n", alias_name="a1")).materialize()
+        # the same int64-headroom guard as broadcast mode, from two
+        # O(1)-row aggregates instead of a driver map
+        bound = a1_ds.aggregate(Sum("a1", alias_name="tot"),
+                                Max("a1", alias_name="mx")) or {}
+        total_n = int(bound.get("tot") or 0)
+        max_a1 = int(bound.get("mx") or 0)
+        if max_a1 and total_n * total_n * max_a1 >= 1 << 62:
+            raise OverflowError("hits_authorities: integer sweeps would "
+                                "exceed int64; rescale edge weights first")
+        h1_ds = sweep(a1_ds, "a1", "dst_host", "src_host", "h1")
+        a2_ds = sweep(h1_ds, "h1", "src_host", "dst_host", "a2")
+        top = concat_nonempty(
+            ray.get(a2_ds.sort(["a2", "dst_host"],
+                               descending=[True, False]).limit(k)
+                    .to_arrow_refs()),
+            pa.schema([("dst_host", pa.string()), ("a2", pa.int64())]))
+        hostset = pa.array(top.column("dst_host").to_pylist(), pa.string())
+        in_links = concat_nonempty(
+            ray.get(a1_ds.map_batches(
+                lambda b: b.filter(pc.is_in(b["dst_host"],
+                                            value_set=hostset)),
+                batch_format="pyarrow").to_arrow_refs()),
+            pa.schema([("dst_host", pa.string()), ("a1", pa.int64())]))
+        a1_of = dict(zip(in_links.column("dst_host").to_pylist(),
+                         in_links.column("a1").to_pylist()))
+        return pa.table({
+            "host": top.column("dst_host"),
+            "in_links": pa.array(
+                [a1_of.get(h, 0)
+                 for h in top.column("dst_host").to_pylist()], pa.int64()),
+            "authority": top.column("a2")})
 
     def rollup(ds, key, val, out):
         t = concat_nonempty(

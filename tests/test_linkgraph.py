@@ -213,3 +213,38 @@ def test_anchor_text_terms_matches_sql(corpus_dir):
         LIMIT 25""").df()
     assert got.reset_index(drop=True).equals(
         want.astype(got.dtypes.to_dict()))
+
+
+def test_hits_copartition_matches_broadcast(corpus_dir):
+    """The web-scale score plumbing (scores stay Datasets, one
+    co-partitioned join per sweep, nothing O(hosts) on the driver) must
+    produce the identical table as the broadcast-dict default -- on the
+    real corpus AND on the hand example, including the overflow guard."""
+    import pytest
+    import ray
+    from unittest import mock
+    from go_distributed_log_search_ray.stages import linkgraph as lg
+
+    a = lg.hits_authorities(_pages(corpus_dir), k=15)
+    b = lg.hits_authorities(_pages(corpus_dir), k=15, mode="copartition")
+    assert a.equals(b)
+
+    edges = pa.table({"src_host": ["a", "c", "b"],
+                      "dst_host": ["b", "b", "c"],
+                      "n": pa.array([2, 1, 1], pa.int64())})
+    with mock.patch.object(lg, "host_edges",
+                           return_value=ray.data.from_arrow(edges)):
+        out = lg.hits_authorities(None, k=3, mode="copartition").to_pylist()
+    assert out[0] == {"host": "b", "in_links": 3, "authority": 15}
+    assert out[1] == {"host": "c", "in_links": 1, "authority": 1}
+
+    big = 1 << 40
+    over = pa.table({"src_host": ["a"], "dst_host": ["b"],
+                     "n": pa.array([big], pa.int64())})
+    with mock.patch.object(lg, "host_edges",
+                           return_value=ray.data.from_arrow(over)):
+        with pytest.raises(OverflowError):
+            lg.hits_authorities(None, k=3, mode="copartition")
+
+    with pytest.raises(ValueError):
+        lg.hits_authorities(None, k=3, mode="bogus")
