@@ -694,6 +694,41 @@ def _doc_proximity_search(sf_dir: str):
     return proximity_search(idx, "spark", "window", window=3)
 
 
+def _doc_regex_search(sf_dir: str):
+    """REGEX search through a persisted TRIGRAM index (Cox 2012, the
+    Code Search design): the pattern's mandatory literals become
+    required trigram sets, only those trigrams' buckets are read, a
+    semi join ships candidate docs into an RE2 verify
+    (pc.match_substring_regex -- the same engine as DuckDB's
+    regexp_matches, so oracle semantics are engine-identical).  The
+    reference's search (src/commands/search.go:221-255) can only
+    substring-scan; this answers regex without touching the corpus."""
+    from go_distributed_log_search_ray.stages.trigramindex import (
+        build_trigram_index, regex_search)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text",
+                                                   "lang"])
+    tag = _sf_tag(sf_dir)
+    idx = build_trigram_index(ds, f"/tmp/graft_triindex_{tag}")
+    return regex_search(ds, idx, r"slow scan|fast [a-z]+ merge",
+                        extra_cols=("lang",))
+
+
+def _doc_boolean_search(sf_dir: str):
+    """Lucene-BooleanQuery (must / should / must_not) over the
+    persisted inverted index: resolved on POSTINGS ALONE -- exclusion
+    needs no doc universe because every answer doc already appears in
+    the must postings; one bucket-pruned read + one conditional-count
+    groupby, corpus never touched."""
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, index_search_bool)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tag = _sf_tag(sf_dir)
+    idx = build_inverted_index(ds, f"/tmp/graft_invindex_{tag}")
+    return index_search_bool(idx, must=["table", "hash"],
+                             should=["merge", "sort"],
+                             must_not=["spark"])
+
+
 def _doc_normalize_dedup_agg(sf_dir: str):
     """Normalize-then-dedup accounting: per language, total docs vs
     distinct md5 fingerprints of NORMALIZED text (lower + whitespace
@@ -3317,6 +3352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_phrase_search": _doc_phrase_search,
         "doc_proximity_search": _doc_proximity_search,
         "orders_cube_agg": R.orders_cube_agg,
+        # -- new in r5 session 12 (trigram regex index, boolean query)
+        "doc_regex_search": _doc_regex_search,
+        "doc_boolean_search": _doc_boolean_search,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -5016,6 +5054,20 @@ def oracle_sql() -> dict[str, str]:
                       lower(coalesce(text,'')), '\S+'), 'table')
               AND list_contains(regexp_extract_all(
                       lower(coalesce(text,'')), '\S+'), 'vector')""",
+        "doc_regex_search": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE regexp_matches(lower(coalesce(text,'')),
+                                 'slow scan|fast [a-z]+ merge')""",
+        "doc_boolean_search": r"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(
+                                    lower(coalesce(text,'')), '\S+') AS ts
+                         FROM documents)
+            SELECT doc_id FROM tok
+            WHERE list_contains(ts, 'table')
+              AND list_contains(ts, 'hash')
+              AND (list_contains(ts, 'merge') OR list_contains(ts, 'sort'))
+              AND NOT list_contains(ts, 'spark')""",
         "orders_cube_agg": """
             SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
                    o_orderstatus AS status,

@@ -116,3 +116,73 @@ def index_search(index_dir: str, terms: list[str], id_col: str = "doc_id",
     return per_doc.map_batches(
         lambda b: b.filter(pc.equal(b["n_terms"], need)),
         batch_format="pyarrow").select_columns([id_col])
+
+
+def index_search_bool(index_dir: str, must: list[str],
+                      should: list[str] | None = None,
+                      must_not: list[str] | None = None,
+                      id_col: str = "doc_id",
+                      num_buckets: int = NUM_TOK_BUCKETS) -> Dataset:
+    """Lucene-BooleanQuery semantics over the persisted index: docs
+    containing ALL ``must`` terms, at least one ``should`` term (when
+    any are given), and NO ``must_not`` term.
+
+    ``must`` is required to be non-empty: with it, the whole query
+    resolves on POSTINGS ALONE -- exclusion needs no document universe,
+    because every answer doc already appears in the must terms'
+    postings and a must_not hit shows up in the same per-doc fold.  One
+    bucket-pruned read (only the mentioned terms' buckets), one
+    conditional-count groupby, one vectorized filter; the corpus is
+    never touched."""
+    from ray.data.aggregate import Sum
+
+    musts = sorted(set(must))
+    shoulds = sorted(set(should or []))
+    nots = sorted(set(must_not or []))
+    if not musts:
+        raise ValueError("index_search_bool requires >=1 must term "
+                         "(must_not alone has no posting-only answer)")
+    terms = sorted(set(musts) | set(shoulds) | set(nots))
+    buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
+                      for t in terms})
+    files = [f for c in buckets
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    post = ray.data.read_parquet(files, columns=["term", id_col])
+    m_set = pa.array(musts, pa.string())
+    s_set = pa.array(shoulds, pa.string()) if shoulds else None
+    n_set = pa.array(nots, pa.string()) if nots else None
+    part_schema = pa.schema([(id_col, pa.int64()),
+                             ("n_must", pa.int64()),
+                             ("n_should", pa.int64()),
+                             ("n_not", pa.int64())])
+
+    def flags(b: pa.Table) -> pa.Table:
+        t = b.column("term")
+        is_m = pc.is_in(t, value_set=m_set)
+        is_s = pc.is_in(t, value_set=s_set) if s_set is not None \
+            else pa.array(np.zeros(b.num_rows, dtype=bool))
+        is_n = pc.is_in(t, value_set=n_set) if n_set is not None \
+            else pa.array(np.zeros(b.num_rows, dtype=bool))
+        any_hit = pc.or_(pc.or_(is_m, is_s), is_n)
+        out = pa.table({id_col: b.column(id_col),
+                        "n_must": pc.cast(is_m, pa.int64()),
+                        "n_should": pc.cast(is_s, pa.int64()),
+                        "n_not": pc.cast(is_n, pa.int64())}) \
+            .filter(any_hit)
+        return out.cast(part_schema)
+
+    per_doc = post.map_batches(flags, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Sum("n_must", alias_name="n_must"),
+                                   Sum("n_should", alias_name="n_should"),
+                                   Sum("n_not", alias_name="n_not"))
+    need = len(musts)
+    want_should = bool(shoulds)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.equal(b["n_must"], need), pc.equal(b["n_not"], 0))
+        if want_should:
+            ok = pc.and_(ok, pc.greater(b["n_should"], 0))
+        return b.filter(ok).select([id_col])
+
+    return per_doc.map_batches(keep, batch_format="pyarrow")

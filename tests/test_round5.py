@@ -564,3 +564,114 @@ def test_torn_builds_rebuilt_without_duplicates(tmp_path):
     shutil.copy(stale_src, os.path.join(bdir, "inc-inc1-stalefile.parquet"))
     append_band_snapshot(inc, torn2, "inc1", num_buckets=4)
     assert rows_under(torn2) == want
+
+
+# -- trigram regex index (Cox 2012) + boolean index query --------------------
+
+def test_regex_planner_literal_extraction():
+    from go_distributed_log_search_ray.stages.trigramindex import (
+        _literal_trigrams, plan_regex)
+
+    # plain alternation of literals: one AND-set per clause
+    plan = plan_regex("slow scan|merge")
+    assert plan is not None and len(plan) == 2
+    assert plan[0] == sorted(set(_literal_trigrams("slow scan")))
+    assert plan[1] == sorted(set(_literal_trigrams("merge")))
+
+    # x* / x? make the preceding atom OPTIONAL: its literal must not
+    # require the dropped char (pattern "abc?d" matches "abd")
+    plan = plan_regex("abcdef?gh")
+    assert plan is not None
+    assert set(_literal_trigrams("abcde")).issubset(plan[0])
+    # no trigram containing the optional 'f' may be required
+    banned = set(_literal_trigrams("def")) | set(_literal_trigrams("efg")) \
+        | set(_literal_trigrams("fgh"))
+    assert not (set(plan[0]) & banned)
+
+    # x+ keeps one mandatory x but ends the run (no trigram spans past)
+    plan = plan_regex("abc+def")
+    assert plan is not None
+    assert set(_literal_trigrams("abc")).issubset(plan[0])
+    assert not (set(_literal_trigrams("cde")) & set(plan[0]))
+
+    # char class splits the literal
+    plan = plan_regex("fast [a-z]+ merge")
+    assert plan is not None
+    assert set(_literal_trigrams("fast ")).issubset(plan[0])
+    assert set(_literal_trigrams(" merge")).issubset(plan[0])
+
+    # unindexable: groups, or clause without a >=3-byte literal
+    assert plan_regex("(ab)+cd") is None
+    assert plan_regex("abcdef|x.") is None
+    assert plan_regex("a.b.c") is None
+
+
+def test_trigram_batch_masks_doc_boundaries():
+    from go_distributed_log_search_ray.stages.trigramindex import (
+        _literal_trigrams, trigram_batch)
+
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["abcd", "XYZ"]})
+    out = trigram_batch(b, "doc_id", "text", num_buckets=8)
+    got = {(d, t) for d, t in zip(out.column("doc_id").to_pylist(),
+                                  out.column("tri").to_pylist())}
+    want = {(1, t) for t in _literal_trigrams("abcd")} \
+        | {(2, t) for t in _literal_trigrams("xyz")}   # lowered
+    assert got == want  # nothing spans the doc1|doc2 boundary
+
+
+def test_regex_search_matches_bruteforce_and_unindexable_fallback(tmp_path):
+    import pyarrow.compute as pc
+
+    from go_distributed_log_search_ray.stages.trigramindex import (
+        build_trigram_index, regex_search)
+
+    rng = np.random.default_rng(7)
+    vocab = ["slow", "scan", "fast", "merge", "sort", "table", "hash"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+             for _ in range(400)]
+    tbl = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                    "text": texts})
+    docs = ray.data.from_arrow(tbl).repartition(16)
+    idx = build_trigram_index(docs, str(tmp_path / "tri"), force=True)
+
+    for pat in (r"slow scan|fast [a-z]+ merge",  # indexed path
+                r"t.ble"):                       # unindexable -> scan
+        got = sorted(regex_search(docs, idx, pat)
+                     .to_pandas()["doc_id"].tolist())
+        ref = sorted(
+            tbl.filter(pc.match_substring_regex(tbl["text"], pat))
+            .column("doc_id").to_pylist())
+        assert got == ref, pat
+
+
+def test_boolean_index_query_matches_bruteforce(tmp_path):
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, index_search_bool)
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 8)))
+             for _ in range(300)]
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": texts})
+    docs = ray.data.from_arrow(tbl).repartition(16)
+    idx = build_inverted_index(docs, str(tmp_path / "inv"), force=True)
+
+    got = sorted(index_search_bool(
+        idx, must=["alpha"], should=["beta", "gamma"],
+        must_not=["delta"]).to_pandas()["doc_id"].tolist())
+    ref = [i for i, t in enumerate(texts)
+           if "alpha" in t.split()
+           and (("beta" in t.split()) or ("gamma" in t.split()))
+           and "delta" not in t.split()]
+    assert got == ref
+
+    # must-only and must+not variants; must_not alone is rejected
+    got2 = sorted(index_search_bool(idx, must=["alpha", "beta"])
+                  .to_pandas()["doc_id"].tolist())
+    ref2 = [i for i, t in enumerate(texts)
+            if {"alpha", "beta"} <= set(t.split())]
+    assert got2 == ref2
+    with pytest.raises(ValueError):
+        index_search_bool(idx, must=[], must_not=["alpha"])
