@@ -729,6 +729,34 @@ def _doc_boolean_search(sf_dir: str):
                              must_not=["spark"])
 
 
+def _doc_wildcard_search(sf_dir: str):
+    """Wildcard term query (Lucene WildcardQuery / SQL LIKE): the term
+    DICTIONARY is scanned columnar (postings ids never leave storage),
+    matched terms expand to a bucket-pruned disjunction, each doc
+    reports its distinct-matching-term count.  ``pc.match_like`` is the
+    same LIKE rule DuckDB applies, so oracle semantics are identical."""
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, index_search_like)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tag = _sf_tag(sf_dir)
+    idx = build_inverted_index(ds, f"/tmp/graft_invindex_{tag}")
+    return index_search_like(idx, "ta%")
+
+
+def _doc_fuzzy_search(sf_dir: str):
+    """Fuzzy term query (Lucene FuzzyQuery): tokens within Levenshtein
+    1 of the query.  Dictionary scan with a length-band prefilter, the
+    vectorized pair-DP edit-distance kernel for verify (identical rule
+    to DuckDB's levenshtein), bucket-pruned posting expansion; per doc:
+    distinct-match count + best distance."""
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, index_search_fuzzy)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tag = _sf_tag(sf_dir)
+    idx = build_inverted_index(ds, f"/tmp/graft_invindex_{tag}")
+    return index_search_fuzzy(idx, "tabl", max_dist=1)
+
+
 def _doc_normalize_dedup_agg(sf_dir: str):
     """Normalize-then-dedup accounting: per language, total docs vs
     distinct md5 fingerprints of NORMALIZED text (lower + whitespace
@@ -3352,9 +3380,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_phrase_search": _doc_phrase_search,
         "doc_proximity_search": _doc_proximity_search,
         "orders_cube_agg": R.orders_cube_agg,
-        # -- new in r5 session 12 (trigram regex index, boolean query)
+        # -- new in r5 session 12 (trigram regex index, boolean query,
+        # wildcard + fuzzy term queries)
         "doc_regex_search": _doc_regex_search,
         "doc_boolean_search": _doc_boolean_search,
+        "doc_wildcard_search": _doc_wildcard_search,
+        "doc_fuzzy_search": _doc_fuzzy_search,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -5068,6 +5099,25 @@ def oracle_sql() -> dict[str, str]:
               AND list_contains(ts, 'hash')
               AND (list_contains(ts, 'merge') OR list_contains(ts, 'sort'))
               AND NOT list_contains(ts, 'spark')""",
+        "doc_wildcard_search": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(
+                                    lower(coalesce(text,'')), '\S+')) AS t
+                         FROM documents),
+                 m AS (SELECT DISTINCT doc_id, t FROM tok
+                       WHERE t LIKE 'ta%')
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM m GROUP BY doc_id""",
+        "doc_fuzzy_search": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(
+                                    lower(coalesce(text,'')), '\S+')) AS t
+                         FROM documents),
+                 m AS (SELECT DISTINCT doc_id, t FROM tok
+                       WHERE levenshtein(t, 'tabl') <= 1)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(MIN(levenshtein(t, 'tabl')) AS BIGINT) AS best_dist
+            FROM m GROUP BY doc_id""",
         "orders_cube_agg": """
             SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
                    o_orderstatus AS status,

@@ -254,6 +254,24 @@ def run_extras() -> dict:
                     pidx, "tok_bucket=*", "*.parquet")))
     out["phrase_query_bytes_frac"] = round(probed / max(total, 1), 3)
     _sh.rmtree(pidx, ignore_errors=True)
+
+    # trigram regex index: build once, regex queries read only the
+    # mandatory-literal trigrams' buckets and verify only semi-joined
+    # candidates (Cox 2012) -- report build/query split + pruning
+    from go_distributed_log_search_ray.stages.trigramindex import (
+        build_trigram_index, regex_search)
+    tidx = "/tmp/bench_triindex"
+    _sh.rmtree(tidx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_trigram_index(docs, tidx)
+    out["triindex_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    hits = regex_search(docs, tidx, r"slow scan|fast [a-z]+ merge")
+    out["regex_query_hits"] = hits.count()
+    out["regex_query_sec"] = round(time.perf_counter() - t0, 3)
+    out["regex_query_bytes_frac"] = round(
+        getattr(regex_search, "last_bytes_fraction", 1.0), 3)
+    _sh.rmtree(tidx, ignore_errors=True)
     return out
 
 

@@ -186,3 +186,120 @@ def index_search_bool(index_dir: str, must: list[str],
         return b.filter(ok).select([id_col])
 
     return per_doc.map_batches(keep, batch_format="pyarrow")
+
+
+def _matched_terms(index_dir: str, match_batch) -> list[str]:
+    """Distributed term-DICTIONARY scan: every bucket's ``term`` column
+    (columnar read -- postings ids never leave storage), per-batch
+    distinct collapse, ``match_batch`` filter, distinct matches to the
+    driver.  O(matching terms) driver state -- the Lucene
+    MultiTermQuery rewrite step (its FST walk) re-expressed as a
+    column scan, which is what the bucket layout affords."""
+    files = sorted(glob.glob(
+        os.path.join(index_dir, "tok_bucket=*", "*.parquet")))
+    terms = ray.data.read_parquet(files, columns=["term"])
+
+    def distinct_matches(b: pa.Table) -> pa.Table:
+        t = b.column("term")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        u = pc.unique(t)
+        return pa.table({"term": u.filter(match_batch(u))})
+
+    from ray.data.aggregate import Count
+    out = terms.map_batches(distinct_matches, batch_format="pyarrow") \
+        .groupby("term").aggregate(Count(alias_name="_n")) \
+        .select_columns(["term"])
+    from ..functions.tableops import concat_nonempty
+    tbl = concat_nonempty(ray.get(out.to_arrow_refs()),
+                          pa.schema([("term", pa.string())]))
+    return sorted(set(tbl.column("term").to_pylist()))
+
+
+def index_search_like(index_dir: str, like_pattern: str,
+                      id_col: str = "doc_id",
+                      num_buckets: int = NUM_TOK_BUCKETS) -> Dataset:
+    """Wildcard/prefix term query (SQL LIKE semantics -- ``%``/``_``,
+    via ``pc.match_like``, the same rule DuckDB's LIKE applies): the
+    term dictionary is scanned columnar, matched terms expand to a
+    standard bucket-pruned disjunctive search, and each doc reports how
+    many DISTINCT matching terms it contains."""
+    from ray.data.aggregate import Count
+
+    want = _matched_terms(
+        index_dir, lambda u: pc.match_like(u, like_pattern))
+    if not want:
+        return ray.data.from_arrow(pa.schema(
+            [(id_col, pa.int64()), ("n_terms", pa.int64())]).empty_table())
+    buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
+                      for t in want})
+    files = [f for c in buckets
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    post = ray.data.read_parquet(files, columns=["term", id_col])
+    tset = pa.array(want, pa.string())
+    return post.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=tset)),
+        batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Count(alias_name="n_terms"))
+
+
+def index_search_fuzzy(index_dir: str, query: str, max_dist: int = 1,
+                       id_col: str = "doc_id",
+                       num_buckets: int = NUM_TOK_BUCKETS) -> Dataset:
+    """Fuzzy term query (Lucene FuzzyQuery semantics): tokens within
+    Levenshtein ``max_dist`` of ``query``.  The dictionary scan
+    prefilters on the length band ``|len(t) - len(q)| <= max_dist``
+    (cheap Arrow kernel; edit distance can't beat the length gap), then
+    verifies with the vectorized pair-DP kernel
+    (functions/editdist.edit_distance_batch -- unit codepoint ops, the
+    identical rule DuckDB's ``levenshtein`` applies).  Matched terms
+    expand to a bucket-pruned search; output carries each doc's
+    distinct-match count and BEST (minimum) distance."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.editdist import edit_distance_batch
+
+    qlen = len(query)
+
+    def match(u: pa.Array) -> pa.Array:
+        band = pc.and_(
+            pc.greater_equal(pc.utf8_length(u), qlen - max_dist),
+            pc.less_equal(pc.utf8_length(u), qlen + max_dist))
+        cand = u.filter(band)
+        band = pc.fill_null(band, False)
+        hit = np.zeros(len(u), dtype=bool)
+        if len(cand):
+            qs = pa.array([query] * len(cand), pa.string())
+            ok = edit_distance_batch(cand, qs) <= max_dist
+            hit[np.asarray(band.to_numpy(zero_copy_only=False),
+                           dtype=bool)] = ok
+        return pa.array(hit)
+
+    want = _matched_terms(index_dir, match)
+    if not want:
+        return ray.data.from_arrow(pa.schema(
+            [(id_col, pa.int64()), ("n_terms", pa.int64()),
+             ("best_dist", pa.int64())]).empty_table())
+    qarr = pa.array([query] * len(want), pa.string())
+    dist = {t: int(d) for t, d in
+            zip(want, edit_distance_batch(pa.array(want), qarr))}
+    buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
+                      for t in want})
+    files = [f for c in buckets
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    post = ray.data.read_parquet(files, columns=["term", id_col])
+    tset = pa.array(want, pa.string())
+    dk = pa.array(list(dist.keys()), pa.string())
+    dv = pa.array(list(dist.values()), pa.int64())
+
+    def stamp(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["term"], value_set=tset))
+        idx = pc.index_in(b["term"], value_set=dk)
+        return pa.table({id_col: b.column(id_col),
+                         "dist": dv.take(idx)})
+
+    return post.map_batches(stamp, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Count(alias_name="n_terms"),
+                                   Min("dist", alias_name="best_dist"))

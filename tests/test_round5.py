@@ -675,3 +675,32 @@ def test_boolean_index_query_matches_bruteforce(tmp_path):
     assert got2 == ref2
     with pytest.raises(ValueError):
         index_search_bool(idx, must=[], must_not=["alpha"])
+
+
+def test_wildcard_and_fuzzy_index_queries(tmp_path):
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, index_search_fuzzy, index_search_like)
+
+    texts = ["tap tape taper", "grape tape", "nap", "ta tapes xx",
+             "", "TAPE loud"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    docs = ray.data.from_arrow(tbl).repartition(4)
+    idx = build_inverted_index(docs, str(tmp_path / "inv"), force=True)
+
+    like = {r["doc_id"]: r["n_terms"]
+            for r in index_search_like(idx, "ta%").to_pandas()
+            .to_dict("records")}
+    # doc0: tap/tape/taper; doc3: ta/tapes; doc5: tape (lowered)
+    assert like == {0: 3, 1: 1, 3: 2, 5: 1}
+
+    # LIKE with no dictionary match -> typed empty, not a crash
+    assert index_search_like(idx, "zz%").count() == 0
+
+    fz = {r["doc_id"]: (r["n_terms"], r["best_dist"])
+          for r in index_search_fuzzy(idx, "tape", max_dist=1)
+          .to_pandas().to_dict("records")}
+    # within ED1 of 'tape': tap, tape, tapes (taper too: append r)
+    assert fz == {0: (3, 0), 1: (1, 0), 3: (1, 1), 5: (1, 0)}
+
+    assert index_search_fuzzy(idx, "qqqqqq", max_dist=1).count() == 0
