@@ -757,6 +757,68 @@ def _doc_fuzzy_search(sf_dir: str):
     return index_search_fuzzy(idx, "tabl", max_dist=1)
 
 
+def _doc_more_like_this(sf_dir: str):
+    """Lucene MoreLikeThisQuery with deterministic INTEGER salience
+    (tf DESC, df ASC, term ASC -- replayable bit-for-bit in SQL where
+    Lucene's float tf-idf could not be): source doc read by pushdown
+    filter, df from the source terms' posting buckets only, expansion
+    as a bucket-pruned OR search folded by distributed top-k.  The
+    corpus is never scanned."""
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, more_like_this)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tag = _sf_tag(sf_dir)
+    idx = build_inverted_index(ds, f"/tmp/graft_invindex_{tag}")
+    return more_like_this(idx, ds, source_id=7, max_terms=10, k=20)
+
+
+def _doc_faceted_search(sf_dir: str):
+    """Faceted search (the Kibana/Elasticsearch aggs panel): hits of a
+    conjunctive index query semi-join the docs table for their facet
+    columns, then ONE narrow (facet, value) groupby -- facet rows per
+    batch are emitted vectorized, the corpus read is pushdown-pruned to
+    3 columns."""
+    from ray.data.aggregate import Sum
+
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, index_search)
+    from go_distributed_log_search_ray.stages.join import hash_join
+
+    full = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tag = _sf_tag(sf_dir)
+    idx = build_inverted_index(full, f"/tmp/graft_invindex_{tag}")
+    hits = index_search(idx, ["merge", "sort"], mode="and")
+    docs = _read_table(sf_dir, "documents",
+                       columns=["doc_id", "lang", "source"])
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    matched = hash_join(
+        docs, hits, on="doc_id", join_type="left semi",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string()),
+                               ("source", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]))
+
+    part_schema = pa.schema([("facet", pa.string()),
+                             ("value", pa.string()),
+                             ("n_docs", pa.int64())])
+
+    def facet_rows(b: pa.Table) -> pa.Table:
+        outs = []
+        for facet in ("lang", "source"):
+            g = pa.table({"value": pc.fill_null(b.column(facet), "")}) \
+                .group_by(["value"]).aggregate([([], "count_all")])
+            outs.append(pa.table({
+                "facet": pa.array([facet] * g.num_rows),
+                "value": g.column("value"),
+                "n_docs": g.column("count_all")}).cast(part_schema))
+        return pa.concat_tables(outs) if outs else part_schema.empty_table()
+
+    return matched.map_batches(facet_rows, batch_format="pyarrow") \
+        .groupby(["facet", "value"]) \
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
 def _doc_normalize_dedup_agg(sf_dir: str):
     """Normalize-then-dedup accounting: per language, total docs vs
     distinct md5 fingerprints of NORMALIZED text (lower + whitespace
@@ -3386,6 +3448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boolean_search": _doc_boolean_search,
         "doc_wildcard_search": _doc_wildcard_search,
         "doc_fuzzy_search": _doc_fuzzy_search,
+        "doc_more_like_this": _doc_more_like_this,
+        "doc_faceted_search": _doc_faceted_search,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -5118,6 +5182,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
                    CAST(MIN(levenshtein(t, 'tabl')) AS BIGINT) AS best_dist
             FROM m GROUP BY doc_id""",
+        "doc_more_like_this": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(
+                                    lower(coalesce(text,'')), '\S+')) AS t
+                         FROM documents),
+                 src AS (SELECT t, COUNT(*) AS tf FROM tok
+                         WHERE doc_id = 7 GROUP BY t),
+                 dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df
+                           FROM tok GROUP BY t),
+                 q AS (SELECT src.t FROM src JOIN dfreq USING (t)
+                       ORDER BY tf DESC, df ASC, t ASC LIMIT 10),
+                 cand AS (SELECT DISTINCT doc_id, t FROM tok
+                          WHERE t IN (SELECT t FROM q) AND doc_id != 7)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM cand GROUP BY doc_id
+            ORDER BY n_shared DESC, doc_id ASC LIMIT 20""",
+        "doc_faceted_search": r"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(
+                                    lower(coalesce(text,'')), '\S+') AS ts
+                         FROM documents),
+                 hit AS (SELECT doc_id FROM tok
+                         WHERE list_contains(ts, 'merge')
+                           AND list_contains(ts, 'sort')),
+                 d AS (SELECT d.doc_id, coalesce(d.lang, '') AS lang,
+                              coalesce(d.source, '') AS source
+                       FROM documents d JOIN hit USING (doc_id))
+            SELECT 'lang' AS facet, lang AS value,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY lang
+            UNION ALL
+            SELECT 'source', source, CAST(COUNT(*) AS BIGINT)
+            FROM d GROUP BY source""",
         "orders_cube_agg": """
             SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
                    o_orderstatus AS status,

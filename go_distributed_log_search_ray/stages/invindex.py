@@ -303,3 +303,75 @@ def index_search_fuzzy(index_dir: str, query: str, max_dist: int = 1,
     return post.map_batches(stamp, batch_format="pyarrow") \
         .groupby(id_col).aggregate(Count(alias_name="n_terms"),
                                    Min("dist", alias_name="best_dist"))
+
+
+def more_like_this(index_dir: str, docs: Dataset, source_id: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   max_terms: int = 10, k: int = 20,
+                   num_buckets: int = NUM_TOK_BUCKETS) -> pa.Table:
+    """Lucene MoreLikeThisQuery: rank docs by overlap with the most
+    salient terms of ``source_id``.
+
+    Deterministic INTEGER salience (so a SQL oracle can replay it
+    bit-for-bit, where Lucene's float tf-idf could not): the source
+    doc's terms rank by (tf DESC, df ASC, term ASC) -- high use in the
+    source, rare in the corpus -- and the top ``max_terms`` become a
+    disjunctive query; candidates rank by (shared-term count DESC,
+    id ASC), top ``k``, source excluded.
+
+    Scale shape: the source doc's tokens come from ONE pushdown-
+    filtered read; df comes from the source terms' posting buckets
+    only (O(|source terms|) driver rows); the expansion is a standard
+    bucket-pruned OR search folded by distributed top-k.  The corpus
+    is never scanned."""
+    from ray.data.aggregate import Count
+
+    from ..functions.tableops import concat_nonempty, global_topk
+    from .textstats import _flat_with_doc
+
+    src = docs.filter(expr=f"{id_col} == {source_id}") \
+        .select_columns([text_col]).take_all()
+    if not src:
+        raise KeyError(f"{id_col}={source_id} not found")
+    toks, _ = _flat_with_doc(
+        pc.utf8_lower(pa.array([src[0][text_col] or ""])),
+        r"\s+", regex=True)
+    if len(toks) == 0:
+        return pa.schema([(id_col, pa.int64()),
+                          ("n_shared", pa.int64())]).empty_table()
+    enc = toks.dictionary_encode()
+    tf = np.bincount(np.asarray(enc.indices, dtype=np.int64),
+                     minlength=len(enc.dictionary))
+    terms = enc.dictionary.to_pylist()
+
+    # df over the SOURCE terms only (their buckets, nothing else)
+    buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
+                      for t in terms})
+    files = [f for c in buckets
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    post = ray.data.read_parquet(files, columns=["term", id_col])
+    tset = pa.array(sorted(terms), pa.string())
+    dfd = post.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=tset)),
+        batch_format="pyarrow") \
+        .groupby("term").aggregate(Count(alias_name="df"))
+    dft = concat_nonempty(ray.get(dfd.materialize().to_arrow_refs()),
+                          pa.schema([("term", pa.string()),
+                                     ("df", pa.int64())]))
+    df_of = dict(zip(dft.column("term").to_pylist(),
+                     dft.column("df").to_pylist()))
+    ranked = sorted(((int(-tf[i]), df_of.get(t, 0), t)
+                     for i, t in enumerate(terms)))
+    query = [t for _, _, t in ranked[:max_terms]]
+
+    # disjunctive expansion, distributed top-k, source excluded
+    qset = pa.array(sorted(query), pa.string())
+    hits = post.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.is_in(b["term"], value_set=qset),
+            pc.not_equal(b[id_col], source_id))),
+        batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Count(alias_name="n_shared"))
+    return global_topk(hits, k, [("n_shared", "descending"),
+                                 (id_col, "ascending")])

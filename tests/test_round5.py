@@ -704,3 +704,45 @@ def test_wildcard_and_fuzzy_index_queries(tmp_path):
     assert fz == {0: (3, 0), 1: (1, 0), 3: (1, 1), 5: (1, 0)}
 
     assert index_search_fuzzy(idx, "qqqqqq", max_dist=1).count() == 0
+
+
+def test_more_like_this_matches_bruteforce(tmp_path):
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, more_like_this)
+
+    rng = np.random.default_rng(3)
+    vocab = ["red", "blue", "green", "gold", "pink", "teal", "gray"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 9)))
+             for _ in range(200)]
+    texts[7] = "red red blue gold"
+    tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                    "text": texts})
+    docs = ray.data.from_arrow(tbl).repartition(8)
+    idx = build_inverted_index(docs, str(tmp_path / "inv"), force=True)
+
+    got = more_like_this(idx, docs, source_id=7, max_terms=2, k=10)
+    got = list(zip(got.column("doc_id").to_pylist(),
+                   got.column("n_shared").to_pylist()))
+
+    # brute-force replay of the integer salience rule
+    toks = [t.split() for t in texts]
+    src = toks[7]
+    tf = {t: src.count(t) for t in set(src)}
+    df = {v: sum(v in set(d) for d in toks) for v in vocab}
+    ranked = sorted(tf, key=lambda t: (-tf[t], df[t], t))[:2]
+    shared = {i: len(set(ranked) & set(d))
+              for i, d in enumerate(toks) if i != 7}
+    want = sorted(((i, n) for i, n in shared.items() if n > 0),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    assert got == want
+
+
+def test_more_like_this_missing_source_raises(tmp_path):
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, more_like_this)
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": ["aaa bbb", "bbb ccc"]})
+    docs = ray.data.from_arrow(tbl)
+    idx = build_inverted_index(docs, str(tmp_path / "inv2"), force=True)
+    with pytest.raises(KeyError):
+        more_like_this(idx, docs, source_id=99)
