@@ -87,6 +87,62 @@ def build_inverted_index(ds: Dataset, index_dir: str, id_col: str = "doc_id",
     return index_dir
 
 
+def _bucket_files(index_dir: str, buckets) -> list[str]:
+    """Parquet files for the given buckets across ALL COMMITTED
+    generations: the base build (``tok_bucket=N/`` at the root) plus
+    every ``gen=K/`` segment carrying its own ``_SUCCESS`` -- an
+    uncommitted (torn) extension is invisible to every query, the
+    reference's segment-commit visibility rule."""
+    pats = [os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")
+            for c in buckets]
+    for g in sorted(glob.glob(os.path.join(index_dir, "gen=*"))):
+        if os.path.exists(os.path.join(g, "_SUCCESS")):
+            pats += [os.path.join(g, f"tok_bucket={c}", "*.parquet")
+                     for c in buckets]
+    return [f for p in pats for f in sorted(glob.glob(p))]
+
+
+def extend_inverted_index(ds_new: Dataset, index_dir: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          num_buckets: int | None = None) -> str:
+    """Append postings for NEW docs as a fresh committed GENERATION --
+    the reference's per-commit segment append (src/commands/index.go:
+    each commit adds an immutable segment; queries union segments)
+    without rebuilding the base index.
+
+    Torn-write safe: the generation dir is cleared and rewritten in
+    full, and only the final ``_SUCCESS`` makes it visible to
+    ``_bucket_files`` -- a run killed mid-write leaves an invisible
+    partial that the retry replaces.
+
+    CONTRACT: new doc ids are disjoint from already-indexed ones (the
+    reference's doc-id allocator guarantees the same); postings are
+    distinct per (term, doc) only within a generation, so a repeated
+    id would double-count in conjunctive term folds."""
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(f"no committed base index at {index_dir}")
+    if num_buckets is None:
+        with open(marker) as f:
+            num_buckets = int(f.read().strip().split("=")[1])
+    gens = [int(os.path.basename(g).split("=")[1])
+            for g in glob.glob(os.path.join(index_dir, "gen=*"))
+            if os.path.exists(os.path.join(g, "_SUCCESS"))]
+    nxt = (max(gens) + 1) if gens else 1
+    gd = os.path.join(index_dir, f"gen={nxt}")
+    if os.path.isdir(gd):
+        shutil.rmtree(gd)              # torn previous attempt
+    ds_new.map_batches(
+        lambda b: postings_batch(b, id_col, text_col, num_buckets),
+        batch_format="pyarrow") \
+        .write_parquet(gd, partition_cols=["tok_bucket"],
+                       row_group_size=131072)
+    os.makedirs(gd, exist_ok=True)     # ds_new may have been all-empty
+    with open(os.path.join(gd, "_SUCCESS"), "w") as f:
+        f.write(f"num_buckets={num_buckets}\n")
+    return index_dir
+
+
 def index_search(index_dir: str, terms: list[str], id_col: str = "doc_id",
                  num_buckets: int = NUM_TOK_BUCKETS,
                  mode: str = "and") -> Dataset:
@@ -99,9 +155,7 @@ def index_search(index_dir: str, terms: list[str], id_col: str = "doc_id",
     want = sorted(set(terms))
     buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
                       for t in want})
-    files = [f for c in buckets
-             for f in sorted(glob.glob(
-                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    files = _bucket_files(index_dir, buckets)
     post = ray.data.read_parquet(files, columns=["term", id_col])
     tset = pa.array(want, pa.string())
     hits = post.map_batches(
@@ -145,9 +199,7 @@ def index_search_bool(index_dir: str, must: list[str],
     terms = sorted(set(musts) | set(shoulds) | set(nots))
     buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
                       for t in terms})
-    files = [f for c in buckets
-             for f in sorted(glob.glob(
-                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    files = _bucket_files(index_dir, buckets)
     post = ray.data.read_parquet(files, columns=["term", id_col])
     m_set = pa.array(musts, pa.string())
     s_set = pa.array(shoulds, pa.string()) if shoulds else None
@@ -195,8 +247,7 @@ def _matched_terms(index_dir: str, match_batch) -> list[str]:
     driver.  O(matching terms) driver state -- the Lucene
     MultiTermQuery rewrite step (its FST walk) re-expressed as a
     column scan, which is what the bucket layout affords."""
-    files = sorted(glob.glob(
-        os.path.join(index_dir, "tok_bucket=*", "*.parquet")))
+    files = _bucket_files(index_dir, ["*"])
     terms = ray.data.read_parquet(files, columns=["term"])
 
     def distinct_matches(b: pa.Table) -> pa.Table:
@@ -233,9 +284,7 @@ def index_search_like(index_dir: str, like_pattern: str,
             [(id_col, pa.int64()), ("n_terms", pa.int64())]).empty_table())
     buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
                       for t in want})
-    files = [f for c in buckets
-             for f in sorted(glob.glob(
-                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    files = _bucket_files(index_dir, buckets)
     post = ray.data.read_parquet(files, columns=["term", id_col])
     tset = pa.array(want, pa.string())
     return post.map_batches(
@@ -286,9 +335,7 @@ def index_search_fuzzy(index_dir: str, query: str, max_dist: int = 1,
             zip(want, edit_distance_batch(pa.array(want), qarr))}
     buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
                       for t in want})
-    files = [f for c in buckets
-             for f in sorted(glob.glob(
-                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    files = _bucket_files(index_dir, buckets)
     post = ray.data.read_parquet(files, columns=["term", id_col])
     tset = pa.array(want, pa.string())
     dk = pa.array(list(dist.keys()), pa.string())
@@ -347,9 +394,7 @@ def more_like_this(index_dir: str, docs: Dataset, source_id: int,
     # df over the SOURCE terms only (their buckets, nothing else)
     buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
                       for t in terms})
-    files = [f for c in buckets
-             for f in sorted(glob.glob(
-                 os.path.join(index_dir, f"tok_bucket={c}", "*.parquet")))]
+    files = _bucket_files(index_dir, buckets)
     post = ray.data.read_parquet(files, columns=["term", id_col])
     tset = pa.array(sorted(terms), pa.string())
     dfd = post.map_batches(

@@ -746,3 +746,49 @@ def test_more_like_this_missing_source_raises(tmp_path):
     idx = build_inverted_index(docs, str(tmp_path / "inv2"), force=True)
     with pytest.raises(KeyError):
         more_like_this(idx, docs, source_id=99)
+
+
+def test_extend_inverted_index_segments(tmp_path):
+    """Segment-append semantics: base build + committed extension must
+    answer every query type exactly as a single full build; a TORN
+    extension (no _SUCCESS) is invisible; extension without a base
+    raises."""
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, extend_inverted_index, index_search,
+        index_search_bool, index_search_like)
+
+    rng = np.random.default_rng(5)
+    vocab = ["ant", "bee", "cat", "dog", "emu", "fox"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 7)))
+             for _ in range(300)]
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": texts})
+    full_docs = ray.data.from_arrow(tbl).repartition(8)
+    old = ray.data.from_arrow(tbl.slice(0, 200)).repartition(8)
+    new = ray.data.from_arrow(tbl.slice(200)).repartition(4)
+
+    ref_idx = build_inverted_index(full_docs, str(tmp_path / "full"),
+                                   force=True)
+    inc_idx = build_inverted_index(old, str(tmp_path / "inc"), force=True)
+    extend_inverted_index(new, inc_idx)
+
+    def ids(ds):
+        return sorted(ds.to_pandas()["doc_id"].tolist())
+
+    for q in (lambda i: index_search(i, ["ant", "bee"], mode="and"),
+              lambda i: index_search_bool(i, must=["cat"],
+                                          must_not=["dog"]),
+              lambda i: index_search_like(i, "b%")):
+        assert ids(q(inc_idx)) == ids(q(ref_idx))
+
+    # torn extension: partial files but no _SUCCESS -> invisible
+    import pyarrow.parquet as pq
+    torn = os.path.join(inc_idx, "gen=2", "tok_bucket=0")
+    os.makedirs(torn)
+    pq.write_table(pa.table({"term": pa.array(["ant"]),
+                             "doc_id": pa.array([999], pa.int64())}),
+                   os.path.join(torn, "partial.parquet"))
+    assert 999 not in ids(index_search(inc_idx, ["ant"], mode="or"))
+
+    with pytest.raises(FileNotFoundError):
+        extend_inverted_index(new, str(tmp_path / "nobase"))
