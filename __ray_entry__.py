@@ -819,6 +819,20 @@ def _doc_faceted_search(sf_dir: str):
         .aggregate(Sum("n_docs", alias_name="n_docs"))
 
 
+def _doc_snippet_search(sf_dir: str):
+    """Result-page snippet highlighting: index-resolved hits semi-join
+    the corpus so only matching docs are re-read; each emits its first
+    match's 1-based token position and a 2-token context window.
+    Token-stream (codepoint-safe) snippet rule, replayed exactly by
+    SQL list_position + list slicing."""
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, snippet_search)
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tag = _sf_tag(sf_dir)
+    idx = build_inverted_index(ds, f"/tmp/graft_invindex_{tag}")
+    return snippet_search(idx, ds, "merge", context=2)
+
+
 def _doc_normalize_dedup_agg(sf_dir: str):
     """Normalize-then-dedup accounting: per language, total docs vs
     distinct md5 fingerprints of NORMALIZED text (lower + whitespace
@@ -3450,6 +3464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fuzzy_search": _doc_fuzzy_search,
         "doc_more_like_this": _doc_more_like_this,
         "doc_faceted_search": _doc_faceted_search,
+        "doc_snippet_search": _doc_snippet_search,
         # -- never driver-checked through round 4
         "media_video_agg": _media_video_agg,
         "media_gif_agg": _media_gif_agg,
@@ -5198,6 +5213,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
             FROM cand GROUP BY doc_id
             ORDER BY n_shared DESC, doc_id ASC LIMIT 20""",
+        "doc_snippet_search": r"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(
+                                    lower(coalesce(text,'')), '\S+') AS ts
+                         FROM documents),
+                 m AS (SELECT doc_id, ts,
+                              list_position(ts, 'merge') AS p FROM tok)
+            SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                   array_to_string(
+                       ts[greatest(1, p - 2):least(len(ts), p + 2)],
+                       ' ') AS snippet
+            FROM m WHERE p > 0""",
         "doc_faceted_search": r"""
             WITH tok AS (SELECT doc_id,
                                 regexp_extract_all(

@@ -420,3 +420,127 @@ def more_like_this(index_dir: str, docs: Dataset, source_id: int,
         .groupby(id_col).aggregate(Count(alias_name="n_shared"))
     return global_topk(hits, k, [("n_shared", "descending"),
                                  (id_col, "ascending")])
+
+
+def snippet_search(index_dir: str, docs: Dataset, term: str,
+                   context: int = 2, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   num_buckets: int = NUM_TOK_BUCKETS) -> Dataset:
+    """Search-hit HIGHLIGHTING (the result-page snippet): docs
+    containing ``term`` -- resolved bucket-pruned through the index,
+    then semi-joined so only hits are re-read -- each emitting its
+    first match's 1-based token position and a ``context``-token
+    window around it.
+
+    Snippets are defined on the TOKEN stream (not byte offsets), so
+    the rule is codepoint-safe and a SQL oracle replays it exactly
+    with list_position + list slicing.  The per-batch kernel is fully
+    vectorized: one split, numpy first-match-per-doc, one fancy-index
+    gather for all windows, ``pc.binary_join_element_wise``-free list
+    join (``pc.binary_join`` over a ListArray)."""
+    from .join import hash_join
+
+    hits = index_search(index_dir, [term], mode="or",
+                        num_buckets=num_buckets)
+    base = docs.schema().base_schema
+    id_type = base.field(id_col).type
+    matched = hash_join(docs, hits, on=id_col, join_type="left semi",
+                        left_schema=base,
+                        right_schema=pa.schema([(id_col, id_type)]))
+    out_schema = pa.schema([(id_col, pa.int64()), ("pos", pa.int64()),
+                            ("snippet", pa.string())])
+
+    def snip(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        toks, doc_of = _flat_with_doc(
+            pc.utf8_lower(b.column(text_col)), r"\s+", regex=True)
+        if len(toks) == 0:
+            return out_schema.empty_table()
+        ntok = np.bincount(doc_of, minlength=b.num_rows)
+        start = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+        hit = np.asarray(pc.equal(toks, term).to_numpy(
+            zero_copy_only=False), dtype=bool)
+        flat_hits = np.nonzero(hit)[0]
+        if len(flat_hits) == 0:
+            return out_schema.empty_table()
+        mdoc, first = np.unique(doc_of[flat_hits], return_index=True)
+        fpos = flat_hits[first] - start[mdoc]        # 0-based in doc
+        lo = np.maximum(0, fpos - context)
+        hi = np.minimum(ntok[mdoc], fpos + context + 1)
+        lens = hi - lo
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        gidx = (np.repeat(start[mdoc] + lo, lens)
+                + np.arange(offs[-1]) - np.repeat(offs[:-1], lens))
+        win = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            toks.take(pa.array(gidx, pa.int64())))
+        return pa.table({
+            id_col: b.column(id_col).take(pa.array(mdoc, pa.int64())),
+            "pos": pa.array(fpos + 1),               # 1-based like SQL
+            "snippet": pc.binary_join(win, " ")}).cast(out_schema)
+
+    return matched.map_batches(snip, batch_format="pyarrow")
+
+
+def compact_inverted_index(index_dir: str, id_col: str = "doc_id") -> str:
+    """Merge the base build + every committed generation back into ONE
+    base (the reference's ``merge`` command over its segments,
+    src/commands/merge.go) -- generation count resets to zero, query
+    glob cost stops growing.  Disjoint-doc-id contract means
+    concatenation IS the distinct posting set; the rewrite just
+    re-stamps buckets (recomputed from the term, identical hash) and
+    re-partitions.
+
+    Crash-safe single-writer supersede: the compacted index is built
+    COMPLETE (with ``_SUCCESS``) at a side path, then swapped in by
+    two renames with the old base parked at ``.superseded`` until the
+    swap finishes; a crash between the renames is recovered on the
+    next call (committed side build present + base missing => finish
+    the swap).  Concurrent readers follow the single-writer contract
+    the reference's merge also requires."""
+    tmp = index_dir.rstrip("/") + ".compacting"
+    old = index_dir.rstrip("/") + ".superseded"
+    marker = os.path.join(index_dir, "_SUCCESS")
+
+    # crash recovery: a previous call finished the side build and
+    # removed the base but died before the second rename
+    if not os.path.exists(marker) \
+            and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return index_dir
+    if not os.path.exists(marker):
+        raise FileNotFoundError(f"no committed base index at {index_dir}")
+    with open(marker) as f:
+        num_buckets = int(f.read().strip().split("=")[1])
+
+    files = _bucket_files(index_dir, ["*"])
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def restamp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "tok_bucket": pa.array([], pa.int64())})
+        enc = b.column("term").combine_chunks().dictionary_encode()
+        buckets = _term_bucket(
+            np.asarray(enc.dictionary.to_pylist(), dtype=object),
+            num_buckets)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        return pa.table({"term": b.column("term"),
+                         id_col: b.column(id_col),
+                         "tok_bucket": pa.array(buckets[code])})
+
+    ray.data.read_parquet(files, columns=["term", id_col]) \
+        .map_batches(restamp, batch_format="pyarrow") \
+        .write_parquet(tmp, partition_cols=["tok_bucket"],
+                       row_group_size=131072)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(f"num_buckets={num_buckets}\n")
+
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return index_dir

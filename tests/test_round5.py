@@ -792,3 +792,61 @@ def test_extend_inverted_index_segments(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         extend_inverted_index(new, str(tmp_path / "nobase"))
+
+
+def test_snippet_search_matches_bruteforce(tmp_path):
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, snippet_search)
+
+    texts = ["a b merge c d e", "merge x", "no hit here",
+             "y z w merge", "MERGE up", ""]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    docs = ray.data.from_arrow(tbl).repartition(3)
+    idx = build_inverted_index(docs, str(tmp_path / "inv"), force=True)
+
+    got = {r["doc_id"]: (r["pos"], r["snippet"])
+           for r in snippet_search(idx, docs, "merge", context=2)
+           .to_pandas().to_dict("records")}
+    assert got == {0: (3, "a b merge c d"),
+                   1: (1, "merge x"),
+                   3: (4, "z w merge"),
+                   4: (1, "merge up")}   # lowered
+
+
+def test_compact_inverted_index_merges_generations(tmp_path):
+    from go_distributed_log_search_ray.stages.invindex import (
+        build_inverted_index, compact_inverted_index,
+        extend_inverted_index, index_search)
+
+    rng = np.random.default_rng(9)
+    vocab = ["oak", "elm", "fir", "ash", "yew"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 6)))
+             for _ in range(240)]
+    tbl = pa.table({"doc_id": pa.array(range(240), pa.int64()),
+                    "text": texts})
+    idx = build_inverted_index(
+        ray.data.from_arrow(tbl.slice(0, 80)).repartition(4),
+        str(tmp_path / "inv"), force=True)
+    extend_inverted_index(
+        ray.data.from_arrow(tbl.slice(80, 80)).repartition(4), idx)
+    extend_inverted_index(
+        ray.data.from_arrow(tbl.slice(160)).repartition(4), idx)
+
+    def ids(i):
+        return sorted(index_search(i, ["oak", "elm"], mode="and")
+                      .to_pandas()["doc_id"].tolist())
+
+    before = ids(idx)
+    assert before  # non-trivial query
+    compact_inverted_index(idx)
+    assert ids(idx) == before
+    # generations folded into the base; no stragglers
+    assert not __import__("glob").glob(os.path.join(idx, "gen=*"))
+    assert not os.path.exists(idx + ".compacting")
+    assert not os.path.exists(idx + ".superseded")
+
+    # crash recovery: committed side build + missing base => swap done
+    os.rename(idx, idx + ".compacting")
+    compact_inverted_index(idx)
+    assert ids(idx) == before
