@@ -5,6 +5,9 @@
     index   -> run the flagship parse->enrich->route->aggregate pipeline
     merge   -> compact committed sink partitions
     search  -> weighted top-k substring search over committed sinks
+               (--mode boolean|wildcard|fuzzy|regex switches to the
+               indexed query family; the index builds once beside the
+               sinks and is reused)
     drop    -> delete manifest first, sink files best-effort
 
 Usage examples:
@@ -66,17 +69,54 @@ def cmd_merge(args) -> dict:
 
 
 def cmd_search(args) -> dict:
+    """Default mode is the reference's weighted substring scan
+    (src/commands/search.go:221-255); the indexed modes (boolean /
+    wildcard / fuzzy / regex) build a cached inverted (or trigram)
+    index beside the sinks on first use -- _SUCCESS-idempotent, so
+    repeat searches pay only the bucket-pruned read."""
+    import os as _os
+
     from .pipelines.ingest import routed_rows
     from .stages.search import topk_search
     _ensure_ray()
-    ds = routed_rows(args.out, columns=["url", "text", "title", "lang",
-                                       "host_bucket"])
-    top = topk_search(ds, term=args.query,
-                      fields=args.fields.split(","), k=args.limit,
-                      id_col="url")
-    return {"results": [
-        {"url": r["url"], "score": r["score"], "lang": r["lang"]}
-        for r in top.take_all()]}
+    mode = getattr(args, "mode", "substring")
+    if mode == "substring":
+        ds = routed_rows(args.out, columns=["url", "text", "title",
+                                            "lang", "host_bucket"])
+        top = topk_search(ds, term=args.query,
+                          fields=args.fields.split(","), k=args.limit,
+                          id_col="url")
+        return {"results": [
+            {"url": r["url"], "score": r["score"], "lang": r["lang"]}
+            for r in top.take_all()]}
+
+    docs = routed_rows(args.out, columns=["url", "text"])
+    if mode == "regex":
+        from .stages.trigramindex import build_trigram_index, regex_search
+        idx = build_trigram_index(
+            docs, _os.path.join(args.out, "_trigram_index"),
+            id_col="url")
+        hits = regex_search(docs, idx, args.query, id_col="url")
+        urls = [r["url"] for r in hits.take(args.limit)]
+        return {"results": [{"url": u} for u in sorted(urls)]}
+
+    from .stages.invindex import (build_inverted_index,
+                                  index_search_bool, index_search_fuzzy,
+                                  index_search_like)
+    idx = build_inverted_index(
+        docs, _os.path.join(args.out, "_text_index"), id_col="url")
+    if mode == "boolean":
+        must = [t for t in args.query.split() if not t.startswith("-")]
+        nots = [t[1:] for t in args.query.split() if t.startswith("-")]
+        hits = index_search_bool(idx, must=must, must_not=nots,
+                                 id_col="url")
+    elif mode == "wildcard":
+        hits = index_search_like(idx, args.query, id_col="url")
+    elif mode == "fuzzy":
+        hits = index_search_fuzzy(idx, args.query, id_col="url")
+    else:
+        raise ValueError(f"unknown search mode: {mode}")
+    return {"results": [{"url": r["url"]} for r in hits.take(args.limit)]}
 
 
 def cmd_stream(args) -> dict:
@@ -146,6 +186,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--query", required=True)
     s.add_argument("--limit", type=int, default=1)   # reference default 1
     s.add_argument("--fields", default="text,title")
+    s.add_argument("--mode", default="substring",
+                   choices=["substring", "boolean", "wildcard",
+                            "fuzzy", "regex"])
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("stream")

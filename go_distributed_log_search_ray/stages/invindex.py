@@ -204,7 +204,7 @@ def index_search_bool(index_dir: str, must: list[str],
     m_set = pa.array(musts, pa.string())
     s_set = pa.array(shoulds, pa.string()) if shoulds else None
     n_set = pa.array(nots, pa.string()) if nots else None
-    part_schema = pa.schema([(id_col, pa.int64()),
+    part_schema = pa.schema([(id_col, _index_id_type(index_dir, id_col)),
                              ("n_must", pa.int64()),
                              ("n_should", pa.int64()),
                              ("n_not", pa.int64())])
@@ -238,6 +238,17 @@ def index_search_bool(index_dir: str, must: list[str],
         return b.filter(ok).select([id_col])
 
     return per_doc.map_batches(keep, batch_format="pyarrow")
+
+
+def _index_id_type(index_dir: str, id_col: str) -> pa.DataType:
+    """Doc-id type straight from the index footer, so typed-empty
+    results hold for STRING ids (e.g. the CLI's url ids) too."""
+    import pyarrow.parquet as pq
+
+    files = _bucket_files(index_dir, ["*"])
+    if not files:
+        return pa.int64()
+    return pq.read_schema(files[0]).field(id_col).type
 
 
 def _matched_terms(index_dir: str, match_batch) -> list[str]:
@@ -281,7 +292,8 @@ def index_search_like(index_dir: str, like_pattern: str,
         index_dir, lambda u: pc.match_like(u, like_pattern))
     if not want:
         return ray.data.from_arrow(pa.schema(
-            [(id_col, pa.int64()), ("n_terms", pa.int64())]).empty_table())
+            [(id_col, _index_id_type(index_dir, id_col)),
+             ("n_terms", pa.int64())]).empty_table())
     buckets = sorted({int(zlib.crc32(t.encode()) % num_buckets)
                       for t in want})
     files = _bucket_files(index_dir, buckets)
@@ -328,7 +340,8 @@ def index_search_fuzzy(index_dir: str, query: str, max_dist: int = 1,
     want = _matched_terms(index_dir, match)
     if not want:
         return ray.data.from_arrow(pa.schema(
-            [(id_col, pa.int64()), ("n_terms", pa.int64()),
+            [(id_col, _index_id_type(index_dir, id_col)),
+             ("n_terms", pa.int64()),
              ("best_dist", pa.int64())]).empty_table())
     qarr = pa.array([query] * len(want), pa.string())
     dist = {t: int(d) for t, d in

@@ -102,3 +102,34 @@ def test_cli_tail_window(tmp_path):
                "--max-batches", "1", "--poll-interval", "0.05"])
     assert rc == 0
     assert window_rows(out) == {0: 2, 1: 1, 2: 1}
+
+
+def test_cli_search_modes(corpus_dir, tmp_path, capsys):
+    """The indexed query modes are user-reachable through the same
+    `search` subcommand the reference exposes; each mode's index is
+    built once beside the sinks and reused."""
+    out = str(tmp_path / "idx")
+    cli_main(["index", "--corpus", corpus_dir, "--out", out,
+              "--partitions", "2", "--no-resume"])
+    capsys.readouterr()
+
+    cli_main(["search", "--out", out, "--mode", "boolean",
+              "--query", "kernel pipeline -tokenizer", "--limit", "5"])
+    res = json.loads(capsys.readouterr().out.strip())
+    assert 1 <= len(res["results"]) <= 5
+    assert all(r["url"].startswith("http") for r in res["results"])
+
+    cli_main(["search", "--out", out, "--mode", "wildcard",
+              "--query", "kern%", "--limit", "5"])
+    wc = json.loads(capsys.readouterr().out.strip())
+    assert len(wc["results"]) >= 1
+
+    cli_main(["search", "--out", out, "--mode", "fuzzy",
+              "--query", "kernal", "--limit", "5"])   # ED1 of kernel
+    fz = json.loads(capsys.readouterr().out.strip())
+    assert len(fz["results"]) >= 1
+
+    cli_main(["search", "--out", out, "--mode", "regex",
+              "--query", "kernel|gradient", "--limit", "5"])
+    rx = json.loads(capsys.readouterr().out.strip())
+    assert len(rx["results"]) >= 1
